@@ -1,0 +1,67 @@
+"""Benchmark harness — driver contract.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import queries as catalog
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.session import get_spark
+
+#: queries timed by the bench (a representative slice of the catalog:
+#: scan+filter, window, pivot, full-outer join, anti-join, agg, extensions)
+HEADLINE = [
+    "flagship_unresolved_distinct",
+    "f1_range_filter_events",
+    "f5_first_match_per_chat",
+    "c13_pivot_event_types",
+    "j1_full_outer_integrate",
+    "j3_anti_dedup",
+    "agg_pricing_summary",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    regs = catalog.queries()
+    names = [n for n in HEADLINE if n in regs]
+    # warm the JVM/codegen once on the cheapest query so per-query numbers
+    # measure the plan, not session startup
+    regs[names[0]](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        regs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

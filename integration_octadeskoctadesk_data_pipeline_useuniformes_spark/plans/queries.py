@@ -1,0 +1,551 @@
+"""Named query catalog — one entry per operator of SURVEY.md §2.
+
+Each query is a function ``(spark, sf_dir) -> DataFrame`` paired with an
+ANSI-SQL oracle (DuckDB dialect) over the same parquet tables. The driver
+compares row count + schema + order-insensitive value hash at sf0.01, so:
+
+- every computed column is aliased IDENTICALLY in Spark and SQL,
+- money aggregates go through DECIMAL(18,2) (exact, order-independent),
+- timestamps stay TIMESTAMP_NTZ (wall-clock identical to DuckDB's naive
+  read — see tables.py),
+- nondeterministic functions (uuid()) never appear in compared output;
+  the uuid-fill operator is verified via a deterministic generator.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.names import sanitize_columns
+from ..operators.joins import full_outer_with_suffixes
+from ..operators.kv import kv_to_columns
+from ..tables import (
+    chat_events_view,
+    chats_view,
+    load_table,
+    tickets_view,
+    with_ctes,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+#: name -> (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+# ---------------------------------------------------------------------------
+# Flagship — SURVEY §7 slice 1: the reference's daily maintenance query
+# (update_tickets.py:4-8): distinct unresolved ticket keys (A1 + F3).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "flagship_unresolved_distinct",
+    with_ctes(
+        """
+SELECT DISTINCT CAST(number AS VARCHAR) AS n_ticket
+FROM tickets
+WHERE number IS NOT NULL AND status_name <> 'Resolvido'
+""",
+        "tickets",
+    ),
+)
+def flagship_unresolved_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tickets_view(spark, sf_dir)
+    return (
+        t.filter(F.col("number").isNotNull() & (F.col("status_name") != "Resolvido"))
+        .select(F.col("number").cast("string").alias("n_ticket"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1/P5 — projection + rename of the curated ticket columns (main.py:46-62)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p1_project_rename",
+    with_ctes(
+        """
+SELECT id AS uuid,
+       CAST(number AS VARCHAR) AS n_ticket,
+       summary AS titulo,
+       status_name AS status_ticket,
+       last_status AS status_ticket2,
+       channel_name AS channel_ticket,
+       requester_name AS autor_ticket,
+       requester_email AS email_ticket,
+       group_id AS grupo_responsavel_ticket,
+       createdAt AS data_criacao
+FROM tickets
+""",
+        "tickets",
+    ),
+)
+def p1_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rename_map = {
+        "id": "uuid",
+        "number": "n_ticket",
+        "summary": "titulo",
+        "status_name": "status_ticket",
+        "last_status": "status_ticket2",
+        "channel_name": "channel_ticket",
+        "requester_name": "autor_ticket",
+        "requester_email": "email_ticket",
+        "group_id": "grupo_responsavel_ticket",
+        "createdAt": "data_criacao",
+    }
+    t = tickets_view(spark, sf_dir)
+    cols = [
+        (F.col(src).cast("string") if src == "number" else F.col(src)).alias(dst)
+        for src, dst in rename_map.items()
+    ]
+    return t.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# C11/C12/F6/J2 — kv-array → filtered map → static ticket_* columns
+# (ticket.py:69-96); the left join J2 (main.py:91) collapses to a plain
+# projection in Spark because the kv columns derive from the same row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c11_custom_fields_extract",
+    with_ctes(
+        """
+SELECT id AS uuid,
+       list_filter(customField, x -> x.key = 'n_do_pedido')[1].value AS ticket_n_do_pedido,
+       list_filter(customField, x -> x.key = 'produto')[1].value     AS ticket_produto,
+       list_filter(customField, x -> x.key = 'cpf')[1].value         AS ticket_cpf,
+       list_filter(customField, x -> x.key = 'campo_interno')[1].value IS NOT NULL AS had_internal
+FROM tickets
+""",
+        "tickets",
+    ),
+)
+def c11_custom_fields_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tickets_view(spark, sf_dir)
+    out = kv_to_columns(
+        t,
+        array_col="customField",
+        keys=("n_do_pedido", "produto", "cpf"),
+        prefix="ticket_",
+        allowlist=("n_do_pedido", "produto", "cpf", "codigo_de_rastreio"),
+    )
+    # the non-allowlisted key must have been dropped by the allowlist filter,
+    # but its presence is still observable on the raw array:
+    had_internal = F.exists(F.col("customField"), lambda x: x["key"] == "campo_interno")
+    return out.select(
+        F.col("id").alias("uuid"),
+        "ticket_n_do_pedido",
+        "ticket_produto",
+        "ticket_cpf",
+        had_internal.alias("had_internal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1/C2 — range predicate + truncate-to-second (ticket.py:109-115, main.py:38)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_range_filter_events",
+    """
+SELECT event_id,
+       date_trunc('second', ts) AS ts_s,
+       event_type,
+       CAST(user_id AS VARCHAR) AS chat_id
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts <= TIMESTAMP '2024-01-05 00:00:00'
+""",
+)
+def f1_range_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(
+        F.col("ts").between("2024-01-02 00:00:00", "2024-01-05 00:00:00")
+    ).select(
+        "event_id",
+        F.date_trunc("second", F.col("ts")).cast("timestamp_ntz").alias("ts_s"),
+        "event_type",
+        F.col("user_id").cast("string").alias("chat_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F5 — first matching event per entity (chat.py:165-172) as a window
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f5_first_match_per_chat",
+    """
+SELECT chat_id, ts, ticket_number
+FROM (
+  SELECT CAST(user_id AS VARCHAR) AS chat_id, ts,
+         CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS ticket_number,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+  WHERE event_type = 'purchase' AND props IS NOT NULL
+) WHERE rn = 1
+""",
+)
+def f5_first_match_per_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.filter((F.col("event_type") == "purchase") & F.col("props").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("string").alias("chat_id"),
+            "ts",
+            F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("bigint").alias("ticket_number"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 — full outer integrate of chats × tickets on string keys
+# (chat.py:119-132, main.py:96-103) with suffix disambiguation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_full_outer_integrate",
+    with_ctes(
+        """
+SELECT c.id AS chat_id,
+       CAST(c.number AS VARCHAR)  AS number_chat,
+       c.contact_email            AS contact_email,
+       CAST(t.number AS VARCHAR)  AS n_ticket,
+       t.status_name              AS status_ticket,
+       t.summary                  AS titulo,
+       (c.id IS NOT NULL AND t.id IS NOT NULL) AS matched
+FROM chats c
+FULL OUTER JOIN tickets t
+  ON CAST(c.evt_ticket_ticketNumber AS VARCHAR) = CAST(t.number AS VARCHAR)
+""",
+        "tickets",
+        "chats",
+    ),
+)
+def j1_full_outer_integrate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chats = chats_view(spark, sf_dir)
+    tickets = tickets_view(spark, sf_dir)
+    joined = full_outer_with_suffixes(
+        chats,
+        tickets,
+        left_key=F.col("evt_ticket_ticketNumber").cast("string"),
+        right_key=F.col("number").cast("string"),
+        suffixes=("_chat", "_ticket"),
+    )
+    return joined.select(
+        F.col("id_chat").alias("chat_id"),
+        F.col("number_chat").cast("string").alias("number_chat"),
+        F.col("contact_email"),
+        F.col("number_ticket").cast("string").alias("n_ticket"),
+        F.col("status_name").alias("status_ticket"),
+        F.col("summary").alias("titulo"),
+        (F.col("id_chat").isNotNull() & F.col("id_ticket").isNotNull()).alias("matched"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J3/F4/A3 — anti-join dedup vs destination + removed-count diagnostic
+# (manutencao.py:12-62)
+# ---------------------------------------------------------------------------
+
+_SINK_SEED_CTE = """sink_keys AS (
+  SELECT DISTINCT CAST(number AS VARCHAR) AS n_ticket
+  FROM tickets WHERE number % 3 = 0
+)"""
+
+
+@register(
+    "j3_anti_dedup",
+    with_ctes(
+        f"""
+SELECT t.id AS uuid, CAST(t.number AS VARCHAR) AS n_ticket, t.status_name AS status_ticket
+FROM (WITH {_SINK_SEED_CTE}
+      SELECT tk.* FROM tickets tk
+      WHERE NOT EXISTS (
+        SELECT 1 FROM sink_keys s WHERE s.n_ticket = CAST(tk.number AS VARCHAR)
+      )) t
+""",
+        "tickets",
+    ),
+)
+def j3_anti_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tickets_view(spark, sf_dir)
+    sink_keys = (
+        t.filter(F.col("number") % 3 == 0)
+        .select(F.col("number").cast("string").alias("n_ticket"))
+        .distinct()
+    )
+    batch = t.select(
+        F.col("id").alias("uuid"),
+        F.col("number").cast("string").alias("n_ticket"),
+        F.col("status_name").alias("status_ticket"),
+    )
+    # destination key-probes are small by construction (distinct keys of one
+    # batch) — broadcast so the anti-join is shuffle-free on the big side
+    return batch.join(F.broadcast(sink_keys), "n_ticket", "left_anti")
+
+
+@register(
+    "a3_dedup_removed_count",
+    with_ctes(
+        f"""
+SELECT count(*) AS total_rows,
+       count(*) FILTER (WHERE matched) AS removed_rows
+FROM (WITH {_SINK_SEED_CTE}
+      SELECT EXISTS (
+        SELECT 1 FROM sink_keys s WHERE s.n_ticket = CAST(tk.number AS VARCHAR)
+      ) AS matched
+      FROM tickets tk) t
+""",
+        "tickets",
+    ),
+)
+def a3_dedup_removed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tickets_view(spark, sf_dir)
+    sink_keys = (
+        t.filter(F.col("number") % 3 == 0)
+        .select(F.col("number").cast("string").alias("k"))
+        .distinct()
+    )
+    flagged = t.select(F.col("number").cast("string").alias("n_ticket")).join(
+        F.broadcast(sink_keys), F.col("n_ticket") == F.col("k"), "left"
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("total_rows"),
+        F.count("k").alias("removed_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1/P2 — unionByName with missing-column backfill (ticket.py:65, main.py:85-87)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "u1_union_by_name",
+    with_ctes(
+        """
+SELECT CAST(number AS VARCHAR) AS n_ticket, status_name AS status_ticket,
+       NULL AS contact_email, 'ticket' AS src
+FROM tickets WHERE status_name = 'Aberto'
+UNION ALL BY NAME
+SELECT CAST(number AS VARCHAR) AS n_ticket, NULL AS status_ticket,
+       contact_email, 'chat' AS src
+FROM chats
+""",
+        "tickets",
+        "chats",
+    ),
+)
+def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tickets_view(spark, sf_dir).filter(F.col("status_name") == "Aberto")
+    c = chats_view(spark, sf_dir)
+    left = t.select(
+        F.col("number").cast("string").alias("n_ticket"),
+        F.col("status_name").alias("status_ticket"),
+        F.lit("ticket").alias("src"),
+    )
+    right = c.select(
+        F.col("number").cast("string").alias("n_ticket"),
+        F.col("contact_email"),
+        F.lit("chat").alias("src"),
+    )
+    return left.unionByName(right, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# C13 — long→wide pivot of event types per chat (chat.py:279-287)
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "c13_pivot_event_types",
+    """
+SELECT CAST(user_id AS VARCHAR) AS chat_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS evt_click,
+       count(*) FILTER (WHERE event_type = 'error')    AS evt_error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS evt_purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS evt_signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS evt_view
+FROM events GROUP BY user_id
+""",
+)
+def c13_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # static pivot over the known domain: one shuffle, map-side partial aggs.
+    # (For unknown domains use operators.pivot.pivot_dynamic — two-pass.)
+    pivoted = (
+        e.groupBy(F.col("user_id"))
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    out = pivoted.select(
+        F.col("user_id").cast("string").alias("chat_id"),
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"evt_{t}") for t in _EVENT_TYPES],
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# C7/C10 — try-cast with coalesce fallback (chat.py:169-172)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c7_try_cast_fallback",
+    """
+SELECT event_id,
+       coalesce(TRY_CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT), -1) AS ticket_num,
+       TRY_CAST(event_type AS BIGINT) AS bogus_cast
+FROM events
+""",
+)
+def c7_try_cast_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k":\s*(\d+)', 1)
+    return e.select(
+        "event_id",
+        F.coalesce(k.try_cast("bigint"), F.lit(-1)).alias("ticket_num"),
+        F.col("event_type").try_cast("bigint").alias("bogus_cast"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3/P7/C8/C9 — sanitize names + deterministic null-key fill (main.py:106-108,
+# main.py:121). uuid() itself is nondeterministic, so the compared output uses
+# an injected deterministic generator (md5 of the row identity) — operators.
+# project.fill_null_keys defaults to uuid() in production.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p7_null_key_fill",
+    with_ctes(
+        """
+SELECT CASE WHEN uuid_raw IS NULL OR trim(uuid_raw) = ''
+            THEN md5('fill-' || id) ELSE uuid_raw END AS uuid,
+       id AS row_id,
+       (uuid_raw IS NULL OR trim(uuid_raw) = '') AS was_filled
+FROM (
+  SELECT id,
+         CASE WHEN number % 11 = 0 THEN NULL
+              WHEN number % 13 = 0 THEN '  '
+              ELSE CAST(number AS VARCHAR) END AS uuid_raw
+  FROM tickets
+)
+""",
+        "tickets",
+    ),
+)
+def p7_null_key_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.project import fill_null_keys
+
+    t = tickets_view(spark, sf_dir).select(
+        "id",
+        F.when(F.col("number") % 11 == 0, F.lit(None).cast("string"))
+        .when(F.col("number") % 13 == 0, F.lit("  "))
+        .otherwise(F.col("number").cast("string"))
+        .alias("uuid_raw"),
+    )
+    filled = fill_null_keys(
+        t.withColumnRenamed("uuid_raw", "uuid"),
+        key_col="uuid",
+        generator=F.md5(F.concat(F.lit("fill-"), F.col("id"))),
+    )
+    blank = F.col("uuid_was_null")
+    return filled.select(
+        "uuid",
+        F.col("id").alias("row_id"),
+        blank.alias("was_filled"),
+    )
+
+
+@register(
+    "p3_sanitize_columns",
+    with_ctes(
+        """
+SELECT CAST(number AS VARCHAR) AS n_ticket,
+       status_name AS "Status_do_Ticket__BR_",
+       group_id AS "_1__grupo"
+FROM tickets WHERE number IS NOT NULL
+""",
+        "tickets",
+    ),
+)
+def p3_sanitize_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tickets_view(spark, sf_dir).filter(F.col("number").isNotNull())
+    ugly = t.select(
+        F.col("number").cast("string").alias("n_ticket"),
+        F.col("status_name").alias("Status do Ticket (BR)"),
+        F.col("group_id").alias("1º grupo"),
+    )
+    return sanitize_columns(ugly)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation extension + bench headliner: TPC-H Q1-style pricing summary.
+# Money math in DECIMAL(18,2): exact and order-independent, so the hash
+# matches DuckDB regardless of partitioning.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))          AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))     AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(27,4)) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
+            # the product has scale 4; keep it — casting down to scale 2
+            # would round (HALF_UP in Spark, half-even in DuckDB) and break
+            # exactness on .xx5 sums
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("decimal(27,4)")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )

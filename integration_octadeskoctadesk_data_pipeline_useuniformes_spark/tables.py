@@ -1,0 +1,303 @@
+"""Table loaders + Octadesk-shaped derived views.
+
+The harness provides TPC-H-ish parquet (TESTDATA.md). The reference's
+entities (FIXTURES.md, SURVEY §1) are mapped onto them as *views* so every
+operator of the reference pipeline has realistic input:
+
+- ``tickets``     ≈ orders ⟕ customer  (reference ticket.py:98-149 entity)
+- ``chats``       ≈ events grouped per user ⟕ customer (chat.py:34-116)
+- ``chat_events`` ≈ events renamed (chat.py:157-175 sub-entity)
+
+Each view is defined TWICE and must stay in sync:
+  1. as a Spark DataFrame builder here, and
+  2. as a DuckDB CTE string (ORACLE_CTES) used by ``__spark_entry__.oracle_sql``.
+
+NOTE on timestamps: the fixture parquet stores TIMESTAMP(NANOS) for
+events.ts, which Spark's vectorized reader rejects. We read nanos as long
+(spark.sql.legacy.parquet.nanosAsLong) and convert to TIMESTAMP_NTZ with
+pure wall-clock arithmetic so values match DuckDB's naive read exactly,
+independent of session timezone. orders/lineitem store micros and load
+natively as TIMESTAMP_NTZ.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .session import configure
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: columns stored as TIMESTAMP(NANOS) in the fixture parquet
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table, normalizing nano-timestamps to TIMESTAMP_NTZ."""
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
+    for c in _NANOS_TS_COLS.get(name, ()):
+        if dtypes.get(c) == "bigint":
+            # wall-clock epoch arithmetic: timezone-independent, truncates
+            # nanos -> micros exactly like DuckDB's TIMESTAMP read.
+            df = df.withColumn(
+                c,
+                F.expr(
+                    f"timestampadd(MICROSECOND, {c} div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table plus the Octadesk-shaped views."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    derived = {
+        "tickets": tickets_view(spark, sf_dir),
+        "chats": chats_view(spark, sf_dir),
+        "chat_events": chat_events_view(spark, sf_dir),
+    }
+    for name, df in derived.items():
+        df.createOrReplaceTempView(name)
+    dfs.update(derived)
+    return dfs
+
+
+# ---------------------------------------------------------------------------
+# Octadesk-shaped views (Spark side)
+# ---------------------------------------------------------------------------
+
+#: canonical custom-field allowlist (reference ticket.py:71-76)
+CUSTOM_FIELD_ALLOWLIST = (
+    "codigo_de_rastreio",
+    "cpf",
+    "data_de_pagamento",
+    "email_do_cliente",
+    "motivo_de_contatos",
+    "n_da_nota_fiscal",
+    "n_do_pedido",
+    "n_do_pedido_bling",
+    "produto",
+    "tipo_do_problema",
+)
+
+
+def tickets_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ticket entity mapped onto orders ⟕ customer.
+
+    Mirrors the shape consumed by the reference's projection main.py:46-62
+    and kv-extraction ticket.py:69-96: business key ``number`` (nullable to
+    exercise the uuid-fill path P7), status domain including 'Resolvido'
+    (filter F3), and a key/value ``customField`` array that sometimes omits
+    allowlisted keys and always carries a non-allowlisted one (filter F6).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    kv = F.struct  # array<struct<key,value>> entries
+
+    full_cf = F.array(
+        kv(F.lit("n_do_pedido").alias("key"), F.col("o_orderkey").cast("string").alias("value")),
+        kv(F.lit("produto").alias("key"), F.col("c_mktsegment").alias("value")),
+        kv(
+            F.lit("cpf").alias("key"),
+            F.lpad(((F.col("o_custkey") * 37) % 100000000000).cast("string"), 11, "0").alias("value"),
+        ),
+        kv(F.lit("campo_interno").alias("key"), F.col("o_orderpriority").alias("value")),
+    )
+    short_cf = F.array(
+        kv(F.lit("n_do_pedido").alias("key"), F.col("o_orderkey").cast("string").alias("value")),
+        kv(F.lit("campo_interno").alias("key"), F.col("o_orderpriority").alias("value")),
+    )
+
+    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("id"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None).cast("bigint"))
+        .otherwise(F.col("o_orderkey"))
+        .alias("number"),
+        F.concat(F.lit("Pedido "), F.col("o_orderkey").cast("string")).alias("summary"),
+        F.array(
+            F.concat(F.lit("prio:"), F.split(F.col("o_orderpriority"), "-").getItem(0)),
+            F.concat(F.lit("seg:"), F.coalesce(F.col("c_mktsegment"), F.lit("NA"))),
+        ).alias("tags"),
+        F.col("o_orderdate").alias("createdAt"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("Resolvido"))
+        .when(F.col("o_orderstatus") == "O", F.lit("Aberto"))
+        .otherwise(F.lit("Pendente"))
+        .alias("status_name"),
+        F.col("o_orderpriority").alias("channel_name"),
+        F.col("c_name").alias("requester_name"),
+        F.concat(
+            F.regexp_replace(F.lower(F.col("c_name")), "[^a-z0-9]+", "."),
+            F.lit("@cliente.example"),
+        ).alias("requester_email"),
+        (F.col("o_custkey") % 10).cast("string").alias("group_id"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("Resolvido"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("last_status"),
+        F.when(F.col("o_orderkey") % 5 == 0, short_cf).otherwise(full_cf).alias("customField"),
+        F.col("o_totalprice").alias("totalprice"),
+    )
+
+
+def chats_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat entity mapped onto events grouped per user ⟕ customer.
+
+    ``evt_ticket_ticketNumber`` (the reference join key, chat.py:128-129)
+    is the first 'purchase' event's props.k per user — the first-match
+    semantics of chat.py:165-172 (F5) expressed as a row_number window.
+    """
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer")
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_purchase = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id"),
+            F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("bigint").alias("evt_ticket_ticketNumber"),
+        )
+    )
+    base = e.groupBy("user_id").agg(
+        F.min("ts").alias("createdAt"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("value").alias("max_value"),
+    )
+    return (
+        base.join(first_purchase, "user_id", "left")
+        .join(c, base.user_id == c.c_custkey, "left")
+        .select(
+            F.md5(F.concat(F.lit("chat-"), F.col("user_id").cast("string"))).alias("id"),
+            F.col("user_id").alias("number"),
+            F.col("createdAt"),
+            F.col("n_events"),
+            F.col("max_value"),
+            F.col("evt_ticket_ticketNumber"),
+            F.concat(F.lit("Agente "), (F.col("user_id") % 7).cast("string")).alias("agent_name"),
+            F.col("c_name").alias("contact_name"),
+            F.concat(
+                F.regexp_replace(F.lower(F.coalesce(F.col("c_name"), F.lit("anon"))), "[^a-z0-9]+", "."),
+                F.lit("@contato.example"),
+            ).alias("contact_email"),
+            F.col("evt_ticket_ticketNumber").cast("string").alias("contact_cf_n_mero_do_ticket"),
+        )
+    )
+
+
+def chat_events_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chat event stream (reference chat.py:157-175 / chat.py:274-287)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        F.col("user_id").cast("string").alias("chat_id"),
+        F.col("ts"),
+        F.col("event_type").alias("type"),
+        F.col("props").alias("data"),
+        F.col("event_id"),
+        F.col("value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB CTE mirrors (oracle side) — MUST stay in sync with the builders above
+# ---------------------------------------------------------------------------
+
+ORACLE_CTES: dict[str, str] = {
+    "tickets": """
+tickets AS (
+  SELECT
+    md5(CAST(o_orderkey AS VARCHAR))                          AS id,
+    CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderkey END AS number,
+    'Pedido ' || CAST(o_orderkey AS VARCHAR)                  AS summary,
+    ['prio:' || split_part(o_orderpriority, '-', 1),
+     'seg:'  || coalesce(c_mktsegment, 'NA')]                 AS tags,
+    o_orderdate                                               AS createdAt,
+    CASE o_orderstatus WHEN 'F' THEN 'Resolvido'
+                       WHEN 'O' THEN 'Aberto'
+                       ELSE 'Pendente' END                    AS status_name,
+    o_orderpriority                                           AS channel_name,
+    c_name                                                    AS requester_name,
+    regexp_replace(lower(c_name), '[^a-z0-9]+', '.', 'g')
+      || '@cliente.example'                                   AS requester_email,
+    CAST(o_custkey % 10 AS VARCHAR)                           AS group_id,
+    CASE WHEN o_orderstatus = 'F' THEN 'Resolvido' END        AS last_status,
+    CASE WHEN o_orderkey % 5 = 0 THEN
+      [{'key': 'n_do_pedido',  'value': CAST(o_orderkey AS VARCHAR)},
+       {'key': 'campo_interno','value': o_orderpriority}]
+    ELSE
+      [{'key': 'n_do_pedido',  'value': CAST(o_orderkey AS VARCHAR)},
+       {'key': 'produto',      'value': c_mktsegment},
+       {'key': 'cpf',          'value': lpad(CAST((o_custkey * 37) % 100000000000 AS VARCHAR), 11, '0')},
+       {'key': 'campo_interno','value': o_orderpriority}]
+    END                                                       AS customField,
+    o_totalprice                                              AS totalprice
+  FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+)""",
+    "chats": """
+first_purchase AS (
+  SELECT user_id,
+         CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS evt_ticket_ticketNumber
+  FROM (
+    SELECT user_id, props,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events WHERE event_type = 'purchase'
+  ) WHERE rn = 1
+),
+chat_base AS (
+  SELECT user_id, min(ts) AS createdAt, count(*) AS n_events, max(value) AS max_value
+  FROM events GROUP BY user_id
+),
+chats AS (
+  SELECT
+    md5('chat-' || CAST(b.user_id AS VARCHAR))       AS id,
+    b.user_id                                        AS number,
+    b.createdAt, b.n_events, b.max_value,
+    f.evt_ticket_ticketNumber,
+    'Agente ' || CAST(b.user_id % 7 AS VARCHAR)      AS agent_name,
+    c.c_name                                         AS contact_name,
+    regexp_replace(lower(coalesce(c.c_name, 'anon')), '[^a-z0-9]+', '.', 'g')
+      || '@contato.example'                          AS contact_email,
+    CAST(f.evt_ticket_ticketNumber AS VARCHAR)       AS contact_cf_n_mero_do_ticket
+  FROM chat_base b
+  LEFT JOIN first_purchase f ON b.user_id = f.user_id
+  LEFT JOIN customer c ON b.user_id = c.c_custkey
+)""",
+    "chat_events": """
+chat_events AS (
+  SELECT CAST(user_id AS VARCHAR) AS chat_id, ts, event_type AS type,
+         props AS data, event_id, value
+  FROM events
+)""",
+}
+
+#: CTE dependency order (chats depends on nothing else here, but keep a
+#: canonical expansion order so oracle SQL stays deterministic)
+_CTE_ORDER = ("tickets", "chats", "chat_events")
+
+
+def with_ctes(sql: str, *views: str) -> str:
+    """Prefix an oracle SELECT with the DuckDB CTEs for the named views."""
+    parts = [ORACLE_CTES[v] for v in _CTE_ORDER if v in views]
+    if not parts:
+        return sql
+    return "WITH " + ",".join(parts) + "\n" + sql
