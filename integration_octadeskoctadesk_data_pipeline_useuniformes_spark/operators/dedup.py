@@ -1,0 +1,256 @@
+"""Deduplication operators — exact and near-duplicate, 100 TB-shaped.
+
+The reference's only dedup is the anti-join vs destination keys
+(manutencao.py:12-62, operator J3 in joins.py). A training-data pipeline
+needs document-level dedup; this module adds:
+
+- exact dedup (hash-groupBy): one shuffle on a 32-hex key.
+- MinHash signatures + LSH banding: shingle → minhash → band → bucket
+  self-join. Candidate generation touches only bucket-colliding pairs,
+  never the full cross product — the standard way near-dup scales.
+- SimHash (64→60-bit here to stay in signed BIGINT): per-token hash bit
+  votes, Hamming-style similarity downstream.
+- n-gram Jaccard verification for candidate pairs.
+
+Hash choice: md5 (standardized, identical across Spark/DuckDB/anything),
+so every stage is oracle-verifiable. MinHash needs only a uniformly
+distributed *totally ordered* hash — the md5 hex string itself serves,
+no hex→int conversion anywhere.
+
+All array work uses higher-order functions (transform/filter/aggregate):
+JVM-side, codegen-able, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import words
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id representative per exact text hash.
+
+    groupBy on md5(text): map-side partial agg, single shuffle keyed by a
+    uniform 128-bit hash — no skew even when one document dominates.
+    """
+    h = F.md5(F.col(text_col))
+    return (
+        df.withColumn("content_hash", h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles as strings; docs shorter than k words → empty array."""
+    w = words(text)
+    n = F.size(w)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    shingle = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + j) for j in range(k)]
+    )
+    return F.when(n >= k, F.transform(idx, shingle)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3) -> Column:
+    """MinHash signature: per seed j, min over shingles of md5(j ':' shingle).
+
+    The md5 hex string is the hash value — min() is lexicographic, which is
+    a valid total order over a uniform hash. Empty shingle sets get the
+    sentinel 'z'*32 (sorts after every hex digest).
+    """
+    sh = word_shingles(text, k)
+
+    def seeded(j: int):
+        # closure factory — a 2-param lambda would become Spark's
+        # (value, index) transform variant and shadow j with the index
+        return lambda s: F.md5(F.concat(F.lit(f"{j}:"), s))
+
+    sig = [
+        F.coalesce(F.array_min(F.transform(sh, seeded(j))), F.lit("z" * 32))
+        for j in range(num_hashes)
+    ]
+    return F.array(*sig)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("minhash"),
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 3,
+    min_jaccard_est: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via LSH banding.
+
+    signature → (num_hashes/rows_per_band) band keys → explode →
+    self-join per (band, bucket) → distinct pairs → estimated Jaccard =
+    fraction of matching signature positions. Only bucket-colliding pairs
+    are ever joined; the shuffle key (band_id, bucket_hash) is uniform.
+
+    Returns (id_a, id_b, jaccard_est) with id_a < id_b.
+    """
+    assert num_hashes % rows_per_band == 0
+    n_bands = num_hashes // rows_per_band
+
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    bands = sigs.select(
+        F.col(id_col),
+        F.col("minhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at(F.col("minhash"), b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "minhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = bands.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a")
+    )
+    b = bands.select(
+        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b")
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    return (
+        pairs.withColumn("jaccard_est", est)
+        .filter(F.col("jaccard_est") >= min_jaccard_est)
+        .select("id_a", "id_b", "jaccard_est")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+_SIMHASH_BITS = 60  # 15 hex digits → fits a signed BIGINT without overflow
+
+
+def simhash_from_hashes(hashes: Column, bits: int = _SIMHASH_BITS) -> Column:
+    """SimHash from a pre-computed array of per-token hex-hash prefixes.
+
+    Bit p of the fingerprint is the sign of sum over tokens of
+    (2*bit_p(token) − 1); bit p of a token is bit (p mod 4) of hex digit
+    (p div 4). Pure higher-order expressions — no explode, no shuffle.
+    """
+
+    def digit_val(h: Column, d: int) -> Column:
+        # hex digit -> 0..15 (conv is Spark's hex→dec; oracle uses strpos)
+        return F.conv(F.substring(h, d + 1, 1), 16, 10).cast("int")
+
+    def bit_vote(p: int) -> Column:
+        d, k = divmod(p, 4)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + (F.shiftright(digit_val(h, d), k) % 2) * 2 - 1,
+        )
+
+    out = F.lit(0).cast("long")
+    for p in range(bits):
+        out = out + F.when(bit_vote(p) > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def token_hashes(text: Column, bits: int = _SIMHASH_BITS) -> Column:
+    """Per-token md5 prefixes feeding simhash (materialize this once — the
+    60 bit-votes each reference it, and CollapseProject would otherwise
+    inline the md5 computation 60×)."""
+    return F.transform(words(text), lambda t: F.substring(F.md5(t), 1, bits // 4))
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = _SIMHASH_BITS
+) -> DataFrame:
+    return (
+        df.withColumn("__th", token_hashes(F.col(text_col), bits))
+        .select(F.col(id_col), simhash_from_hashes(F.col("__th"), bits).alias("simhash"))
+    )
+
+
+def hamming_distance(a: Column, b: Column, bits: int = _SIMHASH_BITS) -> Column:
+    """Popcount of XOR — bit_count is native in Spark ≥3.3 and DuckDB."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (verification stage for candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the normalized text."""
+    norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
+    ln = F.length(norm)
+    idx = F.sequence(F.lit(1), ln - (n - 1))
+    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
+    return F.when(ln >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:
+    """Exact Jaccard over distinct char n-gram sets (integer-ratio double)."""
+    a = char_ngrams(text_a, n)
+    b = char_ngrams(text_b, n)
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)

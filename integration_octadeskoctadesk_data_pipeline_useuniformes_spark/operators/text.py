@@ -1,0 +1,120 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All pure JVM-side column expressions (no UDFs): tokenization, quality
+scoring, language-ID heuristic, fingerprinting. Designed for the
+``documents`` table but parameterized on the text column. Everything is
+deterministic so results are oracle-comparable.
+
+Scale note: each operator is a narrow map over the scan — no shuffle,
+fully pipelined inside whole-stage codegen, trivially parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny embedded stopword lists for the language-ID vote (public-knowledge
+#: function words; heuristic quality is bounded, determinism is the point)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "por", "con", "los"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "im"),
+}
+
+#: BPE-ish pre-tokenizer: word runs or single non-space symbols
+BPE_TOKEN_RE = r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]"
+
+PUNCT_RE = r"[.!?,;:]"
+
+
+def words(text: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    return F.when(F.length(F.trim(text)) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(words(text))
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Count of BPE-ish pre-tokens (word runs + individual symbols)."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+
+
+def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / word-shape statistics per document."""
+    t = F.col(text_col)
+    w = words(t)
+    n_tok = F.size(w)
+    return df.withColumns(
+        {
+            "n_chars_obs": F.length(t),
+            "n_tokens": n_tok,
+            "n_bpe_tokens": bpe_token_count(t),
+            "punct_count": F.size(F.regexp_extract_all(t, F.lit(PUNCT_RE), 0)),
+            "mean_word_len": (
+                F.length(F.regexp_replace(t, r"\s+", "")).cast("double")
+                / F.greatest(n_tok, F.lit(1)).cast("double")
+            ),
+        }
+    )
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = LANG_STOPWORDS["en"]) -> Column:
+    w = words(F.lower(text))
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
+    return hits.cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic quality in [0,1]: length band + stopword presence −
+    punctuation excess. Mirrors common pretraining-data filters
+    (length/punct/stopword ratios) as one deterministic expression.
+    """
+    n_tok = token_count(text).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    sw = stopword_ratio(text)
+    punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), 0)).cast("double") / F.greatest(
+        F.length(text), F.lit(1)
+    ).cast("double")
+    raw = F.lit(0.5) * len_score + F.lit(0.5) * F.least(sw * 5.0, F.lit(1.0)) - punct
+    return F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 6)
+
+
+def langid_scores(text: Column) -> dict[str, Column]:
+    """Stopword-vote score per language."""
+    w = words(F.lower(text))
+
+    def contains(arr):
+        # factory, not a default-arg lambda: a 2-param lambda would be
+        # treated by Spark as the (value, index) filter variant
+        return lambda x: F.array_contains(arr, x)
+
+    out = {}
+    for lang, sws in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(s) for s in sws])
+        out[lang] = F.size(F.filter(w, contains(arr)))
+    return out
+
+
+def langid(text: Column) -> Column:
+    """Argmax language with deterministic tie-break (en > es > fr > de order,
+    'und' when no stopword hits at all)."""
+    scores = langid_scores(text)
+    best = F.greatest(*scores.values())
+    result = F.lit("und")
+    # build reversed so earlier languages win ties
+    for lang in reversed(list(LANG_STOPWORDS)):
+        result = F.when(scores[lang] == best, F.lit(lang)).otherwise(result)
+    return F.when(best == 0, F.lit("und")).otherwise(result)
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of case/whitespace-normalized text."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))

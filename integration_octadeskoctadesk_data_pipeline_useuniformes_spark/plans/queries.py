@@ -549,3 +549,7 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# extension catalogs register themselves on import (same registry)
+from . import queries_ext  # noqa: E402,F401  (import side effect)

@@ -1,0 +1,396 @@
+"""Extension query catalog — LLM-training-data pipeline operators.
+
+Registered into the same registry as plans.queries: deduplication (exact,
+MinHash+LSH, SimHash, n-gram Jaccard, embedding cosine), similarity
+search (brute-force + LSH-bucketed ANN), text analysis (tokens, quality,
+language-ID, fingerprints) and the multimodal binary-column pattern.
+
+Oracle strategy: every hash is md5 (identical hex in Spark and DuckDB);
+MinHash minimizes md5 *strings* (a valid total order over a uniform
+hash), so no hex→int conversion exists anywhere. Bit-level SQL (SimHash,
+LSH planes) is generated programmatically below to keep both sides in
+lockstep.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import multimodal as M
+from ..operators import similarity as S
+from ..operators import text as T
+from ..tables import load_table
+from .queries import register
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+
+@register(
+    "x_text_stats",
+    f"""
+SELECT doc_id,
+       length(text) AS n_chars_obs,
+       len({_WORDS_SQL}) AS n_tokens,
+       len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}')) AS n_bpe_tokens,
+       len(regexp_extract_all(text, '[.!?,;:]')) AS punct_count,
+       CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         / CAST(greatest(len({_WORDS_SQL}), 1) AS DOUBLE) AS mean_word_len
+FROM documents
+""",
+)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = T.char_stats(docs, "text")
+    return out.select(
+        "doc_id",
+        F.col("n_chars_obs").cast("long").alias("n_chars_obs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        F.col("punct_count").cast("long").alias("punct_count"),
+        "mean_word_len",
+    )
+
+
+_SW_EN = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS["en"])
+
+
+@register(
+    "x_text_quality",
+    f"""
+SELECT doc_id,
+       round(
+         greatest(least(
+           0.5 * least(CAST(n_tok AS DOUBLE) / 50.0, 1.0)
+           + 0.5 * least((CAST(sw_hits AS DOUBLE) / CAST(greatest(n_tok, 1) AS DOUBLE)) * 5.0, 1.0)
+           - CAST(punct AS DOUBLE) / CAST(greatest(n_chars_t, 1) AS DOUBLE)
+         , 1.0), 0.0)
+       , 6) AS quality
+FROM (
+  SELECT doc_id,
+         len({_WORDS_SQL}) AS n_tok,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> list_contains([{_SW_EN}], x))) AS sw_hits,
+         len(regexp_extract_all(text, '[.!?,;:]')) AS punct,
+         length(text) AS n_chars_t
+  FROM documents
+)
+""",
+)
+def x_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+def _langid_oracle() -> str:
+    hits = ",\n         ".join(
+        f"len(list_filter(w, x -> list_contains([{', '.join(repr(s) for s in sws)}], x))) AS s_{lang}"
+        for lang, sws in T.LANG_STOPWORDS.items()
+    )
+    langs = list(T.LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = " ".join(f"WHEN s_{lg} = {best} THEN '{lg}'" for lg in langs)
+    return f"""
+SELECT doc_id, lang AS lang_labeled,
+       CASE WHEN {best} = 0 THEN 'und' {case} ELSE 'und' END AS lang_detected
+FROM (
+  SELECT doc_id, lang,
+         {hits}
+  FROM (SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents)
+)
+"""
+
+
+@register("x_text_langid", _langid_oracle())
+def x_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_labeled"),
+        T.langid(F.col("text")).alias("lang_detected"),
+    )
+
+
+@register(
+    "x_text_fingerprint",
+    """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS n_docs,
+       min(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+""",
+)
+def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_exact",
+    """
+SELECT md5(text) AS content_hash, min(doc_id) AS doc_id, count(*) AS n_copies
+FROM documents GROUP BY 1
+""",
+)
+def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.exact_dedup(docs).select("content_hash", "doc_id", "n_copies")
+
+
+_SHINGLES_SQL = f"""list_transform(
+  generate_series(1, greatest(len({_WORDS_SQL}) - 2, 0)),
+  i -> {_WORDS_SQL}[i] || ' ' || {_WORDS_SQL}[i+1] || ' ' || {_WORDS_SQL}[i+2])"""
+
+_SIG_SQL = ", ".join(
+    f"coalesce(list_min(list_transform(sh, s -> md5('{j}:' || s))), repeat('z', 32))"
+    for j in range(8)
+)
+
+_SIGS_CTE = f"""sigs AS (
+  SELECT doc_id, [{_SIG_SQL}] AS sig
+  FROM (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM documents)
+)"""
+
+
+@register(
+    "x_dedup_minhash_signatures",
+    f"WITH {_SIGS_CTE}\nSELECT doc_id, sig AS minhash FROM sigs",
+)
+def x_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(docs).select("doc_id", "minhash")
+
+
+@register(
+    "x_dedup_minhash_lsh_pairs",
+    f"""
+WITH {_SIGS_CTE},
+bands AS (
+  SELECT doc_id, sig, b.band,
+         md5(sig[2*b.band + 1] || '|' || sig[2*b.band + 2]) AS bucket
+  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       CAST(len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 8.0
+         AS jaccard_est
+FROM cand
+JOIN sigs sa ON sa.doc_id = id_a
+JOIN sigs sb ON sb.doc_id = id_b
+WHERE CAST(len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 8.0 >= 0.5
+""",
+)
+def x_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.lsh_candidate_pairs(docs, min_jaccard_est=0.5)
+
+
+def _simhash_oracle() -> str:
+    def digit(d: int) -> str:
+        return f"(strpos('0123456789abcdef', h[{d + 1}]) - 1)"
+
+    def vote(p: int) -> str:
+        d, k = divmod(p, 4)
+        return (
+            f"list_sum(list_transform(th, h -> (({digit(d)} >> {k}) & 1) * 2 - 1))"
+        )
+
+    terms = " + ".join(
+        f"(CASE WHEN {vote(p)} > 0 THEN (CAST(1 AS BIGINT) << {p}) ELSE 0 END)"
+        for p in range(60)
+    )
+    return f"""
+WITH th AS (
+  SELECT doc_id,
+         list_transform({_WORDS_SQL}, t -> substr(md5(t), 1, 15)) AS th
+  FROM documents
+)
+SELECT doc_id, {terms} AS simhash FROM th
+"""
+
+
+@register("x_dedup_simhash", _simhash_oracle())
+def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash_fingerprints(docs)
+
+
+_NGRAMS_SQL = """list_distinct(list_transform(
+  generate_series(1, greatest(length(norm) - 2, 0)), i -> substr(norm, i, 3)))"""
+
+
+@register(
+    "x_dedup_ngram_jaccard",
+    f"""
+WITH g AS (
+  SELECT doc_id, source, {_NGRAMS_SQL} AS grams
+  FROM (SELECT doc_id, source,
+               lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS norm
+        FROM documents)
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE), 6) AS jaccard
+FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+      / CAST(len(list_distinct(list_concat(a.grams, b.grams))) AS DOUBLE) >= 0.6
+""",
+)
+def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", "source", D.char_ngrams(F.col("text"), 3).alias("grams")
+    )
+    a = g.select(
+        F.col("doc_id").alias("id_a"), F.col("source"), F.col("grams").alias("ga")
+    )
+    b = g.select(
+        F.col("doc_id").alias("id_b"), F.col("source"), F.col("grams").alias("gb")
+    )
+    inter = F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("double")
+    union = F.size(F.array_union(F.col("ga"), F.col("gb"))).cast("double")
+    jac = inter / union
+    return (
+        a.join(b, "source")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.round(jac, 6))
+        .filter(jac >= 0.6)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# embedding-cosine near-dup: block on label, keep pairs above threshold
+_COS_SQL = """(
+  list_sum(list_transform(generate_series(1, 64),
+    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform(generate_series(1, 64),
+       i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform(generate_series(1, 64),
+       i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+)"""
+
+
+@register(
+    "x_dedup_embedding_cosine",
+    f"""
+WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       round({_COS_SQL}, 6) AS cos_sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE {_COS_SQL} >= 0.35
+""",
+)
+def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb")
+    )
+    cos = S.cosine(F.col("ea"), F.col("eb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cos, 6))
+        .filter(cos >= 0.35)
+        .select("id_a", "id_b", "label", "cos_sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_ann_cosine_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round({_COS_SQL}, 6) AS cos_sim
+  FROM e a JOIN e b ON b.vec_id < 5 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
+def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+def _lsh_bucket_sql(planes: int = 8, dim: int = 64) -> str:
+    terms = []
+    for p in range(planes):
+        ws = ", ".join(str(S._plane_weight(p, d)) for d in range(dim))
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{ws}])[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+@register(
+    "x_ann_lsh_buckets",
+    f"""
+SELECT vec_id, {_lsh_bucket_sql()} AS bucket
+FROM embeddings
+""",
+)
+def x_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", S.lsh_bucket(F.col("embedding"), dim=64, num_planes=8).alias("bucket")
+    )
+
+
+@register("x_ann_lsh_topk", None)  # rows-only: composition of bucket+topk
+def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10)
+
+
+# ---------------------------------------------------------------------------
+# multimodal binary-column pattern
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_multimodal_features",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_hash,
+       'text/plain' AS format
+FROM documents
+""",
+)
+def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_payload(docs))
