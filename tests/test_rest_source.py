@@ -1,0 +1,120 @@
+"""REST-shaped Python DataSource: pagination, retry, bisection-skip,
+envelope tolerance, window partitioning (SURVEY S1-S5, T4)."""
+
+from __future__ import annotations
+
+import json
+from datetime import datetime, timedelta
+
+import pytest
+
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sources.rest_source import (
+    FileBackedEndpoint,
+    RestDataSource,
+    fetch_window,
+    unwrap_envelope,
+)
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sources.windows import (
+    bisect_window,
+    split_windows,
+)
+
+
+def _write_day(root, day: str, n: int):
+    with open(root / f"{day}.jsonl", "w") as fh:
+        for i in range(n):
+            rec = {
+                "id": f"{day}-{i}",
+                "number": i,
+                "createdAt": f"{day}T{i % 24:02d}:00:00",
+                "status": "Aberto" if i % 3 else "Resolvido",
+                "payload": json.dumps({"k": i}),
+            }
+            fh.write(json.dumps(rec) + "\n")
+
+
+@pytest.fixture()
+def api_root(tmp_path):
+    for d in ("2024-01-01", "2024-01-02", "2024-01-03"):
+        _write_day(tmp_path, d, 250)  # > 2 pages at limit=100
+    return tmp_path
+
+
+def test_split_windows_properties():
+    s = datetime(2024, 1, 1)
+    e = datetime(2024, 1, 31, 12)
+    wins = split_windows(s, e, timedelta(days=7))
+    assert wins[0][0] == s and wins[-1][1] == e
+    for (a1, b1), (a2, b2) in zip(wins, wins[1:]):
+        assert b1 == a2  # contiguous, non-overlapping
+    assert all(b - a <= timedelta(days=7) for a, b in wins)
+
+
+def test_bisect_floor():
+    s = datetime(2024, 1, 1)
+    assert bisect_window(s, s + timedelta(minutes=30)) is None
+    halves = bisect_window(s, s + timedelta(hours=4))
+    assert halves is not None
+    (s1, e1), (s2, e2) = halves
+    assert s1 == s and e2 == s + timedelta(hours=4) and e1 == s2
+
+
+def test_envelope_tolerance():
+    assert unwrap_envelope({"results": [{"a": 1}]}) == [{"a": 1}]
+    assert unwrap_envelope([{"a": 1}]) == [{"a": 1}]
+    assert unwrap_envelope("garbage") == []
+
+
+def test_pagination_and_filter(api_root):
+    ep = FileBackedEndpoint(str(api_root))
+    recs = fetch_window(
+        ep, datetime(2024, 1, 1), datetime(2024, 1, 2), limit=100, _sleep=lambda s: None
+    )
+    assert len(recs) == 250  # 3 pages: 100+100+50
+    assert all(r["createdAt"].startswith("2024-01-01") for r in recs)
+
+
+def test_retry_then_success(api_root):
+    (api_root / "failures.json").write_text(json.dumps({"2024-01-02": 2}))
+    ep = FileBackedEndpoint(str(api_root))
+    recs = fetch_window(
+        ep, datetime(2024, 1, 2), datetime(2024, 1, 3), limit=100, _sleep=lambda s: None
+    )
+    assert len(recs) == 250  # 2 failures < max_retries=3 → recovered in-place
+
+
+def test_persistent_failure_bisects_and_skips(api_root):
+    # 99 failures exhausts retries at every bisection level -> whole day
+    # skipped, pipeline continues (T4)
+    (api_root / "failures.json").write_text(json.dumps({"2024-01-02": 99}))
+    ep = FileBackedEndpoint(str(api_root))
+    recs = fetch_window(
+        ep, datetime(2024, 1, 1), datetime(2024, 1, 3), limit=100, _sleep=lambda s: None
+    )
+    days = {r["createdAt"][:10] for r in recs}
+    assert days == {"2024-01-01"}
+    assert len(recs) == 250
+
+
+def test_datasource_via_spark(spark, api_root):
+    spark.dataSource.register(RestDataSource)
+    df = (
+        spark.read.format("octadesk_rest")
+        .option("path", str(api_root))
+        .option("start", "2024-01-01T00:00:00")
+        .option("end", "2024-01-04T00:00:00")
+        .option("windowdays", 1)  # 3 partitions -> parallel windows
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert df.count() == 750
+    assert df.filter("status = 'Resolvido'").count() > 0
+    # range pushdown: a narrower read returns only that window
+    df2 = (
+        spark.read.format("octadesk_rest")
+        .option("path", str(api_root))
+        .option("start", "2024-01-02T00:00:00")
+        .option("end", "2024-01-03T00:00:00")
+        .load()
+    )
+    assert df2.count() == 250

@@ -1,0 +1,106 @@
+"""Structured Streaming incremental semantics (SURVEY T1-T5)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import read_sink
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.append_sink import (
+    create_if_not_exists,
+)
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.incremental import (
+    incremental_ingest,
+    windowed_event_counts,
+)
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.pipeline import (
+    SINK_SEED_SCHEMA,
+)
+
+SCHEMA = "n_ticket string, status_ticket string, createdAt string"
+
+
+def _write_batch(landing, name: str, rows):
+    with open(landing / name, "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def test_incremental_ingest_dedups_across_batches(spark, tmp_path):
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    create_if_not_exists(spark, sink, SINK_SEED_SCHEMA)
+
+    _write_batch(
+        landing,
+        "b1.jsonl",
+        [
+            {"n_ticket": "1", "status_ticket": "Aberto", "createdAt": "2024-01-01T10:00:00"},
+            {"n_ticket": "2", "status_ticket": "Aberto", "createdAt": "2024-01-01T11:00:00"},
+            {"n_ticket": "2", "status_ticket": "Aberto", "createdAt": "2024-01-01T11:00:00"},
+        ],
+    )
+    q = incremental_ingest(spark, str(landing), sink, ckpt, SCHEMA)
+    q.awaitTermination(120)
+    out1 = read_sink(spark, sink).filter(F.col("n_ticket").isNotNull())
+    assert out1.count() == 2  # in-batch duplicate dropped (T2)
+
+    # second micro-batch: one replay (dup vs sink) + one genuinely new
+    _write_batch(
+        landing,
+        "b2.jsonl",
+        [
+            {"n_ticket": "2", "status_ticket": "Aberto", "createdAt": "2024-01-01T11:00:00"},
+            {"n_ticket": "3", "status_ticket": "Resolvido", "createdAt": "2024-01-02T09:00:00"},
+        ],
+    )
+    q2 = incremental_ingest(spark, str(landing), sink, ckpt, SCHEMA)
+    q2.awaitTermination(120)
+    out2 = read_sink(spark, sink).filter(F.col("n_ticket").isNotNull())
+    assert sorted(r["n_ticket"] for r in out2.collect()) == ["1", "2", "3"]
+
+
+def test_windowed_counts_streaming(spark, tmp_path):
+    """Tumbling-window agg with watermark over a streaming source, run to
+    completion with availableNow into a memory sink.
+
+    complete mode: append-mode windowed aggs only emit once the watermark
+    passes the window end, which never happens inside a single
+    availableNow run with a 5-day watermark — complete shows the full
+    state, which is what this correctness check wants."""
+    landing = tmp_path / "ev"
+    landing.mkdir()
+    rows = [
+        {"ts": "2024-01-01T10:05:00", "event_type": "click"},
+        {"ts": "2024-01-01T10:55:00", "event_type": "click"},
+        {"ts": "2024-01-01T11:05:00", "event_type": "view"},
+    ]
+    _write_batch(landing, "e.jsonl", rows)
+
+    stream = (
+        spark.readStream.schema("ts string, event_type string")
+        .json(str(landing))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    agg = windowed_event_counts(stream, event_time="ts", window="1 hour")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # hour() evaluates in the session tz (America/Sao_Paulo, whole-hour
+    # offset) — collect()'s driver-local datetime conversion would not
+    got = {
+        (r["h"], r["event_type"]): r["n_events"]
+        for r in spark.sql(
+            "select hour(window_start) as h, event_type, n_events from win_counts"
+        ).collect()
+    }
+    assert got == {(10, "click"): 2, (11, "view"): 1}

@@ -1,0 +1,54 @@
+"""Property-style unit tests for pure helpers (SURVEY §5.6)."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.functions.names import (
+    dedupe_column_names,
+    sanitize_column_name,
+)
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sources.windows import (
+    split_windows,
+)
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=200, deadline=None)
+def test_sanitizer_idempotent_and_legal(name):
+    out = sanitize_column_name(name)
+    assert sanitize_column_name(out) == out  # idempotent
+    assert len(out) <= 300
+    assert all(c.isalnum() or c == "_" for c in out)
+    assert not (out and out[0].isdigit())
+
+
+def test_sanitizer_reference_cases():
+    # reference chat.py:21-26 semantics
+    assert sanitize_column_name("status.name") == "status_name"
+    assert sanitize_column_name("1abc") == "_1abc"
+    assert sanitize_column_name("nº do ticket") == "n__do_ticket"
+    assert sanitize_column_name("a" * 400) == "a" * 300
+
+
+def test_dedupe_keeps_first():
+    assert dedupe_column_names(["a", "b", "a", "c", "b"]) == [True, True, False, True, False]
+
+
+@given(
+    st.datetimes(min_value=datetime(2000, 1, 1), max_value=datetime(2030, 1, 1)),
+    st.timedeltas(min_value=timedelta(minutes=1), max_value=timedelta(days=400)),
+    st.timedeltas(min_value=timedelta(minutes=1), max_value=timedelta(days=30)),
+)
+@settings(max_examples=100, deadline=None)
+def test_split_windows_cover_exactly(start, span, delta):
+    end = start + span
+    wins = split_windows(start, end, delta)
+    assert wins[0][0] == start and wins[-1][1] == end
+    for (a1, b1), (a2, _) in zip(wins, wins[1:]):
+        assert b1 == a2
+    assert all(a < b for a, b in wins)
+    assert all((b - a) <= delta for a, b in wins)
