@@ -357,3 +357,199 @@ def pipeline_update_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the unresolved key set is one batch's distinct keys — broadcast it
     return fresh.join(F.broadcast(unresolved), "n_ticket")
+
+
+# ---------------------------------------------------------------------------
+# J2 — left outer equi-join (main.py:91): tickets enriched from a second
+# frame. At sf the per-ticket aggregate is broadcastable; at 100 TB it has
+# ticket cardinality, so the strategy is left to AQE rather than hinted.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j2_left_join_enrich",
+    with_ctes(
+        """
+WITH per_ticket AS (
+  SELECT evt_ticket_ticketNumber AS tn, count(*) AS n_chats
+  FROM chats WHERE evt_ticket_ticketNumber IS NOT NULL GROUP BY 1
+)
+SELECT CAST(t.number AS VARCHAR) AS n_ticket,
+       t.summary AS titulo,
+       coalesce(p.n_chats, 0) AS n_chats
+FROM tickets t LEFT JOIN per_ticket p ON t.number = p.tn
+WHERE t.number IS NOT NULL
+""".replace("WITH per_ticket", ", per_ticket", 1).replace("WITH ", "WITH ", 1),
+        "tickets",
+        "chats",
+    ),
+)
+def j2_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tickets_view(spark, sf_dir)
+    per_ticket = (
+        chats_view(spark, sf_dir)
+        .filter(F.col("evt_ticket_ticketNumber").isNotNull())
+        .groupBy(F.col("evt_ticket_ticketNumber").alias("tn"))
+        .agg(F.count(F.lit(1)).alias("n_chats"))
+    )
+    return (
+        t.filter(F.col("number").isNotNull())
+        .join(per_ticket, t["number"] == per_ticket["tn"], "left")
+        .select(
+            F.col("number").cast("string").alias("n_ticket"),
+            F.col("summary").alias("titulo"),
+            F.coalesce(F.col("n_chats"), F.lit(0)).alias("n_chats"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — the reference's positional concat(axis=1) of uuid with per-row
+# extracted custom fields (ticket.py:91-94). Positional semantics are a
+# pandas artifact: both frames derive from the SAME row, so Spark computes
+# the extraction in-row and no join exists at all (SURVEY §2.4 J4).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j4_zip_custom_fields",
+    with_ctes(
+        """
+SELECT id AS uuid,
+       list_filter(customField, x -> x.key = 'cpf')[1].value AS ticket_cpf,
+       list_filter(customField, x -> x.key = 'produto')[1].value AS ticket_produto
+FROM tickets
+""",
+        "tickets",
+    ),
+)
+def j4_zip_custom_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = kv_to_columns(
+        tickets_view(spark, sf_dir),
+        array_col="customField",
+        keys=("cpf", "produto"),
+        prefix="ticket_",
+    )
+    return t.select(F.col("id").alias("uuid"), "ticket_cpf", "ticket_produto")
+
+
+# ---------------------------------------------------------------------------
+# F2 — pushed equality predicate (chat.py:139-143)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f2_equality_filter",
+    "SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'",
+)
+def f2_equality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# F4 — membership (IN) filter (manutencao.py:39-43 probe side)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f4_membership_filter",
+    """
+SELECT event_type, count(*) AS n
+FROM events WHERE event_type IN ('click', 'view', 'signup')
+GROUP BY event_type
+""",
+)
+def f4_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("event_type").isin("click", "view", "signup"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# C10 — coalesce chains (chat.py:109, chat.py:260)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c10_coalesce_chain",
+    with_ctes(
+        """
+SELECT id AS uuid,
+       coalesce(last_status, status_name) AS effective_status,
+       coalesce(requester_name, 'desconhecido') AS autor
+FROM tickets
+""",
+        "tickets",
+    ),
+)
+def c10_coalesce_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = tickets_view(spark, sf_dir)
+    return t.select(
+        F.col("id").alias("uuid"),
+        F.coalesce(F.col("last_status"), F.col("status_name")).alias("effective_status"),
+        F.coalesce(F.col("requester_name"), F.lit("desconhecido")).alias("autor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — missing-column backfill (main.py:85-87): expected columns absent
+# from a batch appear as typed NULLs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p2_missing_column_backfill",
+    with_ctes(
+        """
+SELECT id AS uuid, status_name AS status_ticket,
+       CAST(NULL AS VARCHAR) AS sla_tier
+FROM tickets
+""",
+        "tickets",
+    ),
+)
+def p2_missing_column_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.project import ensure_columns
+
+    t = tickets_view(spark, sf_dir).select(
+        F.col("id").alias("uuid"), F.col("status_name").alias("status_ticket")
+    )
+    return ensure_columns(t, {"sla_tier": "string"})
+
+
+# ---------------------------------------------------------------------------
+# §2.6 window analogue — "latest status wins" (S13 update loop): latest
+# event per chat via row_number, the per-group first-match dual of F5
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_latest_event_per_chat",
+    with_ctes(
+        """
+SELECT chat_id, type AS latest_type, ts AS latest_ts
+FROM (
+  SELECT chat_id, type, ts,
+         row_number() OVER (PARTITION BY chat_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM chat_events
+) WHERE rn = 1
+""",
+        "chat_events",
+    ),
+)
+def w1_latest_event_per_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..tables import chat_events_view
+
+    w = Window.partitionBy("chat_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        chat_events_view(spark, sf_dir)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("chat_id", F.col("type").alias("latest_type"), F.col("ts").alias("latest_ts"))
+    )
