@@ -47,11 +47,14 @@ def full_outer_with_suffixes(
         *[F.col(c).alias(c + rsuf if c in overlap else c) for c in right.columns],
         rkey.alias("__rkey"),
     )
-    joined = left2.join(
-        right2, left2["__lkey"].eqNullSafe(right2["__rkey"]) == F.lit(True), "full_outer"
-    )
-    # pandas merge does NOT match null keys; eqNullSafe==True excludes them
-    # while keeping the unmatched rows on both sides, matching pandas exactly.
+    joined = left2.join(right2, left2["__lkey"] == right2["__rkey"], "full_outer")
+    # Plain (null-rejecting) equality, NOT eqNullSafe. The reference's
+    # astype(str) turns NaN keys into the literal "nan" before its merge
+    # (main.py:96-98), so pandas accidentally matches all null-keyed rows
+    # with each other — an artifact, and at scale a single giant skew key
+    # that cross-joins every keyless row on both sides. We implement the
+    # evident intent (SURVEY §0.1): null keys match nothing, unmatched
+    # rows on both sides are still retained by the full outer.
     return joined.drop("__lkey", "__rkey")
 
 

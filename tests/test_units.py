@@ -52,3 +52,25 @@ def test_split_windows_cover_exactly(start, span, delta):
         assert b1 == a2
     assert all(a < b for a, b in wins)
     assert all((b - a) <= delta for a, b in wins)
+
+
+def test_full_outer_null_keys_never_match(spark):
+    """Null join keys match nothing but unmatched rows survive the full
+    outer (SQL semantics; deliberate deviation from the reference's
+    astype(str) 'nan'=='nan' artifact — operators/joins.py)."""
+    from pyspark.sql import functions as F
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.joins import (
+        full_outer_with_suffixes,
+    )
+
+    l = spark.createDataFrame([("a", None), ("b", "1")], "name string, k string")
+    r = spark.createDataFrame(
+        [("x", None), ("y", "1"), ("z", "2")], "name string, k string"
+    )
+    out = full_outer_with_suffixes(
+        l, r, left_key=F.col("k"), right_key=F.col("k"), suffixes=("_l", "_r")
+    )
+    assert out.count() == 4  # b-y matched; a, x, z retained unmatched
+    matched = out.filter(F.col("name_l").isNotNull() & F.col("name_r").isNotNull())
+    assert [(r["name_l"], r["name_r"]) for r in matched.collect()] == [("b", "y")]
