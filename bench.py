@@ -27,6 +27,9 @@ HEADLINE = [
     "j1_full_outer_integrate",
     "j3_anti_dedup",
     "agg_pricing_summary",
+    "x_dedup_minhash_lsh_pairs",
+    "x_ann_cosine_topk",
+    "x_text_quality",
 ]
 
 

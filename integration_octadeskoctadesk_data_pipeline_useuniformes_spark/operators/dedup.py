@@ -99,9 +99,33 @@ def minhash_signatures(
     num_hashes: int = 8,
     k: int = 3,
 ) -> DataFrame:
-    return df.select(
+    """Signature via explode + groupBy-min, not nested array expressions.
+
+    The naive form (num_hashes × array_min(transform(shingles, md5)))
+    re-evaluates the shingle construction — and the regex word split
+    under it — once per seed per element: Spark's common-subexpression
+    elimination does not reach inside higher-order-function lambdas.
+    Exploding evaluates the shingle array exactly once per row; the
+    groupBy computes all seeds' mins in one pass with map-side partial
+    aggregation, so the shuffle carries one (id × num_hashes) partial
+    row per partition, not the shingles.
+    """
+    ex = df.select(
+        F.col(id_col), F.explode_outer(word_shingles(F.col(text_col), k)).alias("__s")
+    )
+    agg = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("__s")))).alias(f"__h{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    # empty docs: explode_outer keeps the row with a null shingle; md5(null)
+    # is null, min(null)=null → sentinel, same as the expression form
+    return agg.select(
         F.col(id_col),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("minhash"),
+        F.array(
+            *[F.coalesce(F.col(f"__h{j}"), F.lit("z" * 32)) for j in range(num_hashes)]
+        ).alias("minhash"),
     )
 
 
@@ -126,10 +150,14 @@ def lsh_candidate_pairs(
     assert num_hashes % rows_per_band == 0
     n_bands = num_hashes // rows_per_band
 
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k)
+    # the signature frame feeds three subtrees (banding + both sides of
+    # the pair join-back); persist so MinHash runs once, not three times.
+    # MEMORY_AND_DISK: at 100 TB the signatures are ~num_hashes × 32 B
+    # per doc — orders of magnitude smaller than the corpus — and spill
+    # safely if even that exceeds executor memory.
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k).persist()
     bands = sigs.select(
         F.col(id_col),
-        F.col("minhash"),
         F.explode(
             F.array(
                 *[
@@ -149,19 +177,23 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select(id_col, "minhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = bands.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a")
-    )
-    b = bands.select(
-        F.col("band"), F.col("bucket"), F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b")
-    )
-    pairs = (
+    # candidate id-pairs first (distinct over SMALL rows), signatures
+    # joined back after — never shuffle the signature arrays through the
+    # bucket join or the distinct
+    a = bands.select("band", "bucket", F.col(id_col).alias("id_a"))
+    b = bands.select("band", "bucket", F.col(id_col).alias("id_b"))
+    cand = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    pairs = cand.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("minhash").alias("sig_a")), "id_a"
+    ).join(
+        sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b")), "id_b"
     )
     matches = F.size(
         F.filter(

@@ -47,33 +47,12 @@ def merge_upsert(
     the sink (additive schema evolution). WHEN NOT MATCHED: update rows
     are inserted only when ``insert_unmatched``.
     """
+    from .partitioned_sink import _apply_updates
+
     sink = read_sink(spark, sink_path)
     updates = updates.dropDuplicates([key])
     n_updates = updates.count()
-
-    set_cols = [c for c in updates.columns if c != key]
-    u = updates.select(
-        key,
-        F.lit(True).alias("__matched"),
-        *[F.col(c).alias(f"__u_{c}") for c in set_cols],
-    )
-    joined = sink.join(F.broadcast(u), key, "left")
-
-    out_cols = [F.col(key)]
-    for c in sink.columns:
-        if c == key:
-            continue
-        if c in set_cols:
-            out_cols.append(
-                F.when(F.col("__matched"), F.col(f"__u_{c}")).otherwise(F.col(c)).alias(c)
-            )
-        else:
-            out_cols.append(F.col(c))
-    # update-only columns: born NULL on unmatched rows (schema evolution)
-    for c in set_cols:
-        if c not in sink.columns:
-            out_cols.append(F.when(F.col("__matched"), F.col(f"__u_{c}")).alias(c))
-    merged = joined.select(*out_cols)
+    merged = _apply_updates(sink, updates, key)
 
     if insert_unmatched:
         sink_keys = sink.select(key).distinct()

@@ -74,3 +74,63 @@ def test_full_outer_null_keys_never_match(spark):
     assert out.count() == 4  # b-y matched; a, x, z retained unmatched
     matched = out.filter(F.col("name_l").isNotNull() & F.col("name_r").isNotNull())
     assert [(r["name_l"], r["name_r"]) for r in matched.collect()] == [("b", "y")]
+
+
+def test_salted_aggregate_matches_plain(spark):
+    """Two-phase salted aggregation equals the direct groupBy (skew.py)."""
+    from pyspark.sql import functions as F
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.skew import (
+        salted_aggregate,
+    )
+
+    # 90% of rows share one hot key
+    df = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("hot")).otherwise(F.lit("cold")).alias("k"),
+        F.col("id").alias("v"),
+    )
+    got = {
+        r["k"]: (r["total"], r["n"], r["lo"], r["hi"])
+        for r in salted_aggregate(
+            df,
+            keys=["k"],
+            aggs={"total": ("sum", "v"), "n": ("count", "v"), "lo": ("min", "v"), "hi": ("max", "v")},
+            salt_on=F.col("v"),
+            salt_buckets=8,
+        ).collect()
+    }
+    want = {
+        r["k"]: (r["total"], r["n"], r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("total"),
+            F.count("v").alias("n"),
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    """Salted replicated join equals the direct join for inner and left."""
+    from pyspark.sql import functions as F
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.skew import (
+        salted_join,
+    )
+
+    big = spark.range(0, 1000).select(
+        F.when(F.col("id") % 5 < 4, F.lit(1)).otherwise((F.col("id") % 50) + 2).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(0, 40).select(F.col("id").alias("k"), (F.col("id") * 100).alias("w"))
+
+    for how in ("inner", "left"):
+        got = sorted(
+            (r["k"], r["v"], r["w"])
+            for r in salted_join(big, small, on="k", salt_on=F.col("v"), salt_buckets=4, how=how).collect()
+        )
+        want = sorted((r["k"], r["v"], r["w"]) for r in big.join(small, "k", how).collect())
+        assert got == want, how
