@@ -553,3 +553,38 @@ def w1_latest_event_per_chat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("chat_id", F.col("type").alias("latest_type"), F.col("ts").alias("latest_ts"))
     )
+
+
+# ---------------------------------------------------------------------------
+# S10 — warehouse-SQL entry point (main.py:152, update_tickets.py:10): the
+# engine's SQL surface over registered views, with PARAMETERIZED statements
+# (reference manutencao.py:46-51 uses query parameters; Spark ≥3.4
+# spark.sql(..., args) is the planned/injection-safe equivalent — SURVEY §4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "s10_sql_entry_parameterized",
+    with_ctes(
+        """
+SELECT status_name AS status_ticket, count(*) AS n_tickets
+FROM tickets
+WHERE status_name <> 'Resolvido'
+GROUP BY status_name
+""",
+        "tickets",
+    ),
+)
+def s10_sql_entry_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT status_name AS status_ticket, count(*) AS n_tickets
+        FROM tickets
+        WHERE status_name <> :resolved
+        GROUP BY status_name
+        """,
+        args={"resolved": "Resolvido"},
+    )
