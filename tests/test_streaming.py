@@ -104,3 +104,70 @@ def test_windowed_counts_streaming(spark, tmp_path):
         ).collect()
     }
     assert got == {(10, "click"): 2, (11, "view"): 1}
+
+
+def test_sessionize_stateful(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: in-batch gap split plus
+    watermark-driven close of quiet keys across micro-batches."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.sessionize import (
+        sessionize,
+    )
+
+    landing = tmp_path / "sess"
+    landing.mkdir()
+    ckpt = str(tmp_path / "ck3")
+    out_dir = str(tmp_path / "sessions_out")
+
+    def run_batch(name, rows):
+        # parquet sink: supports checkpoint recovery across restarts
+        # (memory sink does not), mirroring a daily availableNow batch
+        _write_batch(landing, name, rows)
+        stream = (
+            spark.readStream.schema("user_id string, ts string")
+            .json(str(landing))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        q = (
+            sessionize(stream, key_col="user_id", time_col="ts", gap_s=600, watermark="0 seconds")
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        spark.read.parquet(out_dir).createOrReplaceTempView("sessions")
+
+    # u1: two bursts separated by > gap (10 min) inside one batch → the
+    # first session closes immediately on arrival of the second burst
+    run_batch(
+        "b1.jsonl",
+        [
+            {"user_id": "u1", "ts": "2024-01-01T10:00:00"},
+            {"user_id": "u1", "ts": "2024-01-01T10:05:00"},
+            {"user_id": "u1", "ts": "2024-01-01T11:00:00"},
+            {"user_id": "u2", "ts": "2024-01-01T10:30:00"},
+        ],
+    )
+    # date_format renders in the session tz (America/Sao_Paulo), matching
+    # how the wall-clock inputs were parsed
+    sessions_sql = (
+        "select key, date_format(session_start, 'HH:mm') as s, "
+        "date_format(session_end, 'HH:mm') as e, n_events from sessions"
+    )
+    got1 = {
+        (r["key"], r["s"], r["e"], r["n_events"])
+        for r in spark.sql(sessions_sql).collect()
+    }
+    assert ("u1", "10:00", "10:05", 2) in got1
+
+    # batch 2 advances the watermark far past every open session's
+    # timeout → u1's 11:00 tail and u2's session close via timeout
+    run_batch("b2.jsonl", [{"user_id": "u3", "ts": "2024-01-01T15:00:00"}])
+    got2 = {
+        (r["key"], r["s"], r["e"], r["n_events"])
+        for r in spark.sql(sessions_sql).collect()
+    }
+    assert ("u1", "11:00", "11:00", 1) in got2
+    assert ("u2", "10:30", "10:30", 1) in got2
