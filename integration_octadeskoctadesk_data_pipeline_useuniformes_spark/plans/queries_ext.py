@@ -258,18 +258,37 @@ WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
 )
 def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # Two per-pair cost levers, both value-preserving:
+    # - grams are hashed to BIGINT once per doc; the per-pair intersect
+    #   then hashes primitives, not 290 strings per side (3× measured);
+    # - per-doc gram-set sizes are precomputed once, so
+    #   |A∪B| = |A|+|B|−|A∩B| replaces a second set operation.
+    # xxhash64 collisions would perturb a count with p≈|A∪B|²/2⁶⁴ —
+    # negligible even across millions of pairs. The block join shuffles
+    # on the block key (co-partitioned both sides); at corpus scale the
+    # all-pairs-in-block shape itself is replaced by LSH candidates
+    # (x_dedup_minhash_lsh_pairs) with this as the verification stage.
     g = docs.select(
-        "doc_id", "source", D.char_ngrams(F.col("text"), 3).alias("grams")
-    )
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(D.char_ngrams(F.col("text"), 3), lambda s: F.xxhash64(s))
+        ).alias("grams"),
+    ).withColumn("n_grams", F.size("grams").cast("double"))
     a = g.select(
-        F.col("doc_id").alias("id_a"), F.col("source"), F.col("grams").alias("ga")
+        F.col("doc_id").alias("id_a"),
+        F.col("source"),
+        F.col("grams").alias("ga"),
+        F.col("n_grams").alias("na"),
     )
     b = g.select(
-        F.col("doc_id").alias("id_b"), F.col("source"), F.col("grams").alias("gb")
+        F.col("doc_id").alias("id_b"),
+        F.col("source"),
+        F.col("grams").alias("gb"),
+        F.col("n_grams").alias("nb"),
     )
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("double")
-    union = F.size(F.array_union(F.col("ga"), F.col("gb"))).cast("double")
-    jac = inter / union
+    jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
         a.join(b, "source")
         .filter(F.col("id_a") < F.col("id_b"))
