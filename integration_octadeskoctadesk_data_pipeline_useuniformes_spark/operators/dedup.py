@@ -257,10 +257,36 @@ def token_hashes(text: Column, bits: int = _SIMHASH_BITS) -> Column:
 def simhash_fingerprints(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = _SIMHASH_BITS
 ) -> DataFrame:
-    return (
-        df.withColumn("__th", token_hashes(F.col(text_col), bits))
-        .select(F.col(id_col), simhash_from_hashes(F.col("__th"), bits).alias("simhash"))
+    """Fingerprints via explode + one groupBy with ``bits`` vote-sums.
+
+    The expression form (simhash_from_hashes) folds the token array once
+    per bit — bits × tokens interpreted lambda steps per doc, and a hex-
+    digit decode per step. Exploding visits each token once: 15 digit
+    decodes per token (not 60), vote sums map-side combine, and the
+    shuffle carries one row of ``bits`` ints per doc.
+    """
+    n_digits = bits // 4
+    ex = df.select(
+        F.col(id_col), F.explode_outer(token_hashes(F.col(text_col), bits)).alias("__h")
     )
+    digits = F.transform(
+        F.sequence(F.lit(1), F.lit(n_digits)),
+        lambda i: F.conv(F.substring(F.col("__h"), i, 1), 16, 10).cast("int"),
+    )
+    exd = ex.withColumn("__d", digits)
+
+    def vote(p: int) -> Column:
+        d, k = divmod(p, 4)
+        contrib = (F.shiftright(F.element_at(F.col("__d"), d + 1), k) % 2) * 2 - 1
+        return F.sum(F.when(F.col("__h").isNotNull(), contrib).otherwise(F.lit(0)))
+
+    votes = exd.groupBy(id_col).agg(*[vote(p).alias(f"__v{p}") for p in range(bits)])
+    out = F.lit(0).cast("long")
+    for p in range(bits):
+        out = out + F.when(
+            F.col(f"__v{p}") > 0, F.shiftleft(F.lit(1).cast("long"), p)
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select(F.col(id_col), out.alias("simhash"))
 
 
 def hamming_distance(a: Column, b: Column, bits: int = _SIMHASH_BITS) -> Column:

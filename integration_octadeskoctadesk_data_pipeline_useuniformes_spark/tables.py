@@ -22,7 +22,7 @@ natively as TIMESTAMP_NTZ.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .session import configure
@@ -169,24 +169,30 @@ def chats_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     c = load_table(spark, sf_dir, "customer")
 
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    first_purchase = (
-        e.filter(F.col("event_type") == "purchase")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("user_id"),
-            F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1).cast("bigint").alias("evt_ticket_ticketNumber"),
-        )
-    )
+    # ONE aggregation pass: the first-purchase lookup (first-match F5,
+    # chat.py:165-172) is a conditional min(struct(ts, event_id, k)) —
+    # lexicographic struct ordering equals the row_number(ORDER BY ts,
+    # event_id)=1 pick — fused into the same groupBy as the base stats,
+    # so events is scanned and shuffled once instead of twice.
     base = e.groupBy("user_id").agg(
         F.min("ts").alias("createdAt"),
         F.count(F.lit(1)).alias("n_events"),
         F.max("value").alias("max_value"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.struct(
+                    F.col("ts"),
+                    F.col("event_id"),
+                    F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1)
+                    .cast("bigint")
+                    .alias("k"),
+                ),
+            )
+        )["k"].alias("evt_ticket_ticketNumber"),
     )
     return (
-        base.join(first_purchase, "user_id", "left")
-        .join(c, base.user_id == c.c_custkey, "left")
+        base.join(c, base.user_id == c.c_custkey, "left")
         .select(
             F.md5(F.concat(F.lit("chat-"), F.col("user_id").cast("string"))).alias("id"),
             F.col("user_id").alias("number"),
