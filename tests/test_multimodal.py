@@ -1,0 +1,52 @@
+"""Multimodal binary-column pattern (operators/multimodal.py)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.multimodal import (
+    attach_payload,
+    decode_stub,
+    extract_features,
+)
+
+
+def test_decode_stub_is_explicitly_unimplemented():
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"\x89PNG", "image/png")
+
+
+def test_payload_schema_and_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "hello world", "src0"), (2, "abc", "src1")],
+        "doc_id long, text string, source string",
+    )
+    with_payload = attach_payload(docs)
+    # binary payload + typed metadata struct: prune/filter on the struct
+    # without touching the bytes
+    kinds = dict(with_payload.dtypes)
+    assert kinds["payload"] == "binary"
+    assert kinds["meta"].startswith("struct<format:string,n_units:bigint")
+
+    feats = {r["doc_id"]: r for r in extract_features(with_payload, batch_size=1).collect()}
+    assert feats[1]["n_bytes"] == len(b"hello world")
+    assert feats[1]["content_hash"] == hashlib.md5(b"hello world").hexdigest()
+    assert feats[2]["format"] == "text/plain"
+
+
+def test_metadata_filter_prunes_before_udf(spark):
+    """Filtering on the metadata struct must reach the scan side, not run
+    after the Python stage."""
+    docs = spark.createDataFrame(
+        [(1, "keep", "src0"), (2, "drop", "src1")],
+        "doc_id long, text string, source string",
+    )
+    df = attach_payload(docs).filter(F.col("meta.origin") == "src0")
+    out = extract_features(df).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    # the filter sits below the Python stage in the plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "src0" in plan
