@@ -30,6 +30,7 @@ HEADLINE = [
     "x_dedup_minhash_lsh_pairs",
     "x_ann_cosine_topk",
     "x_text_quality",
+    "x_curation_pipeline",
 ]
 
 

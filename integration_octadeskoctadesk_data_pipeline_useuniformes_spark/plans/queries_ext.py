@@ -413,3 +413,60 @@ FROM documents
 def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return M.extract_features(M.attach_payload(docs))
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline: language filter → quality gate → exact
+# dedup (min-id representative) → per-source stats. The composition every
+# training-data pipeline runs before tokenization, as ONE lazy plan —
+# langid/quality are projections (no shuffle), dedup is one groupBy on a
+# uniform md5 key, the final rollup is a second small aggregation.
+# ---------------------------------------------------------------------------
+
+
+def _curation_oracle() -> str:
+    from .queries import _REGISTRY
+
+    quality_sql = _REGISTRY["x_text_quality"][1]
+    langid_sql = _REGISTRY["x_text_langid"][1]
+    return f"""
+WITH q AS ({quality_sql}),
+l AS ({langid_sql}),
+keep AS (
+  SELECT d.doc_id, d.source, q.quality, md5(d.text) AS h
+  FROM documents d
+  JOIN q ON q.doc_id = d.doc_id
+  JOIN l ON l.doc_id = d.doc_id
+  WHERE l.lang_detected = 'en' AND q.quality >= 0.5
+),
+rep AS (SELECT h, min(doc_id) AS doc_id FROM keep GROUP BY h)
+SELECT k.source, count(*) AS n_docs,
+       sum(CAST(round(k.quality * 1000000) AS BIGINT)) AS quality_sum_u6
+FROM keep k JOIN rep r ON k.h = r.h AND k.doc_id = r.doc_id
+GROUP BY k.source
+"""
+
+
+@register("x_curation_pipeline", _curation_oracle())
+def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keep = (
+        docs.select(
+            "doc_id",
+            "source",
+            T.quality_score(F.col("text")).alias("quality"),
+            T.langid(F.col("text")).alias("lang"),
+            F.md5(F.col("text")).alias("h"),
+        )
+        .filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
+    )
+    rep = keep.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    surviving = keep.join(rep, ["h", "doc_id"])
+    # integer micro-unit sum: order-independent (a float avg differs
+    # between engines at the 6th decimal depending on summation order)
+    return surviving.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.round(F.col("quality") * 1000000).cast("bigint")).alias(
+            "quality_sum_u6"
+        ),
+    )
