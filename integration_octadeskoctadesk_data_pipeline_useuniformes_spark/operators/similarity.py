@@ -53,13 +53,22 @@ def cosine_topk(
     The query side is broadcast — the corpus is scanned once with no
     shuffle; ranking shuffles only (queries × k-ish) candidate rows.
     """
+    # norms precomputed once per vector (same doubles as inline cosine —
+    # a third of the per-pair array folds)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
     )
-    sim = F.round(cosine(F.col("__qvec"), F.col("__cvec")), round_digits)
+    sim = F.round(
+        dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qn") * F.col("__cn")),
+        round_digits,
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -117,14 +126,19 @@ def lsh_bucketed_topk(
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
         lsh_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
     )
     qb = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
         lsh_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
     )
-    sim = F.round(cosine(F.col("__qvec"), F.col("__cvec")), round_digits)
+    sim = F.round(
+        dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qn") * F.col("__cn")),
+        round_digits,
+    )
     scored = (
         cb.join(F.broadcast(qb), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))

@@ -321,13 +321,24 @@ WHERE {_COS_SQL} >= 0.35
 )
 def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label"), F.col("embedding").alias("ea")
+    # per-vector norms are computed ONCE per row, not twice per pair —
+    # same doubles, a third of the per-pair array folds
+    e = emb.select(
+        "vec_id", "label", "embedding", S.norm(F.col("embedding")).alias("nrm")
     )
-    b = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("label"), F.col("embedding").alias("eb")
+    a = e.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("label"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
     )
-    cos = S.cosine(F.col("ea"), F.col("eb"))
+    b = e.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("label"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    cos = S.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
         a.join(b, "label")
         .filter(F.col("id_a") < F.col("id_b"))
