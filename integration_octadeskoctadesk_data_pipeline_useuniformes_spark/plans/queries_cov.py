@@ -588,3 +588,55 @@ def s10_sql_entry_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"resolved": "Resolvido"},
     )
+
+
+# ---------------------------------------------------------------------------
+# analytics composition — multi-join + aggregate + top-k (the TPC-H Q3
+# shape): broadcast the filtered dim, shuffle facts once on the group
+# key, rank with a deterministic tiebreak. Demonstrates the engine's
+# general-analytics path beyond the reference's ETL surface.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_shipping_priority_topk",
+    """
+SELECT l_orderkey AS orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(27,4)) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate ASC, orderkey ASC
+LIMIT 10
+""",
+)
+def agg_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > "1995-03-15"
+    )
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("l_orderkey").alias("orderkey"), "o_orderdate")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("decimal(27,4)")
+            .alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("orderkey").asc())
+        .limit(10)
+        .select("orderkey", "revenue", "o_orderdate")
+    )
