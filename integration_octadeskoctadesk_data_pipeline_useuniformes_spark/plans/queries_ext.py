@@ -264,8 +264,16 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # - per-doc gram-set sizes are precomputed once, so
     #   |A∪B| = |A|+|B|−|A∩B| replaces a second set operation.
     # xxhash64 collisions would perturb a count with p≈|A∪B|²/2⁶⁴ —
-    # negligible even across millions of pairs. The block join shuffles
-    # on the block key (co-partitioned both sides); at corpus scale the
+    # negligible even across millions of pairs.
+    #
+    # Join shape (7× measured): a sort-merge join on the block key has
+    # as many parallel units as there are blocks (20 here) and shuffles
+    # two ~1 KB gram arrays per PAIR. Broadcasting one whole side (gram
+    # sets are bounded: ~1 KB/doc) turns it into a broadcast hash join —
+    # pairs are produced, intersected, and filtered inside one codegen
+    # stage, so the quadratic pair set never hits a shuffle, and
+    # parallelism comes from repartitioning the probe side. At corpus
+    # scale the broadcast side is a BLOCK, not the corpus — and the
     # all-pairs-in-block shape itself is replaced by LSH candidates
     # (x_dedup_minhash_lsh_pairs) with this as the verification stage.
     g = docs.select(
@@ -275,7 +283,8 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(D.char_ngrams(F.col("text"), 3), lambda s: F.xxhash64(s))
         ).alias("grams"),
     ).withColumn("n_grams", F.size("grams").cast("double"))
-    a = g.select(
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = g.repartition(n_part).select(
         F.col("doc_id").alias("id_a"),
         F.col("source"),
         F.col("grams").alias("ga"),
@@ -290,7 +299,7 @@ def x_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect(F.col("ga"), F.col("gb"))).cast("double")
     jac = inter / (F.col("na") + F.col("nb") - inter)
     return (
-        a.join(b, "source")
+        a.join(F.broadcast(b), "source")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("jaccard", F.round(jac, 6))
         .filter(jac >= 0.6)
@@ -322,11 +331,15 @@ WHERE {_COS_SQL} >= 0.35
 def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # per-vector norms are computed ONCE per row, not twice per pair —
-    # same doubles, a third of the per-pair array folds
+    # same doubles, a third of the per-pair array folds.
+    # Same join shape as x_dedup_ngram_jaccard: broadcast one side so the
+    # quadratic pair set never shuffles and parallelism isn't capped at
+    # the number of blocking labels (10 here).
     e = emb.select(
         "vec_id", "label", "embedding", S.norm(F.col("embedding")).alias("nrm")
     )
-    a = e.select(
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = e.repartition(n_part).select(
         F.col("vec_id").alias("id_a"),
         F.col("label"),
         F.col("embedding").alias("ea"),
@@ -340,7 +353,7 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cos = S.dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb"))
     return (
-        a.join(b, "label")
+        a.join(F.broadcast(b), "label")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("cos_sim", F.round(cos, 6))
         .filter(cos >= 0.35)
@@ -430,8 +443,12 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # end-to-end curation pipeline: language filter → quality gate → exact
 # dedup (min-id representative) → per-source stats. The composition every
 # training-data pipeline runs before tokenization, as ONE lazy plan —
-# langid/quality are projections (no shuffle), dedup is one groupBy on a
-# uniform md5 key, the final rollup is a second small aggregation.
+# langid/quality are projections (no shuffle), dedup is ONE hash
+# aggregation on the uniform md5 key (min_by picks the representative row
+# in the same pass, so the text expressions are evaluated once and the
+# shuffle carries at most one row per (mapper, h) thanks to partial
+# aggregation — no self-join, no sort), the final rollup is a second
+# small aggregation.
 # ---------------------------------------------------------------------------
 
 
@@ -471,13 +488,14 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))
     )
-    rep = keep.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
-    surviving = keep.join(rep, ["h", "doc_id"])
+    rep = keep.groupBy("h").agg(
+        F.min_by(F.struct("source", "quality"), "doc_id").alias("r")
+    )
     # integer micro-unit sum: order-independent (a float avg differs
     # between engines at the 6th decimal depending on summation order)
-    return surviving.groupBy("source").agg(
+    return rep.groupBy(F.col("r.source").alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.round(F.col("quality") * 1000000).cast("bigint")).alias(
+        F.sum(F.round(F.col("r.quality") * 1000000).cast("bigint")).alias(
             "quality_sum_u6"
         ),
     )
