@@ -25,6 +25,7 @@ from ..operators.kv import kv_to_columns
 from ..tables import (
     chat_events_view,
     chats_view,
+    load_events_ts_range,
     load_table,
     tickets_view,
     with_ctes,
@@ -182,10 +183,12 @@ WHERE ts >= TIMESTAMP '2024-01-02 00:00:00' AND ts <= TIMESTAMP '2024-01-05 00:0
 """,
 )
 def f1_range_filter_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return e.filter(
-        F.col("ts").between("2024-01-02 00:00:00", "2024-01-05 00:00:00")
-    ).select(
+    # range bounds applied to the raw nano column pre-conversion so they
+    # reach the parquet scan (see load_events_ts_range)
+    e = load_events_ts_range(
+        spark, sf_dir, "2024-01-02 00:00:00", "2024-01-05 00:00:00"
+    )
+    return e.select(
         "event_id",
         F.date_trunc("second", F.col("ts")).cast("timestamp_ntz").alias("ts_s"),
         "event_type",

@@ -63,6 +63,47 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def _wall_micros(ts: str) -> int:
+    """Naive wall-clock timestamp string -> microseconds since epoch."""
+    import datetime as _dt
+
+    d = _dt.datetime.fromisoformat(ts) - _dt.datetime(1970, 1, 1)
+    return d.days * 86_400_000_000 + d.seconds * 1_000_000 + d.microseconds
+
+
+def load_events_ts_range(
+    spark: SparkSession, sf_dir: str, lo: str, hi: str
+) -> DataFrame:
+    """``events`` restricted to the inclusive wall-clock range [lo, hi],
+    with the range predicate pushed to the parquet scan.
+
+    A filter on the *converted* ts column (load_table's nanos->µs
+    arithmetic) cannot reach the scan — Catalyst won't invert the
+    expression, so parquet sees only IsNotNull and every row group is
+    read. The conversion t -> floor(t/1000) µs is monotone
+    non-decreasing, so converted(t) ∈ [lo, hi] ⟺ raw t ∈
+    [µs(lo)·1000, µs(hi)·1000 + 999]. Filtering the raw nano long BEFORE
+    converting puts the bounds in PushedFilters, enabling row-group
+    min/max skipping — at scale this is the difference between scanning
+    the full history and only the requested window.
+    """
+    configure(spark)
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(df.dtypes).get("ts") == "bigint":
+        lo_n = _wall_micros(lo) * 1000
+        hi_n = _wall_micros(hi) * 1000 + 999
+        df = df.filter((F.col("ts") >= lo_n) & (F.col("ts") <= hi_n)).withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    else:
+        df = df.filter(F.col("ts").between(lo, hi))
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
 

@@ -1,0 +1,84 @@
+"""Physical-plan regression tests — the scale properties, asserted.
+
+Correctness tests prove the operators compute the right values at small
+SF; these prove the PLANS keep the shape that survives a 100 TB input:
+predicates reach the parquet scan, small sides broadcast instead of
+capping parallelism at the block-key cardinality, aggregations combine
+map-side before the exchange, top-k never global-sorts, and no
+row-at-a-time Python UDF hides in a hot path. A regression here is
+invisible at sf0.001 row counts but catastrophic on a cluster.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import queries as catalog
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = catalog.queries()[name](spark, SF)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def tree_of(spark, name: str) -> str:
+    """Just the plan tree — formatted explain repeats every node in the
+    detail section, so counting on the full string double-counts."""
+    return plan_of(spark, name).split("\n\n", 1)[0]
+
+
+def test_f1_range_predicate_reaches_scan(spark):
+    plan = plan_of(spark, "f1_range_filter_events")
+    assert "GreaterThanOrEqual(ts" in plan, plan
+    assert "LessThanOrEqual(ts" in plan, plan
+
+
+def test_a2_scan_prunes_columns_and_partially_aggregates(spark):
+    plan = plan_of(spark, "a2_distinct_collection")
+    assert "ReadSchema: struct<event_type:string>" in plan, plan
+    # partial (pre-shuffle) + final HashAggregate around one exchange
+    tree = tree_of(spark, "a2_distinct_collection")
+    assert tree.count("HashAggregate") == 2, tree
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_topk_broadcasts_dim_and_avoids_global_sort(spark):
+    plan = plan_of(spark, "agg_shipping_priority_topk")
+    assert "BroadcastHashJoin" in plan, plan
+    # limit+orderBy must plan as TakeOrderedAndProject (per-partition
+    # top-k then merge), never a full Sort of the aggregate output
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["x_dedup_ngram_jaccard", "x_dedup_embedding_cosine"],
+)
+def test_allpairs_blocks_broadcast_not_sortmerge(spark, name):
+    # sort-merge on the low-cardinality block key would cap parallelism
+    # at #blocks and shuffle every quadratic pair row
+    plan = plan_of(spark, name)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_curation_pipeline_scans_documents_once(spark):
+    # langid/quality/dedup/rollup must compose into ONE pass over the
+    # corpus; a second "Scan parquet" means the text expressions (and at
+    # scale, the 100 TB read) run twice
+    tree = tree_of(spark, "x_curation_pipeline")
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_no_row_at_a_time_python_udf_anywhere(spark):
+    # BatchEvalPython = pickled row-at-a-time Python UDF (~10-100x slower
+    # than JVM expressions or Arrow-batched pandas UDFs). Arrow nodes
+    # (ArrowEvalPython / MapInPandas / FlatMapGroupsInPandas) are the
+    # sanctioned Python escape hatch and remain allowed.
+    for name in sorted(catalog.queries()):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, f"{name} uses a row UDF:\n{plan}"
