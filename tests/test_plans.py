@@ -82,3 +82,7 @@ def test_no_row_at_a_time_python_udf_anywhere(spark):
     for name in sorted(catalog.queries()):
         plan = plan_of(spark, name)
         assert "BatchEvalPython" not in plan, f"{name} uses a row UDF:\n{plan}"
+        # an unhinted cross product is always a planning accident here
+        # (the intended scalar-bound join in c4 plans as a single-row
+        # BroadcastNestedLoopJoin, not CartesianProduct)
+        assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
