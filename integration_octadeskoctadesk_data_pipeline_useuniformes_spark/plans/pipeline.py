@@ -44,12 +44,21 @@ DEDUP_KEYS = ("number", "n_ticket", "uuid")
 
 def run_batch(spark: SparkSession, sf_dir: str, sink_path: str) -> dict[str, int]:
     """Entry point 1. Returns counts for observability (reference prints
-    removed-row counts, manutencao.py:59-60)."""
+    removed-row counts, manutencao.py:59-60).
+
+    The counts are ``Observation`` metrics (CollectMetrics plan nodes)
+    collected DURING the sink write — eager ``.count()`` calls here would
+    execute the whole extract→integrate plan three times (twice to count,
+    once to write), which at 100 TB is two full wasted passes.
+    """
+    from pyspark.sql import Observation
+
     batch = audit_column(pipeline_integrate_full(spark, sf_dir))
 
     created = create_if_not_exists(spark, sink_path, SINK_SEED_SCHEMA)
 
-    before = batch.count()
+    obs_before = Observation()
+    batch = batch.observe(obs_before, F.count(F.lit(1)).alias("n"))
     for key in DEDUP_KEYS:
         sink_df = read_sink(spark, sink_path)
         # a key column exists in the sink only after the first evolved
@@ -59,9 +68,12 @@ def run_batch(spark: SparkSession, sf_dir: str, sink_path: str) -> dict[str, int
             continue
         sink_keys = sink_df.select(key).na.drop().distinct()
         batch = anti_dedup(batch, sink_keys, batch_key=key)
-    to_load = batch.count()
+    obs_after = Observation()
+    batch = batch.observe(obs_after, F.count(F.lit(1)).alias("n"))
 
     append_with_schema_evolution(batch, sink_path)
+    before = int(obs_before.get["n"])
+    to_load = int(obs_after.get["n"])
     return {
         "created": int(created),
         "batch_rows": before,
