@@ -177,10 +177,9 @@ def x_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signatures(docs).select("doc_id", "minhash")
 
 
-@register(
-    "x_dedup_minhash_lsh_pairs",
-    f"""
-WITH {_SIGS_CTE},
+#: sigs → bands → candidate pairs → signature-verified pairs, shared by
+#: the pair query and the cluster query
+_LSH_PAIRS_CTES = f"""{_SIGS_CTE},
 bands AS (
   SELECT doc_id, sig, b.band,
          md5(sig[2*b.band + 1] || '|' || sig[2*b.band + 2]) AS bucket
@@ -190,19 +189,52 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id
-)
-SELECT id_a, id_b,
-       CAST(len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 8.0
-         AS jaccard_est
-FROM cand
-JOIN sigs sa ON sa.doc_id = id_a
-JOIN sigs sb ON sb.doc_id = id_b
-WHERE CAST(len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 8.0 >= 0.5
-""",
+),
+verified AS (
+  SELECT id_a, id_b,
+         CAST(len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 8.0
+           AS jaccard_est
+  FROM cand
+  JOIN sigs sa ON sa.doc_id = id_a
+  JOIN sigs sb ON sb.doc_id = id_b
+  WHERE CAST(len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 8.0 >= 0.5
+)"""
+
+
+@register(
+    "x_dedup_minhash_lsh_pairs",
+    f"WITH {_LSH_PAIRS_CTES}\nSELECT id_a, id_b, jaccard_est FROM verified",
 )
 def x_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.lsh_candidate_pairs(docs, min_jaccard_est=0.5)
+
+
+@register(
+    "x_dedup_clusters",
+    f"""
+WITH RECURSIVE {_LSH_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM verified
+),
+cc AS (
+  SELECT doc_id AS u, doc_id AS lab FROM documents
+  UNION
+  SELECT e.v AS u, c.lab FROM cc c JOIN edges e ON e.u = c.u
+)
+SELECT u AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY u
+""",
+)
+def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the
+    signature-verified LSH pairs; cluster_id = min doc_id reachable.
+    The step after pair generation in every dedup pipeline — the oracle
+    is DuckDB's recursive CTE computing the same transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs, min_jaccard_est=0.5)
+    return D.connected_components(docs, pairs)
 
 
 def _simhash_oracle() -> str:
