@@ -445,7 +445,23 @@ def x_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("x_ann_lsh_topk", None)  # rows-only: composition of bucket+topk
+@register(
+    "x_ann_lsh_topk",
+    f"""
+WITH bk AS (SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round({_COS_SQL}, 6) AS cos_sim
+  FROM bk a JOIN bk b
+    ON b.vec_id < 5 AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
 def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10)
