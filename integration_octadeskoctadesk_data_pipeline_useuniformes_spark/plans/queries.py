@@ -557,3 +557,4 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # extension catalogs register themselves on import (same registry)
 from . import queries_ext  # noqa: E402,F401  (import side effect)
 from . import queries_cov  # noqa: E402,F401  (import side effect)
+from . import queries_adv  # noqa: E402,F401  (import side effect)

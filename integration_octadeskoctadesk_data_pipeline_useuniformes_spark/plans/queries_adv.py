@@ -1,0 +1,336 @@
+"""Advanced relational catalog: temporal joins, grouping sets, subquery
+shapes, and deterministic dataset-splitting — the second extension tier.
+
+Same contract as ``queries.py``: every entry pairs a Spark plan with a
+DuckDB oracle, identical column names/types, value-hash comparable.
+Money stays DECIMAL (exact, order-independent); thresholds that would
+involve a float average are rewritten into integer/decimal cross
+multiplication so both engines compute them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.temporal import as_of_join, binned_interval_join, sessionize
+from ..tables import load_table
+from .queries import register
+
+# ---------------------------------------------------------------------------
+# As-of join — for each purchase, the latest click by the same user
+# at-or-before the purchase (kdb+ aj / DuckDB ASOF JOIN semantics).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_asof_click_before_purchase",
+    """
+WITH u AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events WHERE event_type IN ('click', 'purchase')
+), w AS (
+  SELECT user_id, ts, event_id, is_p,
+         last_value(CASE WHEN is_p = 0 THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_event_id,
+         last_value(CASE WHEN is_p = 0 THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, is_p, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS click_ts
+  FROM u
+)
+SELECT event_id, user_id, ts, click_event_id, click_ts FROM w WHERE is_p = 1
+""",
+)
+def x_asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event_id"), F.col("ts").alias("click_ts")
+    )
+    joined = as_of_join(
+        purchases,
+        clicks,
+        keys=["user_id"],
+        ts_col="ts",
+        payload_cols=["click_event_id", "click_ts"],
+        right_id_col="click_event_id",
+        prefix="",
+    )
+    return joined.select("event_id", "user_id", "ts", "click_event_id", "click_ts")
+
+
+# ---------------------------------------------------------------------------
+# Interval (range) join — errors within 1 h after each signup, binned to
+# an equi-join so the inequality never plans as a per-key cartesian.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_range_join_error_window",
+    """
+SELECT s.event_id, s.user_id, count(e.event_id) AS n_errors
+FROM events s
+LEFT JOIN events e
+  ON e.user_id = s.user_id AND e.event_type = 'error'
+ AND e.ts >= s.ts AND e.ts < s.ts + INTERVAL 1 HOUR
+WHERE s.event_type = 'signup'
+GROUP BY s.event_id, s.user_id
+""",
+)
+def x_range_join_error_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    signups = (
+        e.filter(F.col("event_type") == "signup")
+        .select("event_id", "user_id", F.col("ts").alias("w_start"))
+        .withColumn("w_end", F.col("w_start") + F.expr("INTERVAL 1 HOUR"))
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", F.col("event_id").alias("err_id")
+    )
+    pairs = binned_interval_join(
+        errors,
+        signups,
+        keys=["user_id"],
+        point_ts="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bin_seconds=3600,
+        how="left",
+    )
+    return pairs.groupBy("event_id", "user_id").agg(F.count("err_id").alias("n_errors"))
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization — gaps-and-islands, 30-minute inactivity gap.
+# (Streaming twin: streaming/sessionize.py via applyInPandasWithState.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_sessionize_batch",
+    """
+WITH flags AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts, event_id,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flags
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end
+FROM numbered GROUP BY user_id, session_id
+""",
+)
+def x_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    s = sessionize(e, keys=["user_id"], ts_col="ts", gap_seconds=1800, order_tiebreak="event_id")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — hierarchical totals in one pass (Spark expands grouping sets
+# map-side; one shuffle instead of one per level).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup_status_priority",
+    """
+SELECT o_orderpriority, o_orderstatus,
+       GROUPING(o_orderpriority, o_orderstatus) AS lvl,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+""",
+)
+def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.grouping_id().alias("lvl"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("total_price"),
+    ).select("o_orderpriority", "o_orderstatus", "lvl", "n_orders", "total_price")
+
+
+# ---------------------------------------------------------------------------
+# EXISTS semi-join aggregate (TPC-H Q4 shape) — orders with at least one
+# late-shipped line item, counted by priority. Left-semi join: the probe
+# side never duplicates, no distinct needed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_order_priority_exists",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def agg_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    hit = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return hit.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("order_count"))
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery aggregate (TPC-H Q17 shape) — revenue from line items
+# with quantity below 1/5 of their part's average. The float average is
+# rewritten as exact decimal cross-multiplication:
+#   qty < sum/cnt/5  ⟺  qty*cnt*5 < sum   (cnt > 0)
+# so Spark and DuckDB agree bit-for-bit regardless of summation order.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_small_qty_revenue",
+    """
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+         count(*) AS cnt
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS small_qty_revenue,
+       count(*) AS n_lines
+FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
+WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * p.cnt * 5 < p.sum_qty
+""",
+)
+def agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    j = li.join(F.broadcast(per_part), "l_partkey").filter(
+        dec("l_quantity") * F.col("cnt") * 5 < F.col("sum_qty")
+    )
+    return j.agg(
+        F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("small_qty_revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val split — hash-based, reproducible across runs,
+# engines, and cluster sizes (no rand(), no row order dependence). Two
+# hex chars of md5 give a 1/256-granular threshold: < 'e6' ≈ 89.8%.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_split_train_val",
+    """
+SELECT doc_id, lang,
+       CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+""",
+)
+def x_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2)
+    return d.select(
+        "doc_id",
+        "lang",
+        F.when(bucket < "e6", F.lit("train")).otherwise(F.lit("val")).alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token frequency top-k — explode + count. Partial aggregation combines
+# map-side, so the shuffle carries one row per distinct token per
+# partition, not one per token occurrence; top-k is TakeOrdered, never a
+# global sort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_token_topk",
+    """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+""",
+)
+def x_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-label embedding centroid — posexplode + (label, pos) average +
+# re-assembly. One wide shuffle keyed by (label, pos): each reducer sums
+# ~rows/labels values, no driver-side math, dimension-parallel.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_embedding_centroid",
+    """
+SELECT label, list(v ORDER BY pos) AS centroid, max(cnt) AS n_vectors
+FROM (
+  -- + 0.0 normalizes IEEE -0.0 (round can yield it; engines disagree)
+  SELECT label, pos, round(avg(val), 4) + 0.0 AS v, count(*) AS cnt
+  FROM (
+    SELECT label, unnest(embedding) AS val,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+  )
+  GROUP BY label, pos
+)
+GROUP BY label
+""",
+)
+def x_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .withColumn("pos", F.col("pos0") + 1)
+        .groupBy("label", "pos")
+        # + 0.0 normalizes IEEE -0.0 (round can yield it; engines disagree)
+        .agg(
+            (F.round(F.avg(F.col("val").cast("double")), 4) + F.lit(0.0)).alias("v"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    return per_dim.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("centroid"),
+        F.max("cnt").alias("n_vectors"),
+    )
