@@ -1,0 +1,55 @@
+"""Equi-depth (equal-frequency) bucketing — curriculum/quantile binning
+without a global sort of the data.
+
+The naive formulation (``ntile(k)`` over all rows) forces every row
+through ONE window partition — a single-task global sort that cannot
+scale. This operator instead works on the value HISTOGRAM:
+
+1. ``groupBy(col).count()`` — partially aggregated map-side, the shuffle
+   carries one row per distinct value per partition;
+2. a cumulative sum over the histogram (tiny: |distinct values| rows,
+   e.g. document lengths, quality scores — single partition is fine
+   BECAUSE it runs after the reduction, not on the raw rows);
+3. broadcast the value→bucket map back onto the data — no second
+   shuffle of the big table.
+
+All arithmetic is integer (``div``), so a DuckDB oracle using ``//``
+matches bit-for-bit. Ties are never split: all rows sharing a value land
+in the same bucket (the bucket of the value's FIRST row position), which
+is the property curriculum bucketing actually wants — identical inputs
+get identical treatment.
+
+For truly continuous high-cardinality columns, pre-quantize (e.g.
+``F.round(col, 3)``) so the histogram stays small; the reference has no
+bucketing operator at all (§2.5 "no group-by" — extension tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["equi_depth_buckets"]
+
+
+def equi_depth_buckets(
+    df: DataFrame, col: str, k: int, *, bucket_col: str = "bucket"
+) -> DataFrame:
+    """Attach ``bucket_col`` ∈ [1, k]: equal-frequency bins over ``col``.
+
+    bucket(v) = 1 + floor(rank_before(v) * k / N) where rank_before is
+    the number of rows strictly below ``v`` — exact integer arithmetic,
+    order/cluster-size independent.
+    """
+    hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_cum = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy()
+    ranked = hist.select(
+        F.col(col),
+        ((F.sum("__cnt").over(w_cum) - F.col("__cnt")) * k).alias("__pos_k"),
+        F.sum("__cnt").over(w_all).alias("__total"),
+    )
+    mapping = ranked.select(
+        col, (F.expr("__pos_k div __total") + F.lit(1)).alias(bucket_col)
+    )
+    return df.join(F.broadcast(mapping), col)

@@ -37,7 +37,7 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["as_of_join", "binned_interval_join", "sessionize"]
+__all__ = ["as_of_join", "binned_interval_join", "scd2_intervals", "sessionize"]
 
 
 def as_of_join(
@@ -156,6 +156,48 @@ def binned_interval_join(
         out_name = c if c not in intervals.columns else f"pt_{c}"
         unmatched = unmatched.withColumn(out_name, F.lit(None).cast(dict(points.dtypes)[c]))
     return matched.unionByName(unmatched)
+
+
+def scd2_intervals(
+    log: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    state_col: str,
+    *,
+    tiebreak: str,
+) -> DataFrame:
+    """Collapse a change log into SCD-type-2 validity intervals: one row
+    per (keys, state) RUN, with ``valid_from`` / ``valid_to`` (null =
+    still current) and an ``is_current`` flag.
+
+    This is the warehouse-side generalization of the reference's
+    update-in-place path (ticket.py:173-184 UPDATEs the latest status,
+    destroying history) — SCD2 keeps every state with its validity
+    window instead.
+
+    Plan: one partition+sort per key feeds both the run-collapse
+    (``lag(state) IS DISTINCT FROM state`` marks run heads) and, after
+    the filter, the ``lead`` that closes each interval. Two window
+    stages over the same key — Catalyst reuses the hash partitioning;
+    rows shrink to one per run between them. Consecutive equal states
+    (including equal nulls, via null-safe comparison) merge into one
+    interval.
+    """
+    keys = list(keys)
+    order = [F.col(ts_col).asc(), F.col(tiebreak).asc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    heads = log.withColumn("__prev", F.lag(state_col).over(w)).filter(
+        ~F.col("__prev").eqNullSafe(F.col(state_col))
+    )
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    out = heads.withColumn("valid_to", F.lead(ts_col).over(w2))
+    return out.select(
+        *keys,
+        state_col,
+        F.col(ts_col).alias("valid_from"),
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
 
 
 def sessionize(

@@ -558,3 +558,4 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 from . import queries_ext  # noqa: E402,F401  (import side effect)
 from . import queries_cov  # noqa: E402,F401  (import side effect)
 from . import queries_adv  # noqa: E402,F401  (import side effect)
+from . import queries_scale  # noqa: E402,F401  (import side effect)

@@ -1,0 +1,261 @@
+"""Scale-tier catalog: dataset management operators a 100 TB training
+pipeline runs daily — equi-depth bucketing, deterministic sampling,
+SCD2 history, distribution analytics (TPC-H Q13/Q18 shapes), exact NDV.
+
+Same contract as ``queries.py``: Spark plan + DuckDB oracle, identical
+column names, integer/decimal arithmetic wherever a float would make the
+engines diverge.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.buckets import equi_depth_buckets
+from ..operators.sampling import cap_per_group, stratified_sample
+from ..operators.temporal import scd2_intervals
+from ..tables import load_table
+from .queries import register
+
+# ---------------------------------------------------------------------------
+# Equi-depth length buckets — curriculum binning WITHOUT ntile's global
+# single-partition sort: histogram -> integer cum-count -> broadcast map
+# back (see operators/buckets.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_doc_length_buckets",
+    """
+WITH hist AS (
+  SELECT n_chars, count(*) AS cnt FROM documents GROUP BY n_chars
+), ranked AS (
+  SELECT n_chars,
+         (sum(cnt) OVER (ORDER BY n_chars
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          - cnt) * 4 AS pos_k,
+         sum(cnt) OVER () AS total
+  FROM hist
+), b AS (
+  SELECT n_chars, CAST(pos_k // total AS BIGINT) + 1 AS bucket FROM ranked
+)
+SELECT b.bucket, count(*) AS n_docs,
+       min(d.n_chars) AS min_chars, max(d.n_chars) AS max_chars
+FROM documents d JOIN b ON d.n_chars = b.n_chars
+GROUP BY b.bucket
+""",
+)
+def x_doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    bucketed = equi_depth_buckets(d, "n_chars", 4)
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling — corpus mixing ("50 % English, 20 %
+# of everything else") as a pure hash filter: no shuffle, no seed/order/
+# cluster-size dependence, identical row set on every engine and re-run.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_sample_stratified",
+    """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 4)
+      < CASE WHEN lang = 'en' THEN '8000' ELSE '3333' END
+""",
+)
+def x_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # 0.5 -> 0x8000/0x10000, 0.2 -> 0x3333/0x10000 — same thresholds as the SQL
+    return stratified_sample(
+        d, "lang", "doc_id", {"en": 0.5}, default_rate=0.2
+    ).select("doc_id", "lang")
+
+
+# ---------------------------------------------------------------------------
+# Per-source cap — "no source dominates the mix": keep ≤ 20 docs per
+# source, chosen by hash order (deterministic reservoir). One keyed
+# window; row_number cuts at k so state per group is O(1) at scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_sample_cap_per_source",
+    """
+WITH r AS (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 4), doc_id
+         ) AS rn
+  FROM documents
+)
+SELECT doc_id, source FROM r WHERE rn <= 20
+""",
+)
+def x_sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return cap_per_group(d, ["source"], "doc_id", 20).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# Customer order-count distribution (TPC-H Q13 shape) — left join with an
+# ON-clause filter on the RIGHT side (not WHERE: that would turn the
+# outer join inner), then a histogram of the counts. Two shuffles total:
+# the join (orders side partial-filtered at the scan) and the tiny
+# second-level count.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cust_order_distribution",
+    """
+WITH co AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c
+  LEFT JOIN orders o
+    ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, count(*) AS custdist
+FROM co GROUP BY c_count
+""",
+)
+def agg_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderpriority")
+    # right-side-only predicate: pre-filtering orders ≡ the ON-clause
+    # condition for a LEFT join, and it pushes to the parquet scan
+    o = o.filter(F.col("o_orderpriority") != "1-URGENT").drop("o_orderpriority")
+    co = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Large-volume orders (TPC-H Q18 shape) — HAVING on a grouped sum, then
+# join back to the dimension rows, top-100. The post-HAVING set is tiny,
+# so it broadcasts into the orders join; the top-k is TakeOrdered (no
+# global sort). Quantities go through DECIMAL so the HAVING threshold
+# and output are summation-order independent.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_large_order_customers",
+    """
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+  FROM lineitem
+  GROUP BY l_orderkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice, b.sum_qty
+FROM big b
+JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+""",
+)
+def agg_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_qty")
+        )
+        .filter(F.col("sum_qty") > 250)
+    )
+    j = o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey).join(
+        c, o.o_custkey == c.c_custkey
+    )
+    return (
+        j.select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("o_totalprice"),
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD type-2 state history — the warehouse-grade generalization of the
+# reference's UPDATE-in-place (ticket.py:173-184): every (user, state)
+# run becomes a validity interval instead of overwriting history.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_scd2_user_state",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+), heads AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ordered WHERE prev_type IS DISTINCT FROM event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to,
+       lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) IS NULL AS is_current
+FROM heads
+""",
+)
+def x_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    return scd2_intervals(
+        e, keys=["user_id"], ts_col="ts", state_col="event_type", tiebreak="event_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily active users — exact NDV per day. The oracle-checked query is
+# exact (count distinct = one extra partial-deduped shuffle); at 100 TB
+# the drop-in scale path is approx_count_distinct (HyperLogLog++, pure
+# map-side sketch merge, no dedup shuffle) — bounded-error equivalence
+# is asserted in tests/test_scale_ops.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_daily_active_users",
+    """
+SELECT CAST(ts AS DATE) AS day,
+       count(DISTINCT user_id) AS n_users,
+       count(*) AS n_events
+FROM events GROUP BY CAST(ts AS DATE)
+""",
+)
+def agg_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("ts", "user_id")
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -86,3 +86,27 @@ def test_no_row_at_a_time_python_udf_anywhere(spark):
         # (the intended scalar-bound join in c4 plans as a single-row
         # BroadcastNestedLoopJoin, not CartesianProduct)
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
+
+
+def test_stratified_sample_is_pure_scan_filter(spark):
+    # the deterministic sample must stay a narrow plan: one scan, one
+    # filter, NO exchange — at 100 TB any shuffle here is pure waste
+    tree = tree_of(spark, "x_sample_stratified")
+    assert "Exchange" not in tree, tree
+    assert tree.count("Scan parquet") == 1, tree
+
+
+def test_equi_depth_bucket_map_broadcasts(spark):
+    # the value->bucket map (|distinct| rows) must broadcast back onto
+    # the data; a sort-merge join would re-shuffle the whole corpus
+    plan = plan_of(spark, "x_doc_length_buckets")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_large_orders_takeordered_and_broadcast(spark):
+    # post-HAVING set is tiny -> broadcast into orders; top-100 must be
+    # TakeOrderedAndProject, never a global Sort
+    plan = plan_of(spark, "agg_large_order_customers")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
