@@ -559,3 +559,4 @@ from . import queries_ext  # noqa: E402,F401  (import side effect)
 from . import queries_cov  # noqa: E402,F401  (import side effect)
 from . import queries_adv  # noqa: E402,F401  (import side effect)
 from . import queries_scale  # noqa: E402,F401  (import side effect)
+from . import queries_olap  # noqa: E402,F401  (import side effect)

@@ -1,0 +1,538 @@
+"""OLAP tier — TPC-H-shaped multi-join analytics over the fixture star
+schema (third extension tier; BASELINE.json north-star "general
+analytics").
+
+The reference pipeline feeds a BI consumer (reference README.md:7) but
+contains no aggregate queries itself (SURVEY §2.5); this tier supplies
+the warehouse-side query surface a BigQuery consumer would run, each
+shape chosen to exercise a distinct Catalyst/physical pattern:
+
+- Q5 shape  — star join with a cross-dimension equality (cust nation =
+  supp nation): big-big shuffle join core + broadcast dims.
+- Q7 shape  — two aliases of one dimension (nation pairs), disjunctive
+  pair predicate pushed below the join.
+- Q8 shape  — conditional aggregation (share = case-sum / sum).
+- Q9 shape  — five-table margin rollup by (nation, year).
+- Q10 shape — returned-item revenue, deterministic top-k (TakeOrdered).
+- Q16 shape — count(DISTINCT) + NOT IN rewritten as a broadcast anti.
+- Q19 shape — OR-of-ANDs predicate; Catalyst extracts the common
+  partkey equi-condition so the join stays hash, not nested-loop.
+- Q2 shape  — per-group argmin with join-back (all ties kept).
+- Q21 shape — EXISTS + NOT EXISTS chained semi/anti joins.
+- Q22 shape — scalar aggregate broadcast + anti join.
+
+Exactness contract (same as queries_adv.py): money goes through
+DECIMAL(18,2); per-row products keep decimal scale 4; sums are cast to
+a fixed decimal type on BOTH engines so the order-insensitive value
+hash compares equal strings. Float division appears only as a single
+final division of two exact decimals (deterministic), never as a float
+aggregate.
+
+Scale notes are per-query; the common theme: filters sit directly on
+scans (pushdown), small dimensions broadcast explicitly, and no query
+collects more than its final (bounded) result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .queries import register
+
+
+def _dec(c: str) -> F.Column:
+    return F.col(c).cast("decimal(18,2)")
+
+
+def _revenue() -> F.Column:
+    """l_extendedprice * (1 - l_discount), exact decimal, scale 4."""
+    return _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+
+
+_REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape — revenue per nation for one region/year where the supplier
+# and the customer share a nation. Plan: orders is filtered at the scan
+# (year pushdown), joins lineitem on orderkey (the one unavoidable
+# big-big shuffle), then customer/supplier (AQE picks broadcast at
+# bench scale, sort-merge at 100 TB), nation+region always broadcast.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_regional_revenue",
+    f"""
+SELECT n_name, CAST(sum({_REV_SQL}) AS DECIMAL(27,4)) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+def agg_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asia_nations = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(asia_nations), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(_revenue()).cast("decimal(27,4)").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape — shipping volume between two specific nations per ship year.
+# The nation-pair disjunction lands on two broadcast joins *before* the
+# big join, so non-qualifying suppliers/customers never reach the
+# shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_nation_volume_pairs",
+    f"""
+SELECT supp_nation, cust_nation, l_year, CAST(sum(vol) AS DECIMAL(27,4)) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS INT) AS l_year, {_REV_SQL} AS vol
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_6')
+      OR (n1.n_name = 'NATION_6' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, l_year
+""",
+)
+def agg_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_6")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_6"))
+            | ((F.col("supp_nation") == "NATION_6") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(_revenue()).cast("decimal(27,4)").alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape — market share of NATION_1 suppliers in AMERICA-region
+# customers' PROMO-part purchases, per order year. share = case-sum /
+# sum: one aggregation, and the division is a single double op over two
+# exact decimals (deterministic regardless of summation order).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_market_share",
+    f"""
+SELECT o_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share,
+       CAST(sum(vol) AS DECIMAL(27,4)) AS total_volume
+FROM (
+  SELECT CAST(year(o_orderdate) AS INT) AS o_year, {_REV_SQL} AS vol, n1.n_name AS supp_nation
+  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+    AND o_custkey = c_custkey AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+    AND r_name = 'AMERICA' AND p_type = 'PROMO'
+)
+GROUP BY o_year
+""",
+)
+def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select("p_partkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n2 = (
+        load_table(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("n2_key"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .select("c_custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    vol = _revenue().alias("vol")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("n1_key"))
+        .select(F.year("o_orderdate").cast("int").alias("o_year"), vol, "supp_nation")
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    num = F.sum(F.when(F.col("supp_nation") == "NATION_1", F.col("vol")).otherwise(zero))
+    den = F.sum(F.col("vol"))
+    return joined.groupBy("o_year").agg(
+        F.round(num.cast("double") / den.cast("double"), 6).alias("mkt_share"),
+        den.cast("decimal(27,4)").alias("total_volume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape — per-(nation, year) margin on 'red' parts. No supply-cost
+# table exists in the fixtures, so margin = revenue − qty·retailprice
+# (an exact decimal at scale 4; economically pessimistic, structurally
+# identical). LIKE '%red%' is evaluated on the part scan → tiny
+# broadcast into lineitem.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_part_margin_by_nation_year",
+    f"""
+SELECT n_name, o_year, CAST(sum(margin) AS DECIMAL(30,4)) AS sum_margin
+FROM (
+  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+         {_REV_SQL} - CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2)) AS margin
+  FROM part, supplier, lineitem, orders, nation
+  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+    AND s_nationkey = n_nationkey AND p_name LIKE '%red%'
+)
+GROUP BY n_name, o_year
+""",
+)
+def agg_part_margin_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    margin = (_revenue() - _dec("l_quantity") * _dec("p_retailprice")).alias("margin")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("n_name", F.year("o_orderdate").cast("int").alias("o_year"), margin)
+        .groupBy("n_name", "o_year")
+        .agg(F.sum("margin").cast("decimal(30,4)").alias("sum_margin"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape — customers who returned the most revenue in one quarter.
+# Top-20 with a total order (revenue DESC, custkey ASC) so the limit is
+# deterministic; plans as TakeOrderedAndProject, never a global sort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_returned_top_customers",
+    f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum({_REV_SQL}) AS DECIMAL(27,4)) AS revenue
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def agg_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(_revenue()).cast("decimal(27,4)").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape — distinct suppliers per (brand, type, size) slice,
+# excluding suppliers in bad standing. NOT IN becomes a broadcast
+# left-anti join (keys are non-null, so NOT IN ≡ anti); the distinct
+# count expands partially map-side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_supplier_cnt_by_part",
+    """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def agg_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        "s_suppkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p.select("p_partkey", "p_brand", "p_type", "p_size")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape — disjunctive brand/size/quantity predicates. The partkey
+# equi-condition is common to every branch, so Catalyst plans a hash
+# join with the OR residual as a post-join filter — never a
+# nested-loop/cartesian.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_disjunctive_revenue",
+    f"""
+SELECT CAST(sum({_REV_SQL}) AS DECIMAL(27,4)) AS revenue, count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def agg_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            F.sum(_revenue()).cast("decimal(27,4)").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape — cheapest observed offer per small part, all tying
+# suppliers kept, join-back on the group minimum. The offers aggregate
+# shuffles once on (partkey, suppkey); the per-part minimum reuses that
+# partitioning (no second wide shuffle); the final order has a full
+# tie-break so LIMIT is deterministic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_min_price_supplier",
+    """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(CAST(l_extendedprice AS DECIMAL(18,2))) AS offer_price
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey, min(offer_price) AS best_price FROM offers GROUP BY l_partkey
+)
+SELECT p_partkey, p_name, s_name, best_price
+FROM offers o
+JOIN best b ON o.l_partkey = b.l_partkey AND o.offer_price = b.best_price
+JOIN part ON p_partkey = o.l_partkey
+JOIN supplier ON s_suppkey = o.l_suppkey
+WHERE p_size <= 10
+ORDER BY best_price ASC, p_partkey ASC, s_name ASC
+LIMIT 100
+""",
+)
+def agg_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("offer_price")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = offers.withColumn("best_price", F.min("offer_price").over(w)).filter(
+        F.col("offer_price") == F.col("best_price")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 10).select(
+        "p_partkey", "p_name"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        best.join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "best_price")
+        .orderBy(F.col("best_price").asc(), F.col("p_partkey").asc(), F.col("s_name").asc())
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape — suppliers whose line was the ONLY late one in a
+# multi-supplier order ("kept the order waiting"). late = shipped >60
+# days after order date. EXISTS → left-semi, NOT EXISTS → left-anti,
+# both on orderkey with a supplier-inequality residual; Spark executes
+# them as hash semi/anti joins, no correlated per-row subquery.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_waiting_suppliers",
+    """
+WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem),
+late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, count(*) AS numwait
+FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE EXISTS (SELECT 1 FROM li l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+""",
+)
+def agg_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    late = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    l3 = late.select(F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3"))
+    l1 = (
+        late.join(
+            l2, (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        ).join(
+            l3, (F.col("l_orderkey") == F.col("k3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        l1.join(F.broadcast(s), l1.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape — "idle rich" customers: above-average balance (among
+# positive balances) and no orders since 2000, totalled per nation
+# (every fixture customer has *some* order, so the recency bound keeps
+# the anti-join meaningful). The global average is the
+# cross-multiplication rewrite (bal·cnt > sum — exact, no float),
+# carried as a 1-row broadcast; the no-recent-orders test is a
+# left-anti against the date-filtered o_custkey column.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_idle_rich_customers",
+    """
+WITH pos AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(27,2)) AS s, count(*) AS c
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT n_name, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(27,2)) AS totacctbal
+FROM customer, nation, pos
+WHERE c_nationkey = n_nationkey
+  AND CAST(c_acctbal AS DECIMAL(18,2)) * pos.c > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY n_name
+""",
+)
+def agg_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    pos = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).cast("decimal(27,2)").alias("s"),
+        F.count(F.lit(1)).alias("c"),
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_custkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(_dec("c_acctbal") * F.col("c") > F.col("s"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("decimal(27,2)").alias("totacctbal"),
+        )
+    )
