@@ -23,7 +23,7 @@ from collections.abc import Mapping, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["stratified_sample", "cap_per_group"]
+__all__ = ["stratified_sample", "cap_per_group", "proportional_resample"]
 
 
 def _hash_hex4(id_col: Column, salt: str) -> Column:
@@ -97,4 +97,45 @@ def cap_per_group(
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
+    )
+
+
+def _hash_u32(id_col: Column, salt: str) -> Column:
+    """First 8 hex chars of md5(salt || id) as a uniform draw in
+    [0, 2^32) — integer form so data-dependent rates can be compared
+    exactly in-plan (hash · count < 2³² · target) with no float."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), id_col.cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+
+
+def proportional_resample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    *,
+    salt: str = "mix:",
+) -> DataFrame:
+    """Rebalance strata to a uniform mixture, deterministically.
+
+    Each stratum is downsampled to (approximately) the size of the
+    smallest stratum: keep iff hash(id)·count(stratum) < 2³²·min_count.
+    Unlike ``stratified_sample`` the rates are *data-dependent* — they
+    are computed inside the plan (a tiny per-stratum count aggregate
+    broadcast back onto the rows, plus a 1-row global min), so there is
+    no collect, no recompile per corpus, and re-runs on a grown corpus
+    keep/drop each old row consistently as rates drift.
+
+    Scale: the counts aggregate is map-side combinable (one row per
+    stratum); the join back is a broadcast; the filter itself is narrow.
+    The only full pass over the data is the count.
+    """
+    cnt = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    min_c = cnt.agg(F.min("__cnt").alias("__min_cnt"))
+    h = _hash_u32(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(cnt), strata_col)
+        .crossJoin(F.broadcast(min_c))
+        .filter(h * F.col("__cnt") < F.lit(4294967296) * F.col("__min_cnt"))
+        .drop("__cnt", "__min_cnt")
     )

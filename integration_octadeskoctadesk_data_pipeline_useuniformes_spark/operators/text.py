@@ -118,3 +118,41 @@ def langid(text: Column) -> Column:
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of case/whitespace-normalized text."""
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+# --- PII scrubbing -------------------------------------------------------
+# Patterns stick to the RE2 ∩ Java-regex common subset ([0-9] not \d,
+# no backreferences/lookaround) so the same literal string runs in
+# Spark and any RE2-based oracle engine.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+PII_ID_RE = r"[0-9]{6,}"
+
+#: applied in order; earlier (more specific) patterns must run first so
+#: the generic digit-run rule never eats a phone number's fragments.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (PII_EMAIL_RE, "<EMAIL>"),
+    (PII_PHONE_RE, "<PHONE>"),
+    (PII_ID_RE, "<ID>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, phone-shaped numbers, and long digit runs with
+    typed placeholder tokens. Pure narrow projection — whole-stage
+    codegen, no shuffle, linear in input size."""
+    out = text
+    for pattern, token in PII_RULES:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-pattern match counts on the RAW text (each pattern counted
+    independently, before any redaction)."""
+    return {
+        "n_email": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL_RE), 0)),
+        "n_phone": F.size(F.regexp_extract_all(text, F.lit(PII_PHONE_RE), 0)),
+        "n_id": F.size(F.regexp_extract_all(text, F.lit(PII_ID_RE), 0)),
+    }

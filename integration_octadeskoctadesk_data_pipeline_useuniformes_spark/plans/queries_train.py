@@ -1,0 +1,264 @@
+"""Training-data pipeline tier — sequence packing, corpus mixing, PII
+scrubbing, repetition-quality gating, benchmark-contamination checks.
+
+These are the dataset-construction operators a pretraining pipeline
+runs between "curated corpus" and "tokenized shards" (north-star
+extensions per BASELINE.json; no reference parity — the reference has
+no training-data surface, SURVEY §2.5).
+
+Same oracle contract as every other tier: identical column aliases in
+Spark and DuckDB, exact integer/decimal math wherever a threshold
+decides row membership (cross-multiplication instead of float rates),
+round(·, 6) doubles only in reported ratio columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as T
+from ..operators.dedup import word_shingles
+from ..operators.pack import pack_sequences
+from ..operators.sampling import proportional_resample
+from ..tables import load_table
+from .queries import register
+
+_WORDS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+# ---------------------------------------------------------------------------
+# Sequence packing — documents → fixed-budget blocks, per source shard.
+# One window shuffle keyed by source; block stats aggregate reuses the
+# same partitioning (no second wide shuffle).
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 4096  # chars per block; stands in for the token budget
+
+
+@register(
+    "x_pack_sequences",
+    f"""
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM documents
+)
+SELECT source, CAST(floor(cum_before / {_PACK_BUDGET}.0) AS BIGINT) AS block_id,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS block_chars,
+       min(doc_id) AS first_doc
+FROM c
+GROUP BY source, block_id
+""",
+)
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    packed = pack_sequences(d, "source", "doc_id", "n_chars", _PACK_BUDGET)
+    return packed.groupBy("source", "block_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("block_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture resampling — rebalance languages to a uniform mixture
+# with data-dependent rates computed inside the plan (hash·cnt <
+# 2³²·min_cnt — exact integers, no float rate, no collect).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_mixture_resample",
+    """
+WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+m AS (SELECT min(c) AS min_c FROM cnt)
+SELECT doc_id, d.lang
+FROM documents d JOIN cnt ON d.lang = cnt.lang CROSS JOIN m
+WHERE CAST(concat('0x', substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+      * cnt.c < 4294967296 * m.min_c
+""",
+)
+def x_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return proportional_resample(d, "lang", "doc_id", salt="mix:")
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — typed placeholder redaction over a mixed free-text
+# corpus (documents ∪ customer names; the names carry real digit runs).
+# Narrow projection, codegen'd, no shuffle.
+# ---------------------------------------------------------------------------
+
+
+def _pii_oracle() -> str:
+    clean = "raw"
+    for pattern, token in T.PII_RULES:
+        clean = f"regexp_replace({clean}, '{pattern}', '{token}', 'g')"
+    return f"""
+WITH corpus AS (
+  SELECT 'doc' AS src_tbl, doc_id AS rec_id, text AS raw FROM documents
+  UNION ALL
+  SELECT 'cust' AS src_tbl, c_custkey AS rec_id, c_name AS raw FROM customer
+)
+SELECT src_tbl, rec_id, {clean} AS clean_text,
+       len(regexp_extract_all(raw, '{T.PII_EMAIL_RE}')) AS n_email,
+       len(regexp_extract_all(raw, '{T.PII_PHONE_RE}')) AS n_phone,
+       len(regexp_extract_all(raw, '{T.PII_ID_RE}')) AS n_id
+FROM corpus
+"""
+
+
+@register("x_pii_redact", _pii_oracle())
+def x_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lit("doc").alias("src_tbl"), F.col("doc_id").alias("rec_id"),
+        F.col("text").alias("raw"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.lit("cust").alias("src_tbl"), F.col("c_custkey").alias("rec_id"),
+        F.col("c_name").alias("raw"),
+    )
+    corpus = docs.unionByName(cust)
+    counts = T.pii_counts(F.col("raw"))
+    return corpus.select(
+        "src_tbl",
+        "rec_id",
+        T.redact_pii(F.col("raw")).alias("clean_text"),
+        counts["n_email"].cast("long").alias("n_email"),
+        counts["n_phone"].cast("long").alias("n_phone"),
+        counts["n_id"].cast("long").alias("n_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition quality (Gopher-style) — unique-token fraction and
+# top-bigram mass per document. The keep decision compares doubles that
+# BOTH engines derive identically from the same integers, so the
+# boundary is engine-stable. Two shuffles, both keyed by doc_id.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_quality_repetition",
+    f"""
+WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+base AS (
+  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(w)) AS BIGINT) AS n_uniq
+  FROM toks
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                               i -> w[i] || ' ' || w[i+1])) AS g
+  FROM toks
+),
+cnt AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY doc_id, g),
+top AS (SELECT doc_id, max(c) AS top_c FROM cnt GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens,
+       round(CAST(n_uniq AS DOUBLE) / greatest(n_tokens, 1), 6) AS uniq_frac,
+       round(CAST(COALESCE(top_c, 0) AS DOUBLE) / greatest(n_tokens - 1, 1), 6) AS top_bigram_frac,
+       (CAST(n_uniq AS DOUBLE) / greatest(n_tokens, 1) > 0.3
+        AND CAST(COALESCE(top_c, 0) AS DOUBLE) / greatest(n_tokens - 1, 1) < 0.125) AS keep
+FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+""",
+)
+def x_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = T.words(F.col("text"))
+    base = d.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_uniq"),
+        word_shingles(F.col("text"), 2).alias("bigrams"),
+    )
+    top = (
+        base.select("doc_id", F.explode("bigrams").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    uniq_frac = F.col("n_uniq").cast("double") / F.greatest("n_tokens", F.lit(1))
+    top_frac = F.coalesce(F.col("top_c"), F.lit(0)).cast("double") / F.greatest(
+        F.col("n_tokens") - 1, F.lit(1)
+    )
+    return (
+        base.drop("bigrams")
+        .join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(uniq_frac, 6).alias("uniq_frac"),
+            F.round(top_frac, 6).alias("top_bigram_frac"),
+            ((uniq_frac > 0.3) & (top_frac < 0.125)).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination — flag training docs sharing 3-gram shingles
+# with a held-out benchmark slice (doc_id % 50 == 0 stands in for the
+# eval set). The benchmark gram set is tiny → broadcast; the corpus side
+# never shuffles its grams, only the per-doc hit counts do. The flag is
+# an integer cross-multiplication (rate ≥ 0.1 ⟺ 10·hits ≥ grams), so
+# membership never rides on a float boundary.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_contamination_3gram",
+    f"""
+WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+                                      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS grams
+  FROM toks
+),
+ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 50 = 0),
+tot AS (SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams FROM sh WHERE doc_id % 50 <> 0),
+hits AS (
+  SELECT e.doc_id, count(*) AS n_contaminated
+  FROM ex e JOIN bench b ON e.g = b.g
+  WHERE e.doc_id % 50 <> 0
+  GROUP BY e.doc_id
+)
+SELECT t.doc_id, t.n_grams,
+       CAST(COALESCE(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / greatest(t.n_grams, 1), 6)
+         AS contamination_rate,
+       (COALESCE(h.n_contaminated, 0) * 10 >= t.n_grams AND t.n_grams > 0) AS flagged
+FROM tot t LEFT JOIN hits h ON t.doc_id = h.doc_id
+""",
+)
+def x_contamination_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.select(
+        "doc_id", F.array_distinct(word_shingles(F.col("text"), 3)).alias("grams")
+    )
+    is_bench = F.col("doc_id") % 50 == 0
+    bench = (
+        sh.filter(is_bench).select(F.explode("grams").alias("g")).distinct()
+    )
+    train = sh.filter(~is_bench)
+    hits = (
+        train.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_contaminated"))
+    )
+    tot = train.select("doc_id", F.size("grams").cast("long").alias("n_grams"))
+    n_cont = F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("long")
+    return tot.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_grams",
+        n_cont.alias("n_contaminated"),
+        F.round(n_cont.cast("double") / F.greatest("n_grams", F.lit(1)), 6).alias(
+            "contamination_rate"
+        ),
+        ((n_cont * 10 >= F.col("n_grams")) & (F.col("n_grams") > 0)).alias("flagged"),
+    )
