@@ -148,3 +148,100 @@ def lsh_bucketed_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()
     )
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_cells(
+    vectors: DataFrame,
+    seeds: DataFrame,
+    n_cells: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Rank every vector's nearest coarse centroids (IVF cell list).
+
+    Returns (``id_col``, cell, cell_rank) with cell_rank 1..``n_cells``;
+    rank 1 is the vector's home cell, ranks 2+ are its probe cells.
+    Ties break on cell id, so assignment is a total function.
+
+    ``seeds`` must be small (it is broadcast): columns (seed_id,
+    seed_vec). Deterministic seeds (e.g. the K lowest-id vectors) keep
+    the whole index oracle-checkable; swapping in k-means centroids —
+    themselves computable as an iterative DataFrame aggregation — only
+    changes this input, not the operator.
+
+    Scale: corpus × K fan-out (narrow, broadcast side is K rows), then
+    one window keyed by the vector id. At 100 TB the output (id, cell)
+    table is what you'd bucket/partition the corpus BY, so later probes
+    prune to nprobe/K of the data.
+    """
+    scored = vectors.select(id_col, vec_col).crossJoin(F.broadcast(seeds))
+    cs = cosine(F.col(vec_col), F.col("seed_vec"))
+    w = Window.partitionBy(id_col).orderBy(cs.desc(), F.col("seed_id").asc())
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_cells)
+        .select(id_col, F.col("seed_id").alias("cell"), "cell_rank")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_ids: DataFrame,
+    n_seeds: int = 8,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: search only the query's ``nprobe`` nearest cells.
+
+    - coarse quantizer: the ``n_seeds`` lowest-id corpus vectors
+      (deterministic stand-in for trained centroids);
+    - every corpus vector is assigned to its home cell (cell_rank 1);
+    - each query probes its ``nprobe`` nearest cells and ranks only the
+      vectors living there: candidate work is ~nprobe/n_seeds of
+      brute force.
+
+    Returns (query_id, neighbor_id, cos_sim, rank) like cosine_topk —
+    approximate: neighbors outside the probed cells are missed (that is
+    the IVF recall trade-off).
+    """
+    seeds = corpus.filter(F.col(id_col) < n_seeds).select(
+        F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
+    )
+    assign = ivf_cells(corpus, seeds, 1, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "cell"
+    )
+    queries = corpus.join(query_ids, id_col, "left_semi")
+    probes = ivf_cells(queries, seeds, nprobe, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), "cell"
+    )
+    # home cells are disjoint, so one neighbor never arrives twice
+    cand = assign.join(F.broadcast(probes), "cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    e = corpus.select(id_col, vec_col, norm(F.col(vec_col)).alias("__n"))
+    q = e.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.col("__n").alias("__qn"),
+    )
+    c = e.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col("__n").alias("__cn"),
+    )
+    sim = F.round(
+        dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qn") * F.col("__cn")),
+        round_digits,
+    )
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -467,6 +467,61 @@ def x_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10)
 
 
+def _cos2_sql(x: str, xc: str, y: str, yc: str, dim: int = 64) -> str:
+    """Cosine of {x}.{xc} vs {y}.{yc} — same sequential fold order as
+    operators.similarity.dot, so the doubles match bit-for-bit."""
+
+    def d(p: str, pc: str, q: str, qc: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({p}.{pc}[i] AS DOUBLE) * CAST({q}.{qc}[i] AS DOUBLE)))"
+        )
+
+    return (
+        f"({d(x, xc, y, yc)} / "
+        f"(sqrt({d(x, xc, x, xc)}) * sqrt({d(y, yc, y, yc)})))"
+    )
+
+
+@register(
+    "x_ann_ivf_topk",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+s AS (SELECT vec_id AS seed_id, embedding AS semb FROM e WHERE vec_id < 8),
+ranked AS (
+  SELECT vec_id, seed_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, seed_id ASC) AS rn
+  FROM (
+    SELECT a.vec_id, s.seed_id, {_cos2_sql('a', 'embedding', 's', 'semb')} AS cs
+    FROM e a CROSS JOIN s
+  )
+),
+assign AS (SELECT vec_id AS neighbor_id, seed_id AS cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, seed_id AS cell FROM ranked
+           WHERE rn <= 2 AND vec_id BETWEEN 100 AND 104),
+cand AS (SELECT p.query_id, a.neighbor_id
+         FROM probes p JOIN assign a USING (cell)
+         WHERE a.neighbor_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({_cos2_sql('qe', 'embedding', 'ne', 'embedding')}, 6) AS cos_sim
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ne ON ne.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
+def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = emb.filter(F.col("vec_id").between(100, 104)).select("vec_id")
+    return S.ivf_topk(emb, qids, n_seeds=8, k=10, nprobe=2)
+
+
 # ---------------------------------------------------------------------------
 # multimodal binary-column pattern
 # ---------------------------------------------------------------------------

@@ -107,3 +107,35 @@ def test_approx_ndv_tracks_exact(spark):
     exact = e.select(F.count_distinct("user_id").alias("n")).collect()[0]["n"]
     approx = e.select(F.approx_count_distinct("user_id").alias("n")).collect()[0]["n"]
     assert abs(approx - exact) / exact < 0.10
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """The IVF nprobe knob trades recall for work, exactly:
+    (a) shared (query, neighbor) pairs score identically to brute force
+        (same fold order, same rounding);
+    (b) recall@10 is monotone in nprobe;
+    (c) probing ALL cells degenerates to brute force — recall 1.0."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators import (
+        similarity as S,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    qids = emb.filter(F.col("vec_id").between(100, 104)).select("vec_id")
+    brute = S.cosine_topk(emb, emb.join(qids, "vec_id", "left_semi"), k=10).collect()
+    b_scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute}
+
+    def recall(nprobe: int) -> float:
+        ivf = S.ivf_topk(emb, qids, n_seeds=8, k=10, nprobe=nprobe).collect()
+        for r in ivf:
+            key = (r["query_id"], r["neighbor_id"])
+            if key in b_scores:
+                assert r["cos_sim"] == b_scores[key]
+        pairs = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+        return len(pairs & set(b_scores)) / len(b_scores)
+
+    r2, r4, r8 = recall(2), recall(4), recall(8)
+    assert r2 <= r4 <= r8, (r2, r4, r8)
+    assert r8 == 1.0, f"nprobe=all must equal brute force, got {r8}"
+    assert r2 > 0.0
