@@ -1,0 +1,104 @@
+"""Physical-layout operators: compaction really merges files, range
+clustering really narrows per-file stats (the thing parquet skipping
+prunes on), and the Z-order key really bounds EVERY dimension per file."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+from pyspark.sql import functions as F
+
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.layout import (
+    cluster_by_zorder,
+    cluster_for_skipping,
+    compact_small_files,
+    zorder_key,
+)
+
+
+def _parquet_files(path: str) -> list[str]:
+    return sorted(glob.glob(os.path.join(path, "*.parquet")))
+
+
+def test_compact_small_files(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("v", F.col("id") * 2)
+    df.repartition(37).write.parquet(path)
+    assert len(_parquet_files(path)) == 37
+    n_files = compact_small_files(spark, path, target_rows_per_file=2_500)
+    assert n_files == 4
+    assert len(_parquet_files(path)) == 4
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).first()[0] == 2 * sum(range(10_000))
+
+
+def test_cluster_for_skipping_narrows_file_stats(spark, tmp_path):
+    path = str(tmp_path / "clustered")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    cluster_for_skipping(li, ["l_orderkey"], num_files=8).write.parquet(path)
+    files = _parquet_files(path)
+    assert len(files) >= 6  # range partitioner may merge tiny edge ranges
+    spans, bounds = [], []
+    for f in files:
+        md = pq.read_metadata(f)
+        lo = min(
+            md.row_group(i).column(0).statistics.min for i in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(i).column(0).statistics.max for i in range(md.num_row_groups)
+        )
+        spans.append(hi - lo)
+        bounds.append((lo, hi))
+    total = max(h for _, h in bounds) - min(l for l, _ in bounds)
+    # each file covers a narrow, near-disjoint slice → a range predicate
+    # on l_orderkey prunes to ~1/n of the files via footer stats alone
+    assert sum(spans) <= total * 1.25, (spans, total)
+
+
+def test_zorder_key_exact_morton():
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    # x=5 (101b), y=3 (011b), 3 bits, x at even positions, y at odd:
+    # pos0=x0=1, pos1=y0=1, pos2=x1=0, pos3=y1=1, pos4=x2=1, pos5=y2=0 → 27
+    row = (
+        spark.range(1)
+        .select(zorder_key([F.lit(5), F.lit(3)], bits=3).alias("z"))
+        .first()
+    )
+    assert row["z"] == 27
+    # clamping: negative → 0, overflow → all-ones
+    row = (
+        spark.range(1)
+        .select(
+            zorder_key([F.lit(-7), F.lit(99)], bits=3).alias("z"),
+        )
+        .first()
+    )
+    # x=0, y=7 (111b) → odd positions 1,3,5 → 2+8+32 = 42
+    assert row["z"] == 42
+
+
+def test_cluster_by_zorder_bounds_every_dimension(spark):
+    # 64×64 grid → 16 files. Lexicographic sort would give 4-column
+    # stripes (y spans the full 64 in every file); Z-order must bound
+    # BOTH dims to ~16-wide blocks per file.
+    rows = [(x, y) for x in range(64) for y in range(64)]
+    df = spark.createDataFrame(rows, "x int, y int")
+    z = cluster_by_zorder(df, ["x", "y"], num_files=16, bits=6)
+    boxes = (
+        z.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(
+            (F.max("x") - F.min("x")).alias("xs"),
+            (F.max("y") - F.min("y")).alias("ys"),
+        )
+        .collect()
+    )
+    assert len(boxes) >= 8
+    for b in boxes:
+        assert b["xs"] <= 24, boxes
+        assert b["ys"] <= 24, boxes
