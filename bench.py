@@ -31,6 +31,9 @@ HEADLINE = [
     "x_ann_cosine_topk",
     "x_text_quality",
     "x_curation_pipeline",
+    "agg_regional_revenue",
+    "x_pack_sequences",
+    "x_ann_ivf_topk",
 ]
 
 
