@@ -1,0 +1,253 @@
+"""Engine function breadth — window functions, set operations, grouped
+percentiles, and scalar string/date batteries.
+
+The reference uses none of these (SURVEY §2.6 "None", §2.8 union only),
+but a complete warehouse replacement needs them: this module pins the
+full window/set/scalar surface to DuckDB oracles so every function's
+semantics (ordering, tie-breaks, null handling, numbering conventions)
+is locked cross-engine, not just "runs without error".
+
+Portability rules baked into each query:
+- every window ORDER BY is a total order (ties broken by a key column),
+  otherwise percent_rank/ntile/lag are nondeterministic;
+- percentile() (exact linear interpolation) matches DuckDB
+  quantile_cont bit-for-bit on the same doubles — verified, no round();
+- string functions stick to the shared-name/shared-semantics subset
+  (strpos is spelled instr in Spark; both return 1-based, 0 = absent);
+- date parts avoid dayofweek (Spark counts Sunday=1, DuckDB Sunday=0) —
+  the battery pins the portable parts instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .queries import register
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_window_running_total",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(27,2)) AS running_total,
+       row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS order_seq
+FROM orders
+""",
+)
+def fn_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("decimal(27,2)")
+        .alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@register(
+    "fn_window_lag_gap",
+    """
+SELECT event_id, user_id, ts,
+       date_diff('microsecond',
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                 ts) AS gap_us
+FROM events WHERE event_type = 'purchase'
+""",
+)
+def fn_window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # gap in MICROSECONDS: at native precision "elapsed units" and
+    # "boundaries crossed" coincide, so Spark's timestampdiff and
+    # DuckDB's date_diff agree. At coarser units they don't (Spark
+    # truncates elapsed time, DuckDB counts boundary crossings —
+    # .999→.001 is 0 elapsed seconds but 1 boundary), so any
+    # coarser-grained gap must divide this value, not re-diff.
+    gap = F.expr("timestampdiff(MICROSECOND, __prev, ts)")
+    return (
+        e.select("event_id", "user_id", "ts", prev.alias("__prev"))
+        .withColumn("gap_us", gap)
+        .drop("__prev")
+    )
+
+
+@register(
+    "fn_window_rank_tiles",
+    """
+SELECT c_custkey, c_nationkey,
+       round(percent_rank() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal, c_custkey), 6) AS bal_pr,
+       ntile(4) OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal, c_custkey) AS bal_quartile,
+       cume_dist() OVER (PARTITION BY c_nationkey
+             ORDER BY c_acctbal, c_custkey) AS bal_cd
+FROM customer
+""",
+)
+def fn_window_rank_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pr"),
+        F.ntile(4).over(w).alias("bal_quartile"),
+        F.cume_dist().over(w).alias("bal_cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations — INTERSECT / EXCEPT (distinct semantics both engines).
+# Both inputs are tiny distinct nation sets → broadcast-friendly; at
+# scale these plan as semi/anti joins over the distinct aggregates.
+# ---------------------------------------------------------------------------
+
+_RICH_SUPP = """
+SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal > 9000
+"""
+_RICH_CUST = """
+SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > 9900
+"""
+
+
+def _rich_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    n = load_table(spark, sf_dir, "nation")
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+        .distinct()
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9900)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+        .distinct()
+    )
+    return s, c
+
+
+@register("fn_set_intersect", f"{_RICH_SUPP} INTERSECT {_RICH_CUST}")
+def fn_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s, c = _rich_sides(spark, sf_dir)
+    return s.intersect(c)
+
+
+@register("fn_set_except", f"{_RICH_SUPP} EXCEPT {_RICH_CUST}")
+def fn_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s, c = _rich_sides(spark, sf_dir)
+    return s.exceptAll(c).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact percentiles — Spark percentile() and DuckDB
+# quantile_cont both do linear interpolation on sorted values; on the
+# same doubles the results agree bit-for-bit (verified), so no rounding
+# is needed. Scale path: percentile_approx with bounded error — see
+# tests/test_fn_ops.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_value_percentiles",
+    """
+SELECT event_type,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.95) AS p95,
+       count(*) AS n
+FROM events GROUP BY event_type
+""",
+)
+def agg_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar batteries — one narrow projection each, whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_string_battery",
+    """
+SELECT c_custkey,
+       upper(c_name) AS up,
+       substr(c_name, 1, 8) AS pre,
+       replace(c_name, 'Customer', 'Cliente') AS repl,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS pad,
+       reverse(c_name) AS rev,
+       length(c_name) AS len,
+       strpos(c_name, '#') AS hashpos,
+       translate(c_name, '0123456789', 'abcdefghij') AS tr,
+       nullif(c_mktsegment, 'BUILDING') AS seg_or_null,
+       greatest(c_acctbal, 0.0) AS bal_floor
+FROM customer
+""",
+)
+def fn_string_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.substring("c_name", 1, 8).alias("pre"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cliente")).alias("repl"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("pad"),
+        F.reverse("c_name").alias("rev"),
+        F.length("c_name").cast("long").alias("len"),
+        F.instr(F.col("c_name"), "#").cast("long").alias("hashpos"),
+        F.translate(F.col("c_name"), "0123456789", "abcdefghij").alias("tr"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_or_null"),
+        F.greatest(F.col("c_acctbal"), F.lit(0.0)).alias("bal_floor"),
+    )
+
+
+@register(
+    "fn_date_battery",
+    """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(day(o_orderdate) AS INT) AS d,
+       CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+       o_orderdate + INTERVAL 3 DAY AS plus3d,
+       date_diff('day', TIMESTAMP '1995-01-01 00:00:00', o_orderdate) AS days_since_epoch_start
+FROM orders
+""",
+)
+def fn_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.dayofmonth("o_orderdate").cast("int").alias("d"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("plus3d"),
+        F.expr(
+            "timestampdiff(DAY, TIMESTAMP_NTZ '1995-01-01 00:00:00', o_orderdate)"
+        ).alias("days_since_epoch_start"),
+    )
