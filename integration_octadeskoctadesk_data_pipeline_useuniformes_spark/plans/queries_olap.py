@@ -381,10 +381,13 @@ def agg_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Q2 shape — cheapest observed offer per small part, all tying
-# suppliers kept, join-back on the group minimum. The offers aggregate
-# shuffles once on (partkey, suppkey); the per-part minimum reuses that
-# partitioning (no second wide shuffle); the final order has a full
-# tie-break so LIMIT is deterministic.
+# suppliers kept, join-back on the group minimum. Two exchanges by
+# design: the offers aggregate combines map-side first (the shuffle
+# carries one row per distinct (partkey, suppkey), not per line item —
+# the dominant reduction), then the per-part minimum re-keys the small
+# aggregated set by partkey alone ((pk, sk) hashing cannot serve a
+# pk-only window). The final order has a full tie-break so LIMIT is
+# deterministic and plans as TakeOrderedAndProject.
 # ---------------------------------------------------------------------------
 
 

