@@ -539,3 +539,114 @@ def agg_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("decimal(27,2)").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6 shape — forecasting revenue change: single-table scan-dominated
+# aggregate; every predicate reaches the parquet scan, no join, no
+# shuffle beyond the 1-row final agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_forecast_revenue",
+    """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(27,4)) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24
+""",
+)
+def agg_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & F.col("l_discount").between(0.02, 0.04)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("decimal(27,4)")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape — conditional CASE-sum aggregation: orders bucketed into
+# high/low priority classes per line status. One join, one group-by;
+# the CASE folds into the aggregate buffer (no second pass).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_priority_class_counts",
+    """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+GROUP BY l_linestatus
+""",
+)
+def agg_priority_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linestatus", "l_shipdate"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape — top supplier(s) by period revenue: aggregate, then keep
+# every supplier matching the global max (scalar-aggregate broadcast;
+# ties all kept, so no LIMIT nondeterminism).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_top_supplier_revenue",
+    f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum({_REV_SQL}) AS DECIMAL(27,4)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+)
+def agg_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).cast("decimal(27,4)").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("__mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
