@@ -60,6 +60,28 @@ def incremental_ingest(
     return writer.start()
 
 
+def enrich_stream(
+    stream: DataFrame,
+    dimension: DataFrame,
+    on: str,
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static enrichment join (the streaming twin of J2, reference
+    main.py:91 — attach dimension attributes to each arriving record).
+
+    Spark plans a stream-static join as a per-micro-batch join against
+    the CURRENT static relation: the dimension is re-resolved every
+    batch, so a slowly-changing dimension table updated between batches
+    is picked up without restarting the query (pinned by test). The
+    static side is broadcast when small — no streaming state is kept at
+    all, unlike a stream-stream join.
+
+    At 100 TB of stream history this is the only join shape whose cost
+    is O(batch), independent of total ingested volume.
+    """
+    return stream.join(F.broadcast(dimension), on, how)
+
+
 def windowed_event_counts(
     events: DataFrame,
     event_time: str = "ts",

@@ -171,3 +171,62 @@ def test_sessionize_stateful(spark, tmp_path):
     }
     assert ("u1", "11:00", "11:00", 1) in got2
     assert ("u2", "10:30", "10:30", 1) in got2
+
+
+def test_stream_static_enrich_rereads_dimension_each_batch(spark, tmp_path):
+    """Stream-static join must resolve the dimension PER MICRO-BATCH:
+    rows arriving after a dimension update see the new attributes, with
+    no query restart and no streaming state."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.incremental import (
+        enrich_stream,
+    )
+
+    landing = tmp_path / "landing2"
+    landing.mkdir()
+    dim_path = str(tmp_path / "dim")
+    out_path = str(tmp_path / "enriched")
+    ckpt = str(tmp_path / "ckpt2")
+
+    spark.createDataFrame(
+        [("1", "Bronze"), ("2", "Silver")], "n_ticket string, tier string"
+    ).write.parquet(dim_path)
+
+    def run_batch():
+        stream = spark.readStream.schema(SCHEMA).json(str(landing))
+        dim = spark.read.parquet(dim_path)
+        q = (
+            enrich_stream(stream, dim, on="n_ticket")
+            .writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _write_batch(
+        landing,
+        "e1.jsonl",
+        [{"n_ticket": "1", "status_ticket": "Aberto", "createdAt": "2024-01-01T10:00:00"}],
+    )
+    run_batch()
+
+    # dimension evolves between batches (SCD overwrite)
+    spark.createDataFrame(
+        [("1", "Gold"), ("2", "Silver")], "n_ticket string, tier string"
+    ).write.mode("overwrite").parquet(dim_path)
+    _write_batch(
+        landing,
+        "e2.jsonl",
+        [{"n_ticket": "1", "status_ticket": "Aberto", "createdAt": "2024-01-02T10:00:00"}],
+    )
+    run_batch()
+
+    rows = {
+        (r["createdAt"], r["tier"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert rows == {
+        ("2024-01-01T10:00:00", "Bronze"),  # joined against the old dim
+        ("2024-01-02T10:00:00", "Gold"),    # later batch sees the update
+    }
