@@ -14,7 +14,7 @@ round(·, 6) doubles only in reported ratio columns.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import text as T
@@ -261,4 +261,77 @@ def x_contamination_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contamination_rate"
         ),
         ((n_cont * 10 >= F.col("n_grams")) & (F.col("n_grams") > 0)).alias("flagged"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training pipeline — quality gate → fingerprint dedup →
+# mixture resample → sequence pack, ONE lazy plan (the training-tier
+# analogue of x_curation_pipeline). The mixture rates are computed on
+# the deduped survivors INSIDE the plan, so the whole pipeline stays a
+# pure function of the corpus: no collect, no recompile, rerunnable on
+# a grown corpus with consistent per-row decisions. The dedup window
+# and the rate aggregate share the fingerprint-keyed exchange (AQE
+# exchange reuse); the final pack is one window per source shard.
+# ---------------------------------------------------------------------------
+
+_PIPE_BUDGET = 4096
+
+
+@register(
+    "x_train_pipeline",
+    f"""
+WITH gated AS (
+  SELECT doc_id, lang, source, n_chars,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+  WHERE CAST(len(list_distinct({_WORDS_SQL})) AS DOUBLE)
+        / greatest(len({_WORDS_SQL}), 1) > 0.3
+),
+deduped AS (
+  SELECT doc_id, lang, source, n_chars FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM gated
+  ) WHERE rn = 1
+),
+cnt AS (SELECT lang, count(*) AS c FROM deduped GROUP BY lang),
+m AS (SELECT min(c) AS min_c FROM cnt),
+mixed AS (
+  SELECT d.doc_id, d.source, d.n_chars
+  FROM deduped d JOIN cnt ON d.lang = cnt.lang CROSS JOIN m
+  WHERE CAST(concat('0x', substr(md5(concat('mix:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+        * cnt.c < 4294967296 * m.min_c
+),
+packed AS (
+  SELECT source, doc_id, n_chars,
+         COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM mixed
+)
+SELECT source, CAST(floor(cum_before / {_PIPE_BUDGET}.0) AS BIGINT) AS block_id,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS block_chars
+FROM packed GROUP BY source, block_id
+""",
+)
+def x_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = T.words(F.col("text"))
+    uniq_frac = F.size(F.array_distinct(w)).cast("double") / F.greatest(
+        F.size(w), F.lit(1)
+    )
+    gated = d.filter(uniq_frac > 0.3).select(
+        "doc_id", "lang", "source", "n_chars", T.fingerprint(F.col("text")).alias("fp")
+    )
+    rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+    deduped = (
+        gated.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
+    mixed = proportional_resample(deduped, "lang", "doc_id", salt="mix:").select(
+        "doc_id", "source", "n_chars"
+    )
+    packed = pack_sequences(mixed, "source", "doc_id", "n_chars", _PIPE_BUDGET)
+    return packed.groupBy("source", "block_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("block_chars"),
     )
