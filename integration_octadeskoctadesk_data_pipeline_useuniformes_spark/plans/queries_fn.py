@@ -245,7 +245,13 @@ def fn_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate").cast("int").alias("y"),
         F.month("o_orderdate").cast("int").alias("m"),
         F.dayofmonth("o_orderdate").cast("int").alias("d"),
-        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        # NOT date_trunc: Spark's date_trunc yields a session-tz LTZ
+        # timestamp (NTZ input is converted through the session zone,
+        # shifting wall-clock values and breaking in DST gaps);
+        # make_timestamp_ntz is pure wall-clock arithmetic
+        F.expr(
+            "make_timestamp_ntz(year(o_orderdate), month(o_orderdate), 1, 0, 0, 0)"
+        ).alias("month_start"),
         (F.col("o_orderdate") + F.expr("INTERVAL 3 DAYS")).alias("plus3d"),
         F.expr(
             "timestampdiff(DAY, TIMESTAMP_NTZ '1995-01-01 00:00:00', o_orderdate)"
