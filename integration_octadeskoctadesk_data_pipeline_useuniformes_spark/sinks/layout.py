@@ -23,7 +23,13 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["compact_small_files", "cluster_for_skipping", "zorder_key", "cluster_by_zorder"]
+__all__ = [
+    "compact_small_files",
+    "cluster_for_skipping",
+    "zorder_key",
+    "cluster_by_zorder",
+    "write_bucketed",
+]
 
 
 def compact_small_files(
@@ -52,6 +58,28 @@ def compact_small_files(
     os.rename(tmp, path)
     shutil.rmtree(old)
     return n_files
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    num_buckets: int,
+    sort: bool = True,
+) -> None:
+    """Persist as a bucketed (and bucket-sorted) catalog table.
+
+    Bucketing pre-shuffles ONCE at write time: two tables bucketed by
+    the same key into the same bucket count join with NO exchange at
+    read time (and no sort either, when bucket-sorted) — the decisive
+    layout for fact-to-fact joins repeated across many queries, where
+    per-query shuffling of the big side would dominate at 100 TB.
+    Aggregations on the bucket key equally skip their exchange.
+    """
+    w = df.write.format("parquet").bucketBy(num_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.mode("overwrite").saveAsTable(table)
 
 
 def cluster_for_skipping(

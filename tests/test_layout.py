@@ -102,3 +102,48 @@ def test_cluster_by_zorder_bounds_every_dimension(spark):
     for b in boxes:
         assert b["xs"] <= 24, boxes
         assert b["ys"] <= 24, boxes
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed by the join key on the same bucket count must
+    join with NO shuffle and NO per-query sort — the write-once
+    co-location that makes repeated fact-to-fact joins affordable."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.layout import (
+        write_bucketed,
+    )
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bktdb LOCATION '{tmp_path}/wh'")
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the join strategy decision onto bucketing, not broadcast
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        write_bucketed(o, "bktdb.orders_b", "o_orderkey", 4)
+        write_bucketed(li, "bktdb.lineitem_b", "l_orderkey", 4)
+        j = spark.table("bktdb.lineitem_b").join(
+            spark.table("bktdb.orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        tree = (
+            spark._jvm.PythonSQLUtils.explainString(
+                j._jdf.queryExecution(), "formatted"
+            ).split("\n\n", 1)[0]
+        )
+        assert "SortMergeJoin" in tree, tree
+        assert "Exchange" not in tree, tree
+        assert j.count() == li.count()  # inner join, every line has its order
+        # bonus: groupBy on the bucket key also skips its exchange
+        agg_tree = (
+            spark._jvm.PythonSQLUtils.explainString(
+                spark.table("bktdb.lineitem_b")
+                .groupBy("l_orderkey")
+                .count()
+                ._jdf.queryExecution(),
+                "formatted",
+            ).split("\n\n", 1)[0]
+        )
+        assert "Exchange" not in agg_tree, agg_tree
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
