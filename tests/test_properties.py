@@ -1,0 +1,100 @@
+"""Model-based property tests (hypothesis): the distributed operators
+must agree with a direct single-threaded Python model on arbitrary
+inputs — partitioning, order, and cluster layout must never change a
+result that is defined to be a pure function of the data."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.pack import (
+    pack_sequences,
+)
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.sampling import (
+    proportional_resample,
+)
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.layout import (
+    zorder_key,
+)
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=40),
+    budget=st.integers(min_value=1, max_value=200),
+)
+@_SETTINGS
+def test_pack_sequences_matches_python_model(spark, sizes, budget):
+    rows = [("g", i, s) for i, s in enumerate(sizes)]
+    df = spark.createDataFrame(rows, "g string, i int, size int")
+    got = {
+        r["i"]: r["block_id"]
+        for r in pack_sequences(df.repartition(3), "g", "i", "size", budget).collect()
+    }
+    cum = 0
+    for i, s in enumerate(sizes):
+        assert got[i] == cum // budget, (i, sizes, budget, got)
+        cum += s
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1023),
+            st.integers(min_value=0, max_value=1023),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SETTINGS
+def test_zorder_key_matches_python_model(spark, pairs):
+    def morton(x: int, y: int, bits: int = 10) -> int:
+        out = 0
+        for j in range(bits):
+            out |= ((x >> j) & 1) << (2 * j)
+            out |= ((y >> j) & 1) << (2 * j + 1)
+        return out
+
+    df = spark.createDataFrame(pairs, "x int, y int")
+    got = df.select(
+        "x", "y", zorder_key([F.col("x"), F.col("y")], bits=10).alias("z")
+    ).collect()
+    for r in got:
+        assert r["z"] == morton(r["x"], r["y"]), r
+
+
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=2, max_size=60, unique=True
+    ),
+    n_strata=st.integers(min_value=1, max_value=4),
+)
+@_SETTINGS
+def test_proportional_resample_matches_python_model(spark, ids, n_strata):
+    rows = [(i, f"s{i % n_strata}") for i in ids]
+    df = spark.createDataFrame(rows, "id long, s string")
+    kept = {
+        r["id"] for r in proportional_resample(df.repartition(5), "s", "id").collect()
+    }
+
+    counts: dict[str, int] = {}
+    for _, s in rows:
+        counts[s] = counts.get(s, 0) + 1
+    min_c = min(counts.values())
+    expect = set()
+    for i, s in rows:
+        h = int(hashlib.md5(f"mix:{i}".encode()).hexdigest()[:8], 16)
+        if h * counts[s] < (1 << 32) * min_c:
+            expect.add(i)
+    assert kept == expect, (sorted(kept ^ expect), counts)
