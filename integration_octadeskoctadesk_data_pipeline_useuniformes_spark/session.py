@@ -68,7 +68,11 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.session.timeZone", session_tz)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode executors share the driver JVM: with local[32] an 8g
+        # heap is ~250 MB/task slot and GC-bound once shuffles grow; the
+        # bench host has 128 GiB, so default higher and let the env
+        # override downward on smaller machines
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
     )
     for key, value in RUNTIME_CONFS.items():
