@@ -31,7 +31,12 @@ import time
 from dataclasses import dataclass
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 from .windows import MIN_SPLIT, bisect_window, split_windows
@@ -173,9 +178,75 @@ class RestReader(DataSourceReader):
             yield tuple(rec.get(name) for name in self.fields)
 
 
+class RestStreamReader(SimpleDataSourceStreamReader):
+    """Incremental (streaming) variant of the same source: the offset is
+    a createdAt cursor; each micro-batch fetches [cursor, horizon) where
+    the horizon is the endpoint's current high-watermark (here: the day
+    after the newest landed file; for a real API, server time).
+
+    This is the reference's 5-day-lookback loop (main.py:40) turned into
+    an exactly-once source: the cursor lives in the streaming offset log,
+    ``readBetweenOffsets`` replays any window deterministically on
+    recovery, and downstream watermark+dropDuplicates (see
+    streaming/incremental.py) absorbs the records the reference re-reads
+    on purpose.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.root = options["path"]
+        self.start = datetime.fromisoformat(options["start"])
+        self.limit = int(options.get("limit", 100))
+        self.fields = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"cursor": self.start.isoformat()}
+
+    def _horizon(self) -> datetime:
+        newest = None
+        for fn in os.listdir(self.root):
+            if fn.endswith(".jsonl"):
+                try:
+                    day = datetime.fromisoformat(fn[: -len(".jsonl")])
+                except ValueError:
+                    continue
+                newest = day if newest is None else max(newest, day)
+        if newest is None:
+            return self.start
+        return newest + timedelta(days=1)
+
+    def _fetch(self, start: datetime, end: datetime):
+        # a list ITERATOR, not a generator: the simple stream API
+        # prefetches through the returned iterator and pickles the
+        # remainder into its cache so the micro-batch is replayable
+        # even if the endpoint moves on; generators can't pickle
+        endpoint = FileBackedEndpoint(self.root)
+        rows: list[tuple] = []
+        # same day-granular windows the batch reader partitions by
+        # (the endpoint serves one request per day, S4)
+        for s, e in split_windows(start, end, timedelta(days=1)):
+            for rec in fetch_window(endpoint, s, e, limit=self.limit):
+                rows.append(tuple(rec.get(name) for name in self.fields))
+        return iter(rows)
+
+    def read(self, start: dict):
+        cursor = datetime.fromisoformat(start["cursor"])
+        horizon = self._horizon()
+        if horizon <= cursor:
+            return iter([]), start
+        return self._fetch(cursor, horizon), {"cursor": horizon.isoformat()}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return self._fetch(
+            datetime.fromisoformat(start["cursor"]),
+            datetime.fromisoformat(end["cursor"]),
+        )
+
+
 class RestDataSource(DataSource):
     """spark.read.format("octadesk_rest") — registered via
-    ``spark.dataSource.register(RestDataSource)``."""
+    ``spark.dataSource.register(RestDataSource)``. Batch reads via
+    ``reader`` (windowed partitions); incremental tail reads via
+    ``spark.readStream.format("octadesk_rest")`` (cursor offsets)."""
 
     @classmethod
     def name(cls) -> str:
@@ -186,3 +257,6 @@ class RestDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return RestReader(schema, self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> RestStreamReader:
+        return RestStreamReader(schema, self.options)

@@ -118,3 +118,47 @@ def test_datasource_via_spark(spark, api_root):
         .load()
     )
     assert df2.count() == 250
+
+
+def test_streaming_tail_reads_incrementally(spark, tmp_path):
+    """The streaming reader must (a) pick up everything behind the
+    cursor on the first micro-batch, (b) advance the cursor, and
+    (c) deliver ONLY newly-landed records on the next batch — no
+    duplicates, no gaps, across separately-started queries (the offset
+    survives in the checkpoint)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sources.rest_source import (
+        RestDataSource,
+    )
+
+    root = tmp_path / "api"
+    root.mkdir()
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_day(root, "2024-01-01", 5)
+    _write_day(root, "2024-01-02", 3)
+
+    spark.dataSource.register(RestDataSource)
+
+    def drain():
+        q = (
+            spark.readStream.format("octadesk_rest")
+            .option("path", str(root))
+            .option("start", "2024-01-01T00:00:00")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    drain()
+    first = spark.read.parquet(out)
+    assert first.count() == 8
+
+    _write_day(root, "2024-01-03", 4)  # late-landing day
+    drain()
+    final = spark.read.parquet(out)
+    assert final.count() == 12
+    assert final.select("id").distinct().count() == 12  # exactly-once
