@@ -55,14 +55,19 @@ def main() -> None:
         regs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
 
-    # second pass: steady-state numbers. The cold pass above pays ~2 s of
-    # whole-stage-codegen compilation per distinct query — a one-time cost
-    # a long-running cluster job amortizes to zero, so report both.
+    # steady-state numbers: best of two further passes per query. The
+    # cold pass above pays ~2 s of whole-stage-codegen compilation per
+    # distinct query — a one-time cost a long-running cluster job
+    # amortizes to zero — and single warm runs still jitter with GC, so
+    # min-of-2 is the stable steady-state estimate. Both are reported.
     warm: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        regs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        warm[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            regs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        warm[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
     print(
