@@ -257,3 +257,65 @@ def fn_date_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timestampdiff(DAY, TIMESTAMP_NTZ '1995-01-01 00:00:00', o_orderdate)"
         ).alias("days_since_epoch_start"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all grouping-set combinations in one pass (the companion of
+# agg_rollup_status_priority; Spark expands the sets map-side, one
+# shuffle for all 4 granularities).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cube_status_segment",
+    """
+SELECT o_orderstatus, c_mktsegment,
+       GROUPING(o_orderstatus, c_mktsegment) AS lvl,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE(o_orderstatus, c_mktsegment)
+""",
+)
+def agg_cube_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .cube("o_orderstatus", "c_mktsegment")
+        .agg(F.grouping_id().alias("lvl"), F.count(F.lit(1)).alias("n_orders"))
+        .select("o_orderstatus", "c_mktsegment", "lvl", "n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT (melt) — wide measures → long (measure, value) pairs; the
+# inverse of the pivot operator (C13). Narrow map (each row emits k
+# rows in-place), no shuffle; the oracle is the portable UNION ALL
+# formulation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_unpivot_measures",
+    """
+SELECT l_orderkey, l_linenumber, measure, value FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+)
+""",
+)
+def fn_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        [
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("extendedprice"),
+            F.col("l_discount").alias("discount"),
+        ],
+        "measure",
+        "value",
+    )
