@@ -150,6 +150,55 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multiprobe LSH: each query probes its own bucket PLUS every
+    bucket at Hamming distance 1 (one plane's sign flipped) — the
+    standard recall fix for hyperplane LSH, since a near neighbor most
+    often differs in exactly one marginal plane.
+
+    Work grows only on the (tiny, broadcast) query side: the probe list
+    explodes to num_planes+1 bucket keys per query; the corpus is still
+    bucketed once by a narrow map and never re-shuffled. Corpus vectors
+    live in exactly one bucket, so a candidate can't arrive twice.
+    """
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        norm(F.col(vec_col)).alias("__cn"),
+        lsh_bucket(F.col(vec_col), dim, num_planes).alias("bucket"),
+    )
+    home = lsh_bucket(F.col(vec_col), dim, num_planes)
+    probes = F.array(home, *[home.bitwiseXOR(F.lit(1 << p)) for p in range(num_planes)])
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        norm(F.col(vec_col)).alias("__qn"),
+        F.explode(probes).alias("bucket"),
+    )
+    sim = F.round(
+        dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qn") * F.col("__cn")),
+        round_digits,
+    )
+    scored = (
+        cb.join(F.broadcast(qb), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_cells(
     vectors: DataFrame,
     seeds: DataFrame,

@@ -522,6 +522,37 @@ def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, qids, n_seeds=8, k=10, nprobe=2)
 
 
+def _multiprobe_list_sql(num_planes: int = 8) -> str:
+    probes = ", ".join(f"xor(bucket, {1 << p})" for p in range(num_planes))
+    return f"[bucket, {probes}]"
+
+
+@register(
+    "x_ann_lsh_multiprobe_topk",
+    f"""
+WITH bk AS (SELECT vec_id, embedding, {_lsh_bucket_sql()} AS bucket FROM embeddings),
+qp AS (
+  SELECT vec_id AS query_id, embedding AS qemb,
+         unnest({_multiprobe_list_sql()}) AS bucket
+  FROM bk WHERE vec_id < 5
+),
+scored AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+         round({_cos2_sql('a', 'embedding', 'q', 'qemb')}, 6) AS cos_sim
+  FROM bk a JOIN qp q ON a.bucket = q.bucket AND a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
+def x_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_multiprobe_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10)
+
+
 # ---------------------------------------------------------------------------
 # multimodal binary-column pattern
 # ---------------------------------------------------------------------------

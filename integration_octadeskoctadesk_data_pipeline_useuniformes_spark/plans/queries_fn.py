@@ -319,3 +319,41 @@ def fn_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL-semantics battery — the behaviors engines silently disagree on:
+# count(*) vs count(col), DISTINCT over nulls, three-valued equality
+# (= returning UNKNOWN) vs null-safe IS NOT DISTINCT FROM. Pinned per
+# nation so the whole matrix is exercised on real group sizes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_null_battery",
+    """
+WITH t AS (SELECT c_nationkey, nullif(c_mktsegment, 'BUILDING') AS seg FROM customer)
+SELECT c_nationkey,
+       count(*) AS n_rows,
+       count(seg) AS n_seg,
+       count(DISTINCT seg) AS n_distinct_seg,
+       sum(CASE WHEN (seg = 'AUTOMOBILE') IS NULL THEN 1 ELSE 0 END) AS n_eq_unknown,
+       sum(CASE WHEN seg IS NOT DISTINCT FROM 'AUTOMOBILE' THEN 1 ELSE 0 END) AS n_eq_nullsafe
+FROM t GROUP BY c_nationkey
+""",
+)
+def fn_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    t = c.select(
+        "c_nationkey", F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg")
+    )
+    eq_plain = F.col("seg") == "AUTOMOBILE"
+    return t.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("seg").alias("n_seg"),
+        F.count_distinct("seg").alias("n_distinct_seg"),
+        F.sum(F.when(eq_plain.isNull(), 1).otherwise(0)).alias("n_eq_unknown"),
+        F.sum(
+            F.when(F.col("seg").eqNullSafe(F.lit("AUTOMOBILE")), 1).otherwise(0)
+        ).alias("n_eq_nullsafe"),
+    )

@@ -139,3 +139,29 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert r2 <= r4 <= r8, (r2, r4, r8)
     assert r8 == 1.0, f"nprobe=all must equal brute force, got {r8}"
     assert r2 > 0.0
+
+
+def test_lsh_multiprobe_dominates_single_bucket(spark):
+    """Probing Hamming-distance-1 buckets must never lose a candidate
+    the single-bucket probe had, and recall@10 vs brute force must not
+    decrease (on these fixtures it jumps from ~0 to >0)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators import (
+        similarity as S,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk(emb, q, k=10).collect()
+    }
+    single = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.lsh_bucketed_topk(emb, q, dim=64, k=10).collect()
+    }
+    multi_rows = S.lsh_multiprobe_topk(emb, q, dim=64, k=10).collect()
+    multi = {(r["query_id"], r["neighbor_id"]) for r in multi_rows}
+    assert len(multi & brute) >= len(single & brute)
+    # exactly-once candidates: (query, neighbor) pairs never duplicate
+    assert len(multi_rows) == len(multi)
