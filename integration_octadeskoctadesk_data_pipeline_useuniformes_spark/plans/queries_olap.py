@@ -650,3 +650,143 @@ def agg_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape — promo revenue share for one ship month: a scan-dominated
+# join where only the month's lineitem slice (pushed to the parquet
+# scan) ever reaches the part join; part projects two columns and
+# broadcasts. The CASE folds into the aggregate buffer — one pass, no
+# second scan for the denominator.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_promo_revenue_share",
+    f"""
+SELECT round(CAST(100 * sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
+                                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum({_REV_SQL}) AS DOUBLE), 6) AS promo_revenue,
+       CAST(sum({_REV_SQL}) AS DECIMAL(27,4)) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+""",
+)
+def agg_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    zero = F.lit(0).cast("decimal(18,2)")
+    vol = _revenue().alias("vol")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(vol, "p_type")
+    num = F.sum(F.when(F.col("p_type") == "PROMO", F.col("vol")).otherwise(zero))
+    den = F.sum(F.col("vol"))
+    return joined.agg(
+        F.round(F.lit(100) * num.cast("double") / den.cast("double"), 6).alias(
+            "promo_revenue"
+        ),
+        den.cast("decimal(27,4)").alias("total_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape — "important stock" HAVING vs a global scalar: per-part
+# revenue kept only when it exceeds FRACTION of total revenue. (No
+# partsupp table in the fixtures; revenue stands in for stock value —
+# the plan shape is identical: one grouped aggregate, one global
+# scalar aggregate over the SAME grouped result reused via a broadcast
+# cross join, cross-multiplied decimal threshold so no float compare.)
+# Scale: the grouped aggregate shuffles once on l_partkey; the scalar
+# total re-aggregates the (already tiny) per-part result, not the base
+# table, and broadcasts one row.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_important_parts",
+    f"""
+WITH per_part AS (
+  SELECT l_partkey, CAST(sum({_REV_SQL}) AS DECIMAL(27,4)) AS part_value
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, part_value
+FROM per_part
+WHERE CAST(part_value AS DECIMAL(38,4)) * 2000
+      > (SELECT CAST(sum(part_value) AS DECIMAL(38,4)) FROM per_part)
+""",
+)
+def agg_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(_revenue()).cast("decimal(27,4)").alias("part_value")
+    )
+    total = per_part.agg(
+        F.sum("part_value").cast("decimal(38,4)").alias("__total")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value").cast("decimal(38,4)") * 2000 > F.col("__total"))
+        .select("l_partkey", "part_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape — dominant suppliers: (part, supplier) pairs whose 1996
+# shipped quantity exceeds half that part's total across ALL suppliers,
+# then join back to supplier names. The correlated "> 0.5 * sum(...)"
+# becomes: aggregate at (part, supp) grain once, re-aggregate that
+# small result to part grain (rollup of partials — no second base-table
+# scan), equi-join the two on partkey, integer cross-multiplication
+# (2·pair > total) instead of a float threshold.
+# Scale: one shuffle on (l_partkey, l_suppkey); the part-grain rollup
+# and the final supplier join-back both move only aggregated rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_dominant_suppliers",
+    """
+WITH pair AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(l_quantity) AS DECIMAL(27,2)) AS pair_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey, CAST(sum(pair_qty) AS DECIMAL(38,2)) AS part_qty,
+         count(*) AS n_suppliers
+  FROM pair GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, pair.l_partkey, pair_qty, part_qty
+FROM pair
+JOIN per_part ON pair.l_partkey = per_part.l_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE n_suppliers > 1
+  AND CAST(pair_qty AS DECIMAL(38,2)) * 2 > part_qty
+""",
+)
+def agg_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").cast("decimal(27,2)").alias("pair_qty")
+    )
+    per_part = pair.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.sum("pair_qty").cast("decimal(38,2)").alias("part_qty"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        pair.join(per_part, pair.l_partkey == F.col("__pk"))
+        .filter(
+            (F.col("n_suppliers") > 1)
+            & (F.col("pair_qty").cast("decimal(38,2)") * 2 > F.col("part_qty"))
+        )
+        .join(F.broadcast(s), pair.l_suppkey == s.s_suppkey)
+        .select("s_suppkey", "s_name", "l_partkey", "pair_qty", "part_qty")
+    )
