@@ -1,0 +1,321 @@
+"""Retrieval tier — corpus indexing/search operators a training-data
+pipeline runs next to dedup and quality gating (extension of the
+BASELINE.json north-star set): TF-IDF term weighting, BM25 keyword
+search, overlapping document chunking, and int8 embedding quantization
+for memory-bounded ANN.
+
+Exactness contract: every hash-compared value is either an integer, a
+string, or a double produced by the SAME IEEE-754 expression tree on
+both engines (no transcendentals, no float aggregates whose summation
+order could differ — see the per-query notes). Where a textbook formula
+uses log() (idf), a monotone rational surrogate keeps the ranking
+while staying bit-exact cross-engine.
+
+Scale notes per query; the common theme: one shuffle at the finest
+aggregation grain, global statistics re-aggregated from that grain (not
+from the base table), and single-row/tiny side inputs broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .queries import register
+
+_TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document. tf aggregates at (doc, token) grain —
+# the only shuffle that sees one row per token occurrence, and partial
+# aggregation combines map-side. df and N are re-aggregations of that
+# (already small) grain, never a second corpus scan. The idf surrogate
+# is integer: score_ppm = tf * 1e6 div df (monotone in tf/df, exact in
+# both engines; N is constant within a run so it only rescales ranks).
+# Output bounded to doc_id < 30 AFTER the global statistics — df must
+# be corpus-wide to mean anything.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_tfidf_top_terms",
+    f"""
+WITH tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+)
+SELECT doc_id, token, tf, df, score_ppm, rank FROM (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         (tf.tf * 1000000) // df.df AS score_ppm,
+         row_number() OVER (PARTITION BY tf.doc_id
+               ORDER BY (tf.tf * 1000000) // df.df DESC, tf.token ASC) AS rank
+  FROM tf JOIN df ON tf.token = df.token
+  WHERE tf.doc_id < 30
+) WHERE rank <= 5
+""",
+)
+def x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy(F.col("token").alias("__tok")).agg(F.count(F.lit(1)).alias("df"))
+    score = (F.col("tf") * 1000000).cast("long") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("token").asc()
+    )
+    return (
+        tf.join(df, tf.token == F.col("__tok"))
+        .filter(F.col("doc_id") < 30)
+        .withColumn("score_ppm", F.floor(score).cast("long"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "token", "tf", "df", "score_ppm", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search for a fixed two-term query. The textbook idf is
+# replaced by its log-argument (N - df + 0.5)/(df + 0.5) — a monotone
+# rational surrogate, so the ranking is BM25's ranking without a
+# transcendental in the hashed output. Every double here derives from
+# integers through one fixed expression tree (dl, avgdl = exact-int
+# sum/count), and the two per-term scores land in separate CASE-MAX
+# columns so no float addition depends on aggregation order.
+# Scale: the (doc, token) aggregate is the one corpus-wide shuffle; the
+# df/N/avgdl statistics re-aggregate that grain and broadcast as a
+# single row; top-k is TakeOrdered, never a global sort.
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "x_bm25_search",
+    f"""
+WITH toks AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS token FROM documents)
+  WHERE token <> ''
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+), df AS (
+  SELECT token, count(*) AS df FROM tf
+  WHERE token IN ('hash', 'vector') GROUP BY token
+), scored AS (
+  SELECT tf.doc_id,
+         max(CASE WHEN tf.token = 'hash' THEN
+           ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+           / (CAST(tf AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B}
+              * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         END) AS s_hash,
+         max(CASE WHEN tf.token = 'vector' THEN
+           ((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5))
+           * (CAST(tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+           / (CAST(tf AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B}
+              * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+         END) AS s_vector
+  FROM tf
+  JOIN df ON tf.token = df.token
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id,
+       round(coalesce(s_hash, 0.0) + coalesce(s_vector, 0.0), 6) AS bm25,
+       (s_hash IS NOT NULL AND s_vector IS NOT NULL) AS matched_both
+FROM scored
+ORDER BY coalesce(s_hash, 0.0) + coalesce(s_vector, 0.0) DESC, doc_id ASC
+LIMIT 20
+""",
+)
+def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dl = toks.groupBy(F.col("doc_id").alias("__did")).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    df = (
+        tf.filter(F.col("token").isin("hash", "vector"))
+        .groupBy(F.col("token").alias("__tok"))
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+
+    def term_score() -> F.Column:
+        n, dfc = F.col("n_docs").cast("double"), F.col("df").cast("double")
+        tfc, dlc = F.col("tf").cast("double"), F.col("dl").cast("double")
+        avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+        idf = (n - dfc + F.lit(0.5)) / (dfc + F.lit(0.5))
+        return (idf * (tfc * F.lit(_BM25_K1 + 1.0))) / (
+            tfc
+            + F.lit(_BM25_K1)
+            * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * dlc / avgdl)
+        )
+
+    scored = (
+        tf.join(F.broadcast(df), tf.token == F.col("__tok"))
+        .join(dl, tf.doc_id == F.col("__did"))
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("token") == "hash", term_score())).alias("s_hash"),
+            F.max(F.when(F.col("token") == "vector", term_score())).alias("s_vector"),
+        )
+    )
+    total = F.coalesce(F.col("s_hash"), F.lit(0.0)) + F.coalesce(
+        F.col("s_vector"), F.lit(0.0)
+    )
+    return (
+        scored.select(
+            "doc_id",
+            F.round(total, 6).alias("bm25"),
+            (F.col("s_hash").isNotNull() & F.col("s_vector").isNotNull()).alias(
+                "matched_both"
+            ),
+            total.alias("__ord"),
+        )
+        .orderBy(F.col("__ord").desc(), F.col("doc_id").asc())
+        .limit(20)
+        .drop("__ord")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping document chunking (size 200 chars, stride 150) — the
+# standard pre-tokenization windowing step for long-context training
+# data. n_chunks = 1 + ceil(max(0, len - size) / stride) computed with
+# integer arithmetic; the chunk index explodes from an in-plan sequence
+# (narrow — no shuffle at all, chunking is embarrassingly parallel),
+# and substring is character-based on both engines. Chunk text is
+# hashed in the output to keep the result row narrow while still
+# pinning content byte-for-byte.
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 200, 150
+
+
+@register(
+    "x_chunk_documents",
+    f"""
+SELECT doc_id, chunk_idx,
+       1 + chunk_idx * {_STRIDE} AS start_pos,
+       md5(substring(text, 1 + chunk_idx * {_STRIDE}, {_CHUNK})) AS chunk_hash,
+       length(substring(text, 1 + chunk_idx * {_STRIDE}, {_CHUNK})) AS chunk_len
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(0,
+           CAST((greatest(length(text) - {_CHUNK}, 0) + {_STRIDE} - 1) // {_STRIDE} AS BIGINT)
+         )) AS chunk_idx
+  FROM documents
+)
+""",
+)
+def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_extra = F.floor(
+        (F.greatest(F.length("text") - F.lit(_CHUNK), F.lit(0)) + F.lit(_STRIDE - 1))
+        / F.lit(_STRIDE)
+    ).cast("long")
+    chunk = F.expr(f"substring(text, 1 + chunk_idx * {_STRIDE}, {_CHUNK})")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_extra)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            (F.lit(1) + F.col("chunk_idx") * _STRIDE).alias("start_pos"),
+            F.md5(chunk).alias("chunk_hash"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# int8 symmetric per-vector quantization + integer-dot-product ANN.
+# The 100 TB motivation: an int8 vector is 4x smaller than float32, so
+# 4x more of the index fits in executor memory and the shuffle moving
+# candidate vectors shrinks by the same factor; the integer dot product
+# also stays exact (no float-summation-order hazard). scale =
+# 127 / max|v| (double, one fixed expression), q_i = floor(v_i*scale
+# + 0.5) — floor(+0.5) instead of round() because Spark rounds HALF_UP
+# while DuckDB rounds half-even. Scores are exact BIGINTs.
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+
+_QVEC_SQL = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / "
+    "greatest(list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 1e-12)) "
+    "+ 0.5) AS BIGINT))"
+)
+
+
+@register(
+    "x_ann_quantized_topk",
+    f"""
+WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         list_sum(list_transform(generate_series(1, {_DIM}),
+                                 i -> a.qv[i] * b.qv[i])) AS qdot
+  FROM q a JOIN q b ON b.vec_id < 5 AND a.vec_id <> b.vec_id
+)
+SELECT query_id, neighbor_id, qdot, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY qdot DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
+def x_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    maxabs = F.greatest(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double")))),
+        F.lit(1e-12),
+    )
+    scale = F.lit(127.0) / maxabs
+    qv = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
+    )
+    q = emb.select("vec_id", qv.alias("qv"))
+    a = q.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("qa"))
+    b = q.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qb")
+    )
+    qdot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("qdot").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", qdot.alias("qdot"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )

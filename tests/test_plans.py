@@ -172,3 +172,33 @@ def test_pii_redact_is_pure_projection(spark):
     tree = tree_of(spark, "x_pii_redact")
     assert "Exchange" not in tree, tree
     assert "BatchEvalPython" not in tree, tree
+
+
+def test_chunk_documents_is_narrow_no_shuffle(spark):
+    # chunking explodes an in-plan sequence: embarrassingly parallel,
+    # must never shuffle
+    tree = tree_of(spark, "x_chunk_documents")
+    assert "Exchange" not in tree, tree
+    assert "BatchEvalPython" not in tree, tree
+
+
+def test_tfidf_output_bound_pushes_below_explode(spark):
+    # the corpus-wide pass happens once (the df side); the tf side is
+    # re-derived but with the doc_id<30 output bound pushed below the
+    # explode all the way into its parquet scan, so it reads ~30 docs,
+    # not the corpus. (Reusing the full tf exchange instead would
+    # shuffle every doc's tokens — strictly more work than re-scanning
+    # a pruned slice.)
+    plan = plan_of(spark, "x_tfidf_top_terms")
+    assert "LessThan(doc_id,30)" in plan, plan
+    tree = tree_of(spark, "x_tfidf_top_terms")
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+
+
+def test_quantized_ann_broadcasts_query_side(spark):
+    # the 5-row query side must broadcast; scoring all pairs via a
+    # sort-merge join would shuffle the whole (quantized) index
+    tree = tree_of(spark, "x_ann_quantized_topk")
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
