@@ -102,3 +102,42 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def stream_stream_integrate(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_time: str,
+    right_time: str,
+    watermark: str = "5 days",
+    bound: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a time-range constraint —
+    the streaming twin of the batch integrate join (J1, reference
+    chat.py:119-132) for when BOTH sides arrive continuously (tickets
+    stream + chats stream) instead of one being a static snapshot.
+
+    Semantics: a left row matches a right row when the keys are equal
+    AND the right event time lies within ±``bound`` of the left event
+    time. Both sides carry a watermark, and the range condition gives
+    Spark an upper bound on how long either side's rows must be
+    buffered: state is evicted once the watermark passes
+    event_time + bound, so state size is O(arrival rate x (watermark +
+    bound)) — bounded regardless of total stream history, which is the
+    property that lets this run forever at 100 TB/day.
+
+    Inner join only: outer stream-stream joins additionally delay
+    unmatched emission until watermark expiry; the batch pipeline's
+    full-outer integrate (plans/pipeline.py) remains the completeness
+    path, this is the low-latency path.
+    """
+    l = left.withWatermark(left_time, watermark)
+    r = right.withWatermark(right_time, watermark)
+    cond = (
+        f"{left_key} = {right_key} AND "
+        f"{right_time} BETWEEN {left_time} - INTERVAL {bound} "
+        f"AND {left_time} + INTERVAL {bound}"
+    )
+    return l.join(r, F.expr(cond), "inner")

@@ -230,3 +230,71 @@ def test_stream_static_enrich_rereads_dimension_each_batch(spark, tmp_path):
         ("2024-01-01T10:00:00", "Bronze"),  # joined against the old dim
         ("2024-01-02T10:00:00", "Gold"),    # later batch sees the update
     }
+
+
+def test_stream_stream_join_time_bound_and_cross_batch_state(spark, tmp_path):
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.incremental import (
+        stream_stream_integrate,
+    )
+
+    chats_dir, tickets_dir = tmp_path / "chats", tmp_path / "tickets"
+    chats_dir.mkdir(), tickets_dir.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ss_ckpt")
+
+    _write_batch(
+        chats_dir,
+        "c1.jsonl",
+        [
+            {"chat_key": "1", "chat_ts": "2024-01-01T10:00:00"},
+            # key 3 exists on both sides but 2 h apart -> outside the ±1 h bound
+            {"chat_key": "3", "chat_ts": "2024-01-01T09:00:00"},
+        ],
+    )
+    _write_batch(
+        tickets_dir,
+        "t1.jsonl",
+        [
+            {"ticket_key": "1", "ticket_ts": "2024-01-01T10:30:00"},
+            {"ticket_key": "2", "ticket_ts": "2024-01-01T10:00:00"},  # chat arrives later
+            {"ticket_key": "3", "ticket_ts": "2024-01-01T11:00:00"},
+        ],
+    )
+
+    def read_side(path, schema, ts_col):
+        return (
+            spark.readStream.schema(schema)
+            .json(str(path))
+            .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        )
+
+    def run_once():
+        joined = stream_stream_integrate(
+            read_side(chats_dir, "chat_key string, chat_ts string", "chat_ts"),
+            read_side(tickets_dir, "ticket_key string, ticket_ts string", "ticket_ts"),
+            left_key="chat_key",
+            right_key="ticket_key",
+            left_time="chat_ts",
+            right_time="ticket_ts",
+            bound="1 hour",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = {r.chat_key for r in spark.read.parquet(out).collect()}
+    assert got == {"1"}  # in-bound match only; key 3 is out of the time bound
+
+    # late-arriving left row joins the ticket buffered in state from run 1
+    _write_batch(
+        chats_dir, "c2.jsonl", [{"chat_key": "2", "chat_ts": "2024-01-01T10:15:00"}]
+    )
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert {r.chat_key for r in rows} == {"1", "2"}
+    assert len(rows) == 2  # no duplicate re-emission of the first match
