@@ -319,3 +319,103 @@ def x_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# K-means semantic clustering (k=4, 3 Lloyd iterations, deterministic
+# init = vec_id < 4) — the clustering step of SemDeDup-style semantic
+# dedup: cluster embeddings, then dedup/curate within clusters instead
+# of across all pairs. The iterative loop unrolls into ONE lazy plan:
+# per iteration, assignment is a broadcast of k centroid rows (never a
+# shuffle of the corpus) and the centroid update is a (cid, dim)
+# aggregate with map-side partials. Centroids are rounded to 4 decimals
+# each iteration so both engines iterate from identical doubles (float
+# avg is the one summation-order-sensitive step; the 1e-4 grid absorbs
+# it — same contract as x_embedding_centroid). Distances from those
+# rounded centroids are then bit-exact sequential folds.
+# At real scale each iteration would persist its assignments
+# (checkpoint) instead of unrolling re-scans; 3 unrolled iterations =
+# 4 corpus scans, the demo-scale tradeoff.
+# ---------------------------------------------------------------------------
+
+_K, _ITERS = 4, 3
+
+_DIST_SQL = (
+    "list_sum(list_transform(generate_series(1, {dim}), "
+    "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
+).format(dim=_DIM)
+
+
+def _kmeans_oracle() -> str:
+    ctes = [
+        "ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings)",
+        f"c0 AS (SELECT vec_id AS cid, v AS cv FROM ev WHERE vec_id < {_K})",
+    ]
+    for it in range(1, _ITERS + 1):
+        ctes.append(
+            f"a{it}_d AS (SELECT e.vec_id, c.cid, {_DIST_SQL} AS dist"
+            f" FROM ev e, c{it - 1} c)"
+        )
+        ctes.append(
+            f"a{it} AS (SELECT vec_id, cid, dist FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid)"
+            f" AS rn FROM a{it}_d) WHERE rn = 1)"
+        )
+        if it < _ITERS:
+            ctes.append(
+                f"c{it} AS (SELECT cid, list(cv ORDER BY pos) AS cv FROM ("
+                f"SELECT cid, pos, round(avg(val), 4) + 0.0 AS cv FROM ("
+                f"SELECT a.cid AS cid, generate_subscripts(e.v, 1) AS pos,"
+                f" unnest(e.v) AS val"
+                f" FROM a{it} a JOIN ev e USING (vec_id))"
+                f" GROUP BY cid, pos) GROUP BY cid)"
+            )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, cid AS cluster,"
+        f" round(dist, 6) AS dist FROM a{_ITERS}"
+    )
+
+
+def _sq_dist(v, cv) -> F.Column:
+    return F.aggregate(
+        F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
+@register("x_kmeans_semantic_clusters", _kmeans_oracle())
+def x_kmeans_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    cents = ev.filter(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    assigned = None
+    for it in range(1, _ITERS + 1):
+        scored = ev.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "v", "cid", _sq_dist(F.col("v"), F.col("cv")).alias("dist")
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        if it < _ITERS:
+            per_dim = (
+                assigned.select("cid", F.posexplode("v").alias("pos", "val"))
+                .groupBy("cid", "pos")
+                .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("cv"))
+            )
+            cents = per_dim.groupBy("cid").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                    lambda s: s.cv,
+                ).alias("cv")
+            )
+    return assigned.select(
+        "vec_id", F.col("cid").alias("cluster"), F.round("dist", 6).alias("dist")
+    )

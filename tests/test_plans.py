@@ -202,3 +202,11 @@ def test_quantized_ann_broadcasts_query_side(spark):
     tree = tree_of(spark, "x_ann_quantized_topk")
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastExchange" in tree, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark):
+    # each Lloyd iteration must broadcast the k centroid rows into the
+    # corpus scan, never shuffle the corpus for assignment
+    tree = tree_of(spark, "x_kmeans_semantic_clusters")
+    assert "BroadcastNestedLoopJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
