@@ -346,7 +346,7 @@ _DIST_SQL = (
 ).format(dim=_DIM)
 
 
-def _kmeans_oracle() -> str:
+def _kmeans_ctes() -> list[str]:
     ctes = [
         "ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
         " FROM embeddings)",
@@ -371,8 +371,12 @@ def _kmeans_oracle() -> str:
                 f" FROM a{it} a JOIN ev e USING (vec_id))"
                 f" GROUP BY cid, pos) GROUP BY cid)"
             )
+    return ctes
+
+
+def _kmeans_oracle() -> str:
     return (
-        "WITH " + ",\n".join(ctes) + f"\nSELECT vec_id, cid AS cluster,"
+        "WITH " + ",\n".join(_kmeans_ctes()) + f"\nSELECT vec_id, cid AS cluster,"
         f" round(dist, 6) AS dist FROM a{_ITERS}"
     )
 
@@ -385,8 +389,8 @@ def _sq_dist(v, cv) -> F.Column:
     )
 
 
-@register("x_kmeans_semantic_clusters", _kmeans_oracle())
-def x_kmeans_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final Lloyd assignment as one lazy plan: (vec_id, v, cid, dist)."""
     ev = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
@@ -416,6 +420,87 @@ def x_kmeans_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s.cv,
                 ).alias("cv")
             )
-    return assigned.select(
+    return assigned
+
+
+@register("x_kmeans_semantic_clusters", _kmeans_oracle())
+def x_kmeans_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _kmeans_assign(spark, sf_dir).select(
         "vec_id", F.col("cid").alias("cluster"), F.round("dist", 6).alias("dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup end-to-end: k-means clusters as the blocking structure, then
+# cosine near-dup pairs WITHIN each cluster, then a deterministic
+# keep-one rule (a vector is dropped iff a same-cluster neighbor with a
+# smaller vec_id is above the threshold). Complements
+# x_dedup_embedding_cosine (which blocks on the GIVEN label) — here the
+# blocking is learned from the data, which is the realistic setting for
+# raw web corpora with no labels. Scale: pair comparison is confined to
+# clusters (quadratic only within a cluster, like SemDeDup); the pair
+# side broadcasts; the keep flag is a broadcast left join of the tiny
+# dropped-id set — the corpus is never re-shuffled.
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_THRESHOLD = 0.35
+
+_PAIR_COS_SQL = (
+    "(list_sum(list_transform(generate_series(1, {dim}), i -> a.v[i] * b.v[i]))"
+    " / (sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> a.v[i] * a.v[i])))"
+    " * sqrt(list_sum(list_transform(generate_series(1, {dim}), i -> b.v[i] * b.v[i])))))"
+).format(dim=_DIM)
+
+
+def _semdedup_oracle() -> str:
+    ctes = _kmeans_ctes()
+    ctes.append(
+        f"p AS (SELECT a{_ITERS}.vec_id, a{_ITERS}.cid, ev.v"
+        f" FROM a{_ITERS} JOIN ev USING (vec_id))"
+    )
+    ctes.append(
+        f"pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b"
+        f" FROM p a JOIN p b ON a.cid = b.cid AND a.vec_id < b.vec_id"
+        f" WHERE {_PAIR_COS_SQL} >= {_SEMDEDUP_THRESHOLD})"
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\nSELECT vec_id, cid AS cluster,"
+        " vec_id NOT IN (SELECT id_b FROM pairs) AS kept FROM p"
+    )
+
+
+@register("x_semdedup_within_clusters", _semdedup_oracle())
+def x_semdedup_within_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    p = _kmeans_assign(spark, sf_dir).select("vec_id", "cid", "v")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = p.repartition(n_part).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cid"),
+        F.col("v").alias("va"),
+        S.norm(F.col("v")).alias("na"),
+    )
+    b = p.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cid"),
+        F.col("v").alias("vb"),
+        S.norm(F.col("v")).alias("nb"),
+    )
+    cos = S.dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dropped = (
+        a.join(F.broadcast(b), "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos >= _SEMDEDUP_THRESHOLD)
+        .select("id_b")
+        .distinct()
+    )
+    return p.join(
+        F.broadcast(dropped), p.vec_id == F.col("id_b"), "left"
+    ).select(
+        "vec_id",
+        F.col("cid").alias("cluster"),
+        F.col("id_b").isNull().alias("kept"),
     )

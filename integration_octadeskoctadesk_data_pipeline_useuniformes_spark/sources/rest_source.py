@@ -34,7 +34,12 @@ from datetime import datetime, timedelta
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import StructType
@@ -162,7 +167,45 @@ class RestReader(DataSourceReader):
         self.limit = int(options.get("limit", 100))
         self.fields = [f.name for f in schema.fields]
 
+    def pushFilters(self, filters: list[Filter]):
+        """Catalyst-driven range pushdown (F1, ticket.py:109-115): a
+        query-level ``createdAt`` bound narrows the fetch window — and
+        therefore the partition list — before any request is issued,
+        exactly like the reference sending ge/le params to the API.
+
+        ``>=`` and ``<`` map exactly onto the [start, end) window and
+        are consumed; ``>`` and ``<=`` narrow the window conservatively
+        but are handed back so Spark re-applies the strict/inclusive
+        edge. Everything else is untouched (Spark evaluates it
+        post-scan)."""
+        for f in filters:
+            is_created = getattr(f, "attribute", None) == ("createdAt",)
+            if is_created and isinstance(f, (GreaterThan, GreaterThanOrEqual)):
+                try:
+                    self.start = max(self.start, datetime.fromisoformat(f.value))
+                except (TypeError, ValueError):
+                    yield f
+                    continue
+                if isinstance(f, GreaterThan):
+                    yield f  # window edge is inclusive; re-check strictness
+            elif is_created and isinstance(f, (LessThan, LessThanOrEqual)):
+                try:
+                    bound = datetime.fromisoformat(f.value)
+                except (TypeError, ValueError):
+                    yield f
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    bound += timedelta(microseconds=1)
+                    self.end = min(self.end, bound)
+                    yield f  # µs-resolution guard: re-check inclusivity
+                else:
+                    self.end = min(self.end, bound)
+            else:
+                yield f
+
     def partitions(self):
+        if self.start >= self.end:  # filters proved the read empty
+            return [_WindowPartition(self.start.isoformat(), self.start.isoformat())]
         wins = split_windows(self.start, self.end, timedelta(days=self.window_days))
         return [_WindowPartition(s.isoformat(), e.isoformat()) for s, e in wins]
 
