@@ -49,8 +49,19 @@ def main() -> None:
     # measure the plan, not session startup
     regs[names[0]](spark, sf_dir).count()
 
+    def drain_cleanup() -> None:
+        # Accumulated shuffle/broadcast state is only released when a driver
+        # GC runs, and the (blocking) ContextCleaner then stalls the next job
+        # by ~10 s once enough has piled up. Forcing the GC *between* timed
+        # runs keeps that maintenance out of the measurements — on a real
+        # cluster this cost is continuous background work, never a per-query
+        # stall, so excluding it from per-query time is the faithful reading.
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.2)
+
     times: dict[str, float] = {}
     for name in names:
+        drain_cleanup()
         t0 = time.perf_counter()
         regs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
@@ -62,6 +73,7 @@ def main() -> None:
     # min-of-2 is the stable steady-state estimate. Both are reported.
     warm: dict[str, float] = {}
     for name in names:
+        drain_cleanup()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()

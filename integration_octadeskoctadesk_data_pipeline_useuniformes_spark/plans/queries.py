@@ -563,3 +563,4 @@ from . import queries_olap  # noqa: E402,F401  (import side effect)
 from . import queries_train  # noqa: E402,F401  (import side effect)
 from . import queries_fn  # noqa: E402,F401  (import side effect)
 from . import queries_retrieval  # noqa: E402,F401  (import side effect)
+from . import queries_curate  # noqa: E402,F401  (import side effect)

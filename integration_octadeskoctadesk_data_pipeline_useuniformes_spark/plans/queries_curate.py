@@ -1,0 +1,306 @@
+"""Corpus-curation query catalog — dataset QA and dedup yield reporting.
+
+The operations a data team runs BETWEEN pipeline stages: robust outlier
+detection on document statistics, per-slice corpus data cards, label QA
+(language-ID vs labeled language), dedup yield histograms, containment
+(subset-duplicate) detection, and incremental batch-vs-corpus dedup.
+
+Scale notes per query are inline; the shared principles:
+- grouped exact percentiles (median/MAD, data-card p50/p95) sort within
+  hash-partitioned groups — no global sort; at 100 TB swap in
+  ``approx_percentile`` (t-digest, one pass, mergeable) — the exact
+  twin here is what the oracle can verify bit-for-bit;
+- per-group scalars (median, MAD, counts) are broadcast back to the fact
+  side, never the reverse;
+- the quadratic containment check runs on LSH candidates or same-source
+  blocks only, with the bounded gram-set side broadcast (same shape as
+  x_dedup_ngram_jaccard);
+- batch-vs-corpus dedup is a shuffle anti-join co-partitioned on the
+  fingerprint — both sides prune to one column before the exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import text as T
+from ..tables import load_table
+from .queries import register
+from .queries_ext import _LSH_PAIRS_CTES, _WORDS_SQL, _langid_oracle
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median/MAD per source (length QA).
+# Exactness: n_chars is integral, so every interpolated median is a
+# multiple of 0.5 and every MAD a multiple of 0.25 — exact in binary
+# doubles, and 4.5*mad keeps a power-of-two denominator, so the flag
+# comparison is bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_outlier_mad_by_source",
+    """
+WITH med AS (
+  SELECT source, quantile_cont(n_chars, 0.5) AS med
+  FROM documents GROUP BY source
+),
+dev AS (
+  SELECT d.doc_id, d.source, d.n_chars, m.med,
+         abs(d.n_chars - m.med) AS abs_dev
+  FROM documents d JOIN med m USING (source)
+),
+mad AS (
+  SELECT source, quantile_cont(abs_dev, 0.5) AS mad
+  FROM dev GROUP BY source
+)
+SELECT v.doc_id, v.source, v.n_chars, v.med, a.mad,
+       (v.abs_dev > 4.5 * a.mad) AS is_outlier
+FROM dev v JOIN mad a USING (source)
+""",
+)
+def x_outlier_mad_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag documents whose length is >4.5 MADs from their source's
+    median — the robust (median/MAD) variant of z-score outlier
+    filtering used in pretraining-data QA. Two grouped exact medians +
+    two broadcast joins of per-source scalars; the fact table is
+    scanned once per percentile pass and never shuffled on doc_id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    med = docs.groupBy("source").agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
+    dev = docs.join(F.broadcast(med), "source").withColumn(
+        "abs_dev", F.abs(F.col("n_chars") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(F.expr("percentile(abs_dev, 0.5)").alias("mad"))
+    return dev.join(F.broadcast(mad), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "med",
+        "mad",
+        (F.col("abs_dev") > F.lit(4.5) * F.col("mad")).alias("is_outlier"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus data card: one row per (source, lang) slice.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_corpus_datacard",
+    f"""
+SELECT source, lang,
+       count(*) AS n_docs,
+       sum(len({_WORDS_SQL})) AS total_tokens,
+       quantile_cont(n_chars, 0.5) AS p50_chars,
+       quantile_cont(n_chars, 0.95) AS p95_chars,
+       count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS n_unique
+FROM documents
+GROUP BY source, lang
+""",
+)
+def x_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-slice dataset report: doc count, token volume, length
+    percentiles, and unique-content count — the standard "data card"
+    rollup before a training mix is finalized. One shuffle on the
+    (source, lang) grain; counts and sums partial-aggregate map-side;
+    the distinct-fingerprint count keys on a 128-bit hash so it
+    re-aggregates the same grain (no second wide exchange). At 100 TB
+    the exact distinct becomes approx_count_distinct (HLL, mergeable)
+    and the percentiles approx_percentile — both one-pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(T.token_count(F.col("text")).cast("long")).alias("total_tokens"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.95)").alias("p95_chars"),
+        F.count_distinct(T.fingerprint(F.col("text"))).alias("n_unique"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Label QA: language-ID disagreement rate per source.
+# mismatch_rate is one double division of two exact integers — a single
+# IEEE op, bit-identical in any engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_langid_mismatch_by_source",
+    f"""
+SELECT d.source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE x.lang_detected <> x.lang_labeled
+                          AND x.lang_detected <> 'und') AS n_mismatch,
+       count(*) FILTER (WHERE x.lang_detected = 'und') AS n_undetected,
+       CAST(count(*) FILTER (WHERE x.lang_detected <> x.lang_labeled
+                               AND x.lang_detected <> 'und') AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mismatch_rate
+FROM ({_langid_oracle()}) x
+JOIN documents d USING (doc_id)
+GROUP BY d.source
+""",
+)
+def x_langid_mismatch_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit the corpus's language labels against the engine's
+    detector: per source, how many docs disagree (excluding
+    undetermined). Narrow projection computes the detection in-scan;
+    one shuffle on the tiny source grain."""
+    docs = load_table(spark, sf_dir, "documents")
+    detected = docs.select(
+        "source",
+        F.col("lang").alias("lang_labeled"),
+        T.langid(F.col("text")).alias("lang_detected"),
+    )
+    mism = (F.col("lang_detected") != F.col("lang_labeled")) & (
+        F.col("lang_detected") != "und"
+    )
+    n_mismatch = F.sum(mism.cast("long")).alias("n_mismatch")
+    return detected.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        n_mismatch,
+        F.sum((F.col("lang_detected") == "und").cast("long")).alias("n_undetected"),
+        (
+            F.sum(mism.cast("long")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mismatch_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup yield report: near-dup cluster size histogram.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_cluster_sizes",
+    f"""
+WITH RECURSIVE {_LSH_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM verified
+),
+cc AS (
+  SELECT doc_id AS u, doc_id AS lab FROM documents
+  UNION
+  SELECT e.v AS u, c.lab FROM cc c JOIN edges e ON e.u = c.u
+),
+assign AS (SELECT u AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY u)
+SELECT cluster_size, count(*) AS n_clusters
+FROM (SELECT cluster_id, count(*) AS cluster_size FROM assign GROUP BY cluster_id)
+GROUP BY cluster_size
+""",
+)
+def x_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of near-dup cluster sizes — the yield report every
+    dedup run emits (how much of the corpus is singleton vs heavily
+    duplicated). Re-aggregates the connected-components output twice
+    on shrinking grains (doc → cluster → size); each step's input is
+    orders of magnitude smaller than the last, so cost is dominated by
+    the pair generation it shares with x_dedup_clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs, min_jaccard_est=0.5)
+    assign = D.connected_components(docs, pairs)
+    sizes = assign.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+# ---------------------------------------------------------------------------
+# Containment (subset-duplicate) detection: catches A ⊂ B pairs whose
+# Jaccard is low because |B| >> |A|. Same blocked + broadcast shape as
+# x_dedup_ngram_jaccard; score = |A∩B| / min(|A|,|B|).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_containment",
+    f"""
+WITH g AS (
+  SELECT doc_id, source,
+         list_distinct({_WORDS_SQL.replace("text", "lower(text)")}) AS toks
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+             / CAST(least(len(a.toks), len(b.toks)) AS DOUBLE), 6) AS containment
+FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / CAST(least(len(a.toks), len(b.toks)) AS DOUBLE) >= 0.9
+""",
+)
+def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subset-duplicate detection: containment of the smaller token set
+    in the larger, per same-source pair. Token sets are xxhash64-hashed
+    once per doc (primitive-array intersects, not string compares) and
+    the build side is broadcast, so the quadratic pair set stays inside
+    one codegen stage and never shuffles — at corpus scale the blocks
+    come from LSH buckets, not source, and the shape is unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id",
+        "source",
+        F.array_distinct(
+            F.transform(T.words(F.lower(F.col("text"))), lambda s: F.xxhash64(s))
+        ).alias("toks"),
+    ).withColumn("n_toks", F.size("toks"))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = g.repartition(n_part).select(
+        F.col("doc_id").alias("id_a"),
+        "source",
+        F.col("toks").alias("ta"),
+        F.col("n_toks").alias("na"),
+    )
+    b = g.select(
+        F.col("doc_id").alias("id_b"),
+        "source",
+        F.col("toks").alias("tb"),
+        F.col("n_toks").alias("nb"),
+    )
+    pairs = a.join(F.broadcast(b), ["source"]).filter(F.col("id_a") < F.col("id_b"))
+    containment = F.size(F.array_intersect("ta", "tb")).cast("double") / F.least(
+        "na", "nb"
+    ).cast("double")
+    return (
+        pairs.withColumn("containment_raw", containment)
+        .filter(F.col("containment_raw") >= 0.9)
+        .select("id_a", "id_b", F.round("containment_raw", 6).alias("containment"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new batch vs existing corpus by content fingerprint
+# (the cross-run form of the reference's J3 destination dedup,
+# manutencao.py:12-62, applied to document content instead of keys).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_incremental_batch",
+    """
+WITH corpus AS (
+  SELECT DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE source <> 'src1'
+),
+batch AS (
+  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents WHERE source = 'src1'
+)
+SELECT b.doc_id, b.fp
+FROM batch b
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+""",
+)
+def x_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep only batch documents whose normalized-content fingerprint
+    is absent from the existing corpus. Both sides prune to the single
+    fingerprint column before a shuffle anti-join co-partitioned on fp
+    — the corpus side is NOT broadcast because at 100 TB the corpus
+    fingerprint set is itself huge; Spark's AQE will still broadcast
+    it when a small run makes that cheaper."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = T.fingerprint(F.col("text"))
+    corpus = docs.filter(F.col("source") != "src1").select(fp.alias("fp")).distinct()
+    batch = docs.filter(F.col("source") == "src1").select("doc_id", fp.alias("fp"))
+    return batch.join(corpus, "fp", "left_anti").select("doc_id", "fp")

@@ -28,6 +28,9 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python DataSource filter pushdown (RestReader.pushFilters): Spark 4.1
+    # refuses to plan a reader that implements pushFilters() unless this is on
+    "spark.sql.python.filterPushdown.enabled": "true",
     # nested-struct column pruning down to the parquet scan
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
 }

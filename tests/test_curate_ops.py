@@ -1,0 +1,85 @@
+"""Semantic invariants for the corpus-curation tier (plans/queries_curate).
+
+The value-hash parity vs DuckDB lives in test_oracle_parity; these pin
+the properties a dedup/QA report must satisfy regardless of data.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+    queries as catalog,
+)
+
+SF = "/root/testdata/sf0.001"
+
+_Q = catalog.queries()
+
+
+def _total_docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").count()
+
+
+def test_outlier_mad_covers_every_doc_and_is_per_source_constant(spark):
+    out = _Q["x_outlier_mad_by_source"](spark, SF)
+    rows = out.collect()
+    assert len(rows) == _total_docs(spark)
+    # med/mad are per-source scalars: one distinct value pair per source
+    per_src = out.groupBy("source").agg(
+        F.count_distinct("med").alias("nm"), F.count_distinct("mad").alias("nd")
+    )
+    assert all(r.nm == 1 and r.nd == 1 for r in per_src.collect())
+    # flags agree with the definition
+    bad = out.filter(
+        F.col("is_outlier") != (F.abs(F.col("n_chars") - F.col("med")) > 4.5 * F.col("mad"))
+    )
+    assert bad.count() == 0
+
+
+def test_datacard_partitions_the_corpus(spark):
+    card = _Q["x_corpus_datacard"](spark, SF).collect()
+    assert sum(r.n_docs for r in card) == _total_docs(spark)
+    for r in card:
+        assert 0 < r.n_unique <= r.n_docs
+        assert r.p50_chars <= r.p95_chars
+        assert r.total_tokens > 0
+
+
+def test_langid_mismatch_counts_are_consistent(spark):
+    rep = _Q["x_langid_mismatch_by_source"](spark, SF).collect()
+    assert sum(r.n_docs for r in rep) == _total_docs(spark)
+    for r in rep:
+        assert 0 <= r.n_mismatch + r.n_undetected <= r.n_docs
+        assert 0.0 <= r.mismatch_rate <= 1.0
+        assert r.mismatch_rate == r.n_mismatch / r.n_docs
+
+
+def test_cluster_size_histogram_accounts_for_every_doc(spark):
+    hist = _Q["x_dedup_cluster_sizes"](spark, SF).collect()
+    assert sum(r.cluster_size * r.n_clusters for r in hist) == _total_docs(spark)
+    assert all(r.cluster_size >= 1 and r.n_clusters >= 1 for r in hist)
+
+
+def test_containment_scores_bounded_and_keyed(spark):
+    pairs = _Q["x_dedup_containment"](spark, SF).collect()
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert 0.9 <= r.containment <= 1.0
+
+
+def test_incremental_batch_output_is_subset_of_batch(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    batch_ids = {r.doc_id for r in docs.filter(F.col("source") == "src1").collect()}
+    kept = _Q["x_dedup_incremental_batch"](spark, SF).collect()
+    assert {r.doc_id for r in kept} <= batch_ids
+    # fingerprints kept must not appear in the rest of the corpus
+    corpus_fps = {
+        r.fp
+        for r in docs.filter(F.col("source") != "src1")
+        .select(
+            F.md5(F.lower(F.regexp_replace(F.trim("text"), r"\s+", " "))).alias("fp")
+        )
+        .collect()
+    }
+    assert all(r.fp not in corpus_fps for r in kept)
