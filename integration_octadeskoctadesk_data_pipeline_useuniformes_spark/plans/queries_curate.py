@@ -28,7 +28,7 @@ from ..operators import dedup as D
 from ..operators import text as T
 from ..tables import load_table
 from .queries import register
-from .queries_ext import _LSH_PAIRS_CTES, _WORDS_SQL, _langid_oracle
+from .queries_ext import _LSH_PAIRS_CTES, _SHINGLES_SQL, _WORDS_SQL, _langid_oracle
 
 # ---------------------------------------------------------------------------
 # Robust outlier detection: median/MAD per source (length QA).
@@ -266,6 +266,66 @@ def x_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("containment_raw", containment)
         .filter(F.col("containment_raw") >= 0.9)
         .select("id_a", "id_b", F.round("containment_raw", 6).alias("containment"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document n-gram novelty: per doc, the fraction of its distinct
+# 3-word shingles that occur in NO other document — the inverted-index
+# "duplicate text fraction" metric used in web-corpus QA.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_ngram_novelty",
+    f"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct({_SHINGLES_SQL})) AS s
+  FROM documents
+),
+dfreq AS (SELECT s, count(*) AS df FROM sh GROUP BY s),
+per_doc AS (
+  SELECT sh.doc_id,
+         count(*) AS n_shingles,
+         count(*) FILTER (WHERE dfreq.df = 1) AS n_novel
+  FROM sh JOIN dfreq USING (s)
+  GROUP BY sh.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_shingles, 0) AS n_shingles,
+       coalesce(p.n_novel, 0) AS n_novel,
+       CASE WHEN p.n_shingles > 0
+            THEN CAST(p.n_novel AS DOUBLE) / CAST(p.n_shingles AS DOUBLE)
+       END AS novelty
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+""",
+)
+def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: share of its distinct shingles with corpus
+    document-frequency 1. Inverted-index shape: explode to the
+    (doc, shingle) grain, count df per shingle (map-side partial aggs
+    absorb the heavy hitters), join back on the shingle grain — both
+    sides arrive hash-partitioned on shingle from the same exchange —
+    then re-aggregate per doc. AQE's skew-join split handles stopword
+    shingles; the novelty ratio is one IEEE division of exact counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(D.word_shingles(F.col("text")))).alias("s"),
+    )
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = sh.join(dfreq, "s").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+        F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+        F.when(
+            F.col("n_shingles") > 0,
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double"),
+        ).alias("novelty"),
     )
 
 

@@ -553,6 +553,52 @@ def x_ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_multiprobe_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10)
 
 
+def _rp_proj_sql(out_dim: int = 16, dim: int = 64) -> str:
+    """Projection array literal: out_dim JL components, each the
+    sign-weighted sum of the 64 embedding elements (same fold order as
+    operators.similarity.random_projection)."""
+    comps = []
+    for j in range(out_dim):
+        signs = ", ".join(f"{float(S._rp_sign(j, d))}" for d in range(dim))
+        comps.append(
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ([{signs}])[i]))"
+        )
+    return "[" + ", ".join(comps) + "]"
+
+
+@register(
+    "x_ann_rp_topk",
+    f"""
+WITH proj AS (
+  SELECT vec_id, embedding, {_rp_proj_sql()} AS rp FROM embeddings
+),
+scored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         a.embedding AS nemb, b.embedding AS qemb,
+         round({_cos2_sql("a", "rp", "b", "rp", dim=16)}, 6) AS proj_sim
+  FROM proj a JOIN proj b ON b.vec_id < 5 AND a.vec_id <> b.vec_id
+),
+cand AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY proj_sim DESC, neighbor_id ASC) AS cand_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cos_sim, rank FROM (
+  SELECT query_id, neighbor_id,
+         round({_cos2_sql("cand", "qemb", "cand", "nemb")}, 6) AS cos_sim,
+         row_number() OVER (PARTITION BY query_id
+           ORDER BY round({_cos2_sql("cand", "qemb", "cand", "nemb")}, 6) DESC,
+                    neighbor_id ASC) AS rank
+  FROM cand WHERE cand_rank <= 30
+) WHERE rank <= 10
+""",
+)
+def x_ann_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.rp_topk(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=10)
+
+
 # ---------------------------------------------------------------------------
 # multimodal binary-column pattern
 # ---------------------------------------------------------------------------

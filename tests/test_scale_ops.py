@@ -165,3 +165,35 @@ def test_lsh_multiprobe_dominates_single_bucket(spark):
     assert len(multi & brute) >= len(single & brute)
     # exactly-once candidates: (query, neighbor) pairs never duplicate
     assert len(multi_rows) == len(multi)
+
+
+def test_rp_topk_recall_and_exact_rerank(spark):
+    """JL random-projection ANN: (a) candidate widening is monotone in
+    recall; (b) with n_candidates = corpus it IS brute force (the
+    re-rank is exact full-dimension cosine); (c) shared pairs score
+    identically to brute force."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators import (
+        similarity as S,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = S.cosine_topk(emb, q, k=10).collect()
+    b_scores = {(r["query_id"], r["neighbor_id"]): r["cos_sim"] for r in brute}
+
+    def run(n_candidates: int) -> set:
+        rows = S.rp_topk(emb, q, dim=64, k=10, n_candidates=n_candidates).collect()
+        for r in rows:
+            key = (r["query_id"], r["neighbor_id"])
+            if key in b_scores:
+                assert r["cos_sim"] == b_scores[key]
+        return {(r["query_id"], r["neighbor_id"]) for r in rows}
+
+    r30 = len(run(30) & set(b_scores)) / len(b_scores)
+    r100 = len(run(100) & set(b_scores)) / len(b_scores)
+    rall = len(run(n) & set(b_scores)) / len(b_scores)
+    assert r30 <= r100 <= rall, (r30, r100, rall)
+    assert rall == 1.0
+    assert r30 > 0.0
