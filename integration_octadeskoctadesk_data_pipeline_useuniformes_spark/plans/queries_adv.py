@@ -334,3 +334,144 @@ def x_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.max("cnt").alias("n_vectors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel conversion (view → click → purchase): each stage's
+# timestamp must strictly follow the previous stage's. Three grouped
+# conditional-min passes on the user grain — after the first shuffle
+# the grain is stable, so AQE reuses the partitioning; no window sort
+# over raw events is ever needed.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_funnel_view_click_purchase",
+    """
+WITH s1 AS (
+  SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t_view
+  FROM events GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, any_value(s1.t_view) AS t_view,
+         min(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts > s1.t_view) AS t_click
+  FROM events e JOIN s1 USING (user_id) GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, any_value(s2.t_view) AS t_view, any_value(s2.t_click) AS t_click,
+         min(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts > s2.t_click) AS t_purchase
+  FROM events e JOIN s2 USING (user_id) GROUP BY e.user_id
+)
+SELECT count(*) AS n_users,
+       count(t_view) AS n_view,
+       count(t_click) AS n_view_click,
+       count(t_purchase) AS n_view_click_purchase
+FROM s3
+""",
+)
+def agg_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered three-stage funnel. The per-stage condition
+    (this stage's ts AFTER the previous stage's) is a conditional min,
+    not a window: each pass is one partial-aggregated shuffle on
+    user_id, and passes 2-3 join the (tiny) per-user stage table back
+    to events on the same key, so the exchanges line up."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    s2 = (
+        e.join(s1, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.any_value("t_view").alias("t_view"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
+                    F.col("ts"),
+                )
+            ).alias("t_click"),
+        )
+    )
+    s3 = (
+        e.join(s2, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.any_value("t_view").alias("t_view"),
+            F.any_value("t_click").alias("t_click"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("t_click")),
+                    F.col("ts"),
+                )
+            ).alias("t_purchase"),
+        )
+    )
+    return s3.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("t_view").alias("n_view"),
+        F.count("t_click").alias("n_view_click"),
+        F.count("t_purchase").alias("n_view_click_purchase"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resampling: per-user daily grid with zero-fill and
+# forward-fill — the gap-filling operator every metrics pipeline needs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_resample_daily_gapfill",
+    """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         count(*) AS n_events, max(value) AS day_max
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id),
+grid AS (
+  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM spans
+)
+SELECT g.user_id, g.day,
+       coalesce(d.n_events, 0) AS n_events,
+       (d.n_events IS NOT NULL) AS observed,
+       last_value(d.day_max IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill_max
+FROM grid g LEFT JOIN daily d USING (user_id, day)
+""",
+)
+def x_resample_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize an event stream to a dense per-user daily series:
+    missing days appear with n_events=0 and the last observed daily max
+    carried forward. The grid is generated IN-PLAN (sequence + explode
+    over each user's [min,max] span) — no driver loop, no cross join
+    with a global calendar; fan-out is exactly the user's own span.
+    One shuffle to the (user, day) grain, the span re-agg rides the
+    same partitioning, and the forward-fill window sorts only each
+    user's dense days."""
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.groupBy(
+            "user_id", F.date_trunc("day", F.col("ts")).cast("timestamp_ntz").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"), F.max("value").alias("day_max"))
+    )
+    spans = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id",
+        "day",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNotNull().alias("observed"),
+        F.last("day_max", ignorenulls=True).over(w).alias("ffill_max"),
+    )
