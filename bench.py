@@ -34,6 +34,11 @@ HEADLINE = [
     "agg_regional_revenue",
     "x_pack_sequences",
     "x_ann_ivf_topk",
+    "x_ngram_novelty",
+    "x_kmeans_semantic_clusters",
+    "x_bm25_search",
+    "x_outlier_mad_by_source",
+    "agg_funnel_view_click_purchase",
 ]
 
 

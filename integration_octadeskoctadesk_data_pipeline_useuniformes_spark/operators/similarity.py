@@ -344,6 +344,13 @@ def rp_topk(
     saving (4× here) that compounds with any bucketing scheme layered
     on top. Approximate: a true neighbor that falls outside the
     projected-space candidate list is missed (the JL recall trade-off).
+
+    Break-even: projecting costs out_dim folds per corpus row ONCE,
+    ranking costs out_dim per (row, query) instead of dim — so JL wins
+    when the query set is larger than ~out_dim·dim/(dim−out_dim)
+    (≳20 queries here); under that, brute force is cheaper. In a
+    persistent index the projection is precomputed at ingest and the
+    per-query saving is the full dim/out_dim.
     """
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),

@@ -34,6 +34,7 @@ from datetime import datetime, timedelta
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     Filter,
     GreaterThan,
     GreaterThanOrEqual,
@@ -41,6 +42,7 @@ from pyspark.sql.datasource import (
     LessThan,
     LessThanOrEqual,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -89,8 +91,26 @@ class FileBackedEndpoint:
                     fh.write(str(seen + 1))
                 raise TransientServerError(f"injected 500 for {day} page {page}")
 
-        records: list[dict] = []
         path = os.path.join(self.root, f"{day}.jsonl")
+        return self._read_range(path, start, end, page, limit)
+
+    def check_write_failure(self) -> None:
+        """Injectable POST failure: failures.json key "write" = how many
+        POSTs should fail (globally) before succeeding."""
+        budget = self._failures().get("write", 0)
+        if not budget:
+            return
+        state_dir = os.path.join(self.root, ".attempts")
+        os.makedirs(state_dir, exist_ok=True)
+        marker = os.path.join(state_dir, "write")
+        seen = int(open(marker).read()) if os.path.exists(marker) else 0
+        if seen < budget:
+            with open(marker, "w") as fh:
+                fh.write(str(seen + 1))
+            raise TransientServerError("injected 500 on POST")
+
+    def _read_range(self, path: str, start, end, page: int, limit: int) -> _Page:
+        records: list[dict] = []
         if os.path.exists(path):
             with open(path) as fh:
                 for line in fh:
@@ -285,11 +305,116 @@ class RestStreamReader(SimpleDataSourceStreamReader):
         )
 
 
+@dataclass
+class _TaskCommit(WriterCommitMessage):
+    """One per successful task: the staged spool file + row count."""
+
+    staged: str
+    rows: int
+
+
+class RestWriter(DataSourceWriter):
+    """Batched-POST sink — the reference's load job (S11, main.py:136-142)
+    as a proper V2 write with a two-phase commit:
+
+    - each task pages its rows into ≤``limit``-record batches and
+      "POSTs" every batch (file transport: one JSON line per batch
+      appended to a task-private spool file in ``.staging/``), with the
+      same 1s/2s/4s retry the read path uses;
+    - tasks stage under a write-UUID; nothing is visible mid-write. A
+      failed task's re-attempt stages a NEW file — ``commit`` publishes
+      only the files named in the commit messages Spark hands it (one
+      per SUCCESSFUL task), so a zombie first attempt can never
+      double-load (the exactly-once property the reference approximates
+      with its dedup-before-append);
+    - ``commit`` atomically renames staged files to ``batch-*.jsonl``
+      and writes a ``_manifest.json`` (what the destination "table"
+      considers loaded); ``abort`` removes the staging directory.
+
+    At scale each executor streams its partition through a bounded
+    buffer — no task materializes more than one page of rows.
+    """
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.root = options["path"]
+        self.limit = int(options.get("limit", 100))
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+        import uuid
+
+        self.write_id = options.get("writeid") or uuid.uuid4().hex
+
+    def _staging(self) -> str:
+        return os.path.join(self.root, f".staging-{self.write_id}")
+
+    def _post(self, fh, batch: list[dict], endpoint: FileBackedEndpoint, attempts=3):
+        """One page-sized POST; retry/backoff mirrors fetch_window."""
+        for attempt in range(1, attempts + 1):
+            try:
+                if endpoint is not None:
+                    endpoint.check_write_failure()
+                fh.write(json.dumps(batch) + "\n")
+                fh.flush()
+                return
+            except TransientServerError:
+                if attempt == attempts:
+                    raise
+                time.sleep(2 ** (attempt - 1) * 0.01)
+
+    def write(self, iterator) -> _TaskCommit:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        task = f"{ctx.partitionId()}-{ctx.attemptNumber()}" if ctx else "0-0"
+        os.makedirs(self._staging(), exist_ok=True)
+        staged = os.path.join(self._staging(), f"task-{task}.jsonl")
+        endpoint = FileBackedEndpoint(self.root)
+        rows = 0
+        with open(staged, "w") as fh:
+            batch: list[dict] = []
+            for row in iterator:
+                batch.append({k: row[k] for k in self.fields})
+                rows += 1
+                if len(batch) >= self.limit:
+                    self._post(fh, batch, endpoint)
+                    batch = []
+            if batch:
+                self._post(fh, batch, endpoint)
+        return _TaskCommit(staged=staged, rows=rows)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        published = []
+        total = 0
+        if self.overwrite:
+            for fn in os.listdir(self.root):
+                if fn.startswith("batch-") and fn.endswith(".jsonl"):
+                    os.remove(os.path.join(self.root, fn))
+        for i, m in enumerate(messages):
+            dst = os.path.join(self.root, f"batch-{self.write_id}-{i}.jsonl")
+            os.rename(m.staged, dst)
+            published.append(os.path.basename(dst))
+            total += m.rows
+        manifest = {"write_id": self.write_id, "files": published, "rows": total}
+        tmp = os.path.join(self.root, f"._manifest-{self.write_id}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.rename(tmp, os.path.join(self.root, "_manifest.json"))
+        shutil.rmtree(self._staging(), ignore_errors=True)
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self._staging(), ignore_errors=True)
+
+
 class RestDataSource(DataSource):
     """spark.read.format("octadesk_rest") — registered via
     ``spark.dataSource.register(RestDataSource)``. Batch reads via
     ``reader`` (windowed partitions); incremental tail reads via
-    ``spark.readStream.format("octadesk_rest")`` (cursor offsets)."""
+    ``spark.readStream.format("octadesk_rest")`` (cursor offsets);
+    batched-POST loads via ``df.write.format("octadesk_rest")``."""
 
     @classmethod
     def name(cls) -> str:
@@ -303,3 +428,6 @@ class RestDataSource(DataSource):
 
     def simpleStreamReader(self, schema: StructType) -> RestStreamReader:
         return RestStreamReader(schema, self.options)
+
+    def writer(self, schema: StructType, overwrite: bool) -> RestWriter:
+        return RestWriter(schema, self.options, overwrite)

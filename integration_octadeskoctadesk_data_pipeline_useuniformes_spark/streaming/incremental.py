@@ -141,3 +141,27 @@ def stream_stream_integrate(
         f"AND {left_time} + INTERVAL {bound}"
     )
     return l.join(r, F.expr(cond), "inner")
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    event_time: str = "createdAt",
+    watermark: str = "5 days",
+) -> DataFrame:
+    """Key-only streaming dedup with watermark-bounded state
+    (``dropDuplicatesWithinWatermark``, Spark 3.5+).
+
+    Unlike ``dropDuplicates([key, event_time])`` — which treats a
+    replayed record with a DIFFERENT event time as new — this drops any
+    record whose key was already seen while the first sighting is still
+    inside the watermark. That is exactly the reference's semantics:
+    its 5-day lookback re-reads the same tickets with UPDATED
+    timestamps, and the destination dedup keys on n_ticket alone
+    (manutencao.py:27-34), not (n_ticket, createdAt).
+
+    State per key is evicted once the watermark passes its first-seen
+    event time, so memory is O(keys arriving per watermark window),
+    not O(all keys ever) — the property that lets the stream run
+    forever."""
+    return stream.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(keys)

@@ -162,3 +162,71 @@ def test_streaming_tail_reads_incrementally(spark, tmp_path):
     final = spark.read.parquet(out)
     assert final.count() == 12
     assert final.select("id").distinct().count() == 12  # exactly-once
+
+
+def test_writer_batched_post_with_retry_and_manifest(spark, tmp_path):
+    """V2 write path (S11 as batched POSTs): rows land exactly once in
+    <=limit-sized batches, transient POST failures are retried, and the
+    manifest reflects the published files."""
+    import json as _json
+
+    root = tmp_path / "sink"
+    root.mkdir()
+    (root / "failures.json").write_text(_json.dumps({"write": 2}))  # 2 injected 500s
+
+    df = spark.range(250).selectExpr(
+        "cast(id as string) AS id",
+        "id AS number",
+        "'2024-01-01T00:00:00' AS createdAt",
+        "'Aberto' AS status",
+        "'{}' AS payload",
+    ).repartition(3)
+    spark.dataSource.register(__import__(
+        "integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sources.rest_source",
+        fromlist=["RestDataSource"],
+    ).RestDataSource)
+    df.write.format("octadesk_rest").option("path", str(root)).option(
+        "limit", "100"
+    ).mode("append").save()
+
+    manifest = _json.loads((root / "_manifest.json").read_text())
+    assert manifest["rows"] == 250
+    seen = []
+    for fn in manifest["files"]:
+        for line in (root / fn).read_text().splitlines():
+            batch = _json.loads(line)
+            assert len(batch) <= 100
+            seen.extend(r["id"] for r in batch)
+    assert sorted(seen, key=int) == [str(i) for i in range(250)]
+    assert not [p for p in root.iterdir() if p.name.startswith(".staging-")]
+
+
+def test_writer_overwrite_replaces_published_batches(spark, tmp_path):
+    import json as _json
+
+    root = tmp_path / "sink"
+    root.mkdir()
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sources.rest_source import (
+        RestDataSource,
+    )
+    spark.dataSource.register(RestDataSource)
+    cols = (
+        "cast(id as string) AS id",
+        "id AS number",
+        "'2024-01-01T00:00:00' AS createdAt",
+        "'Aberto' AS status",
+        "'{}' AS payload",
+    )
+    spark.range(10).selectExpr(*cols).write.format("octadesk_rest").option(
+        "path", str(root)
+    ).mode("append").save()
+    spark.range(5).selectExpr(*cols).write.format("octadesk_rest").option(
+        "path", str(root)
+    ).mode("overwrite").save()
+    manifest = _json.loads((root / "_manifest.json").read_text())
+    total = 0
+    for fn in [p.name for p in root.iterdir() if p.name.startswith("batch-")]:
+        assert fn in manifest["files"], "stale batch visible after overwrite"
+        for line in (root / fn).read_text().splitlines():
+            total += len(_json.loads(line))
+    assert total == 5

@@ -298,3 +298,42 @@ def test_stream_stream_join_time_bound_and_cross_batch_state(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert {r.chat_key for r in rows} == {"1", "2"}
     assert len(rows) == 2  # no duplicate re-emission of the first match
+
+
+def test_dedup_within_watermark_drops_key_replays_with_new_timestamps(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a replayed key with an UPDATED
+    event time (exactly what the reference's 5-day lookback produces)
+    is suppressed, which dropDuplicates([key, ts]) would pass through."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.incremental import (
+        dedup_within_watermark,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    _write_batch(
+        landing,
+        "b1.jsonl",
+        [
+            {"n_ticket": "1", "status_ticket": "Aberto", "createdAt": "2024-01-01T10:00:00"},
+            # same ticket re-read later with a bumped timestamp
+            {"n_ticket": "1", "status_ticket": "Aberto", "createdAt": "2024-01-01T12:00:00"},
+            {"n_ticket": "2", "status_ticket": "Aberto", "createdAt": "2024-01-01T11:00:00"},
+        ],
+    )
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .json(str(landing))
+        .withColumn("createdAt", F.col("createdAt").cast("timestamp"))
+    )
+    out = dedup_within_watermark(stream, ["n_ticket"])
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wm_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT n_ticket FROM wm_dedup").collect()
+    assert sorted(r.n_ticket for r in rows) == ["1", "2"]
