@@ -94,3 +94,67 @@ def extract_features(df: DataFrame, batch_size: int = 1024) -> DataFrame:
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
     return df.select("doc_id", "payload", "meta").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_size: int = 64,
+    stride: int = 48,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Strided frame extraction from a binary payload — the video
+    frame-sample pattern, entirely IN-PLAN (sequence + posexplode +
+    substr on binary): no Python worker touches the bytes, so the
+    1→N fan-out runs inside whole-stage codegen and scales with the
+    scan. Emits (doc_id, frame_idx, frame, frame_hash, meta); the last
+    frame may be short (payload tail), matching ffmpeg-style sampling.
+
+    A real video pipeline swaps byte-strides for decoder-reported frame
+    offsets; the plan shape — explode positions, slice bytes, hash per
+    frame — is identical.
+    """
+    n = F.length(F.col(payload_col))
+    positions = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(stride))
+    out = df.select(
+        "doc_id",
+        "meta",
+        F.col(payload_col),
+        F.posexplode(positions).alias("frame_idx", "pos"),
+    )
+    frame = F.expr(f"substring({payload_col}, pos, {frame_size})")
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        frame.alias("frame"),
+        F.md5(frame).alias("frame_hash"),
+        "meta",
+    )
+
+
+def downsample_payload(
+    df: DataFrame,
+    factor: int = 4,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministic payload "resize": keep every ``factor``-th byte —
+    the stand-in for an image resize/audio-downsample kernel. Runs as an
+    Arrow-batched scalar pandas_udf (binary→binary); the metadata struct
+    is REBUILT alongside so consumers never see stale dims — the
+    contract a real resize must keep.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def shrink(payload: pd.Series) -> pd.Series:
+        return payload.map(lambda b: bytes(b)[::factor])
+
+    small = shrink(F.col(payload_col))
+    return df.select(
+        "doc_id",
+        small.alias(payload_col),
+        F.struct(
+            F.col("meta.format").alias("format"),
+            F.length(small).cast("long").alias("n_units"),
+            F.col("meta.origin").alias("origin"),
+        ).alias("meta"),
+    )

@@ -309,9 +309,19 @@ def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     then re-aggregate per doc. AQE's skew-join split handles stopword
     shingles; the novelty ratio is one IEEE division of exact counts."""
     docs = load_table(spark, sf_dir, "documents")
+    # shuffle 8-byte hashes, not ~20-char shingle strings: the exploded
+    # (doc, shingle) grain is the dominant exchange, so hashing before
+    # the explode cuts its width ~3x (and the df-count/join-back keys
+    # compare as primitives). An xxhash64 collision would merge two
+    # shingles' df counts with p≈n²/2⁶⁴ — negligible at any corpus size
+    # this runs at (same trade documented in x_dedup_ngram_jaccard).
     sh = docs.select(
         "doc_id",
-        F.explode(F.array_distinct(D.word_shingles(F.col("text")))).alias("s"),
+        F.explode(
+            F.array_distinct(
+                F.transform(D.word_shingles(F.col("text")), lambda s: F.xxhash64(s))
+            )
+        ).alias("s"),
     )
     dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     per_doc = sh.join(dfreq, "s").groupBy("doc_id").agg(

@@ -619,6 +619,36 @@ def x_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.extract_features(M.attach_payload(docs))
 
 
+@register(
+    "x_multimodal_frames",
+    """
+SELECT doc_id,
+       CAST((pos - 1) // 48 AS INT) AS frame_idx,
+       md5(substring(text, CAST(pos AS BIGINT), 64)) AS frame_hash,
+       CAST(length(substring(text, CAST(pos AS BIGINT), 64)) AS BIGINT) AS frame_len
+FROM (
+  SELECT doc_id, text,
+         unnest(generate_series(1, greatest(length(text), 1), 48)) AS pos
+  FROM documents
+)
+""",
+)
+def x_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strided frame sampling (operators.multimodal.sample_frames) over
+    the binary payload, entirely in-plan. The oracle frames the SAME
+    bytes through varchar substring — exact because the fixture text is
+    pure ASCII (asserted octet_length == length at every SF); the
+    binary-side md5 therefore hashes identical bytes."""
+    docs = load_table(spark, sf_dir, "documents")
+    framed = M.sample_frames(M.attach_payload(docs), frame_size=64, stride=48)
+    return framed.select(
+        "doc_id",
+        "frame_idx",
+        "frame_hash",
+        F.length("frame").cast("bigint").alias("frame_len"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # end-to-end curation pipeline: language filter → quality gate → exact
 # dedup (min-id representative) → per-source stats. The composition every

@@ -357,3 +357,160 @@ def fn_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("seg").eqNullSafe(F.lit("AUTOMOBILE")), 1).otherwise(0)
         ).alias("n_eq_nullsafe"),
     )
+
+
+@register(
+    "fn_json_battery",
+    """
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+       json_extract_string(props, '$.zzz') AS missing,
+       to_json(struct_pack(event_id := event_id, event_type := event_type)) AS built,
+       json_extract_string(
+         to_json(struct_pack(event_id := event_id, event_type := event_type)),
+         '$.event_type') AS roundtrip
+FROM events
+""",
+)
+def fn_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar surface: path extraction (present + missing → NULL),
+    string→int cast, JSON construction from columns, and construct→
+    extract round-trip. All narrow codegen'd projections; both engines
+    emit compact construction ({"a":1,"b":"x"}), pinned by the hash."""
+    e = load_table(spark, sf_dir, "events")
+    built = F.to_json(F.struct("event_id", "event_type"))
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+        F.get_json_object("props", "$.zzz").alias("missing"),
+        built.alias("built"),
+        F.get_json_object(built, "$.event_type").alias("roundtrip"),
+    )
+
+
+@register(
+    "fn_array_battery",
+    """
+SELECT c_custkey,
+       generate_series(1, (c_custkey % 4) + 2) AS seq,
+       list_sort([c_custkey % 7, c_custkey % 3, c_custkey % 5]) AS srt,
+       list_reverse(generate_series(1, (c_custkey % 4) + 2)) AS rev,
+       (generate_series(1, (c_custkey % 4) + 2))[1:2] AS sl,
+       list_contains(generate_series(1, (c_custkey % 4) + 2), 3) AS has3,
+       coalesce(list_position([c_custkey % 7, c_custkey % 3, c_custkey % 5], 2), 0) AS pos2,
+       list_max([c_custkey % 7, c_custkey % 3, c_custkey % 5]) AS mx,
+       list_sum(list_transform(generate_series(1, (c_custkey % 4) + 2), x -> x * 2)) AS dblsum,
+       list_filter([c_custkey % 7, c_custkey % 3, c_custkey % 5], x -> x > 2) AS flt,
+       flatten([generate_series(1, (c_custkey % 4) + 2),
+                [c_custkey % 7, c_custkey % 3, c_custkey % 5]]) AS fl,
+       list_sort(list_distinct([c_custkey % 7, c_custkey % 3, c_custkey % 5])) AS dd
+FROM customer
+""",
+)
+def fn_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface pinned cross-engine:
+    sequence, sort, reverse, slice, contains, position (0 when absent —
+    DuckDB's NULL coalesced to match), max, transform+fold, filter,
+    flatten, distinct (order normalized by sort: Spark preserves
+    first-occurrence order, DuckDB does not). Narrow projection, no
+    shuffle, whole-stage codegen."""
+    c = load_table(spark, sf_dir, "customer")
+    seq = F.sequence(F.lit(1), (F.col("c_custkey") % 4) + 2)
+    trio = F.array(
+        F.col("c_custkey") % 7, F.col("c_custkey") % 3, F.col("c_custkey") % 5
+    )
+    return c.select(
+        "c_custkey",
+        seq.alias("seq"),
+        F.array_sort(trio).alias("srt"),
+        F.reverse(seq).alias("rev"),
+        F.slice(seq, 1, 2).alias("sl"),
+        F.array_contains(seq, F.lit(3)).alias("has3"),
+        F.array_position(trio, F.lit(2)).alias("pos2"),
+        F.array_max(trio).alias("mx"),
+        F.aggregate(
+            F.transform(seq, lambda x: x * 2), F.lit(0).cast("bigint"), lambda a, x: a + x
+        ).alias("dblsum"),
+        F.filter(trio, lambda x: x > 2).alias("flt"),
+        F.flatten(F.array(seq, trio)).alias("fl"),
+        F.array_sort(F.array_distinct(trio)).alias("dd"),
+    )
+
+
+@register(
+    "fn_window_range_frame",
+    """
+SELECT event_id, user_id, ts,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS n_last_hour,
+       sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts
+                      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS val_last_hour
+FROM events
+""",
+)
+def fn_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame sliding time window (events in the trailing hour).
+    Spark's rangeBetween is numeric, so the ORDER BY key is unix MICROS
+    — exactly DuckDB's microsecond-resolution interval arithmetic, same
+    inclusive lower bound. The windowed sum rides DECIMAL so partial
+    order inside the frame can't perturb the hash. One shuffle + one
+    sort per user partition; the frame scan is the pane-based sliding
+    aggregation, not a per-row rescan."""
+    e = load_table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ: micros since a fixed NTZ epoch keeps the key
+    # timezone-free (unix_micros would force a session-tz interpretation)
+    micros = F.expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+    w = Window.partitionBy("user_id").orderBy(micros).rangeBetween(-3_600_000_000, 0)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("val_last_hour"),
+    )
+
+
+@register(
+    "fn_set_bag_ops",
+    """
+WITH a AS (SELECT event_type, user_id % 10 AS slot FROM events WHERE event_id % 2 = 0),
+b AS (SELECT event_type, user_id % 10 AS slot FROM events WHERE event_id % 3 = 0)
+SELECT event_type, slot, 'except_all' AS op, count(*) AS n FROM (
+  SELECT * FROM a EXCEPT ALL SELECT * FROM b
+) GROUP BY event_type, slot
+UNION ALL
+SELECT event_type, slot, 'intersect_all' AS op, count(*) AS n FROM (
+  SELECT * FROM a INTERSECT ALL SELECT * FROM b
+) GROUP BY event_type, slot
+""",
+)
+def fn_set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations (EXCEPT ALL / INTERSECT ALL):
+    multiplicity-aware — a row occurring 5× in a and 2× in b survives
+    except_all 3× — which Spark plans as a single hash aggregation of
+    signed counts, not a join per duplicate. Output re-aggregated to
+    counts so the comparison is order-insensitive."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_id") % 2 == 0).select(
+        "event_type", (F.col("user_id") % 10).alias("slot")
+    )
+    b = e.filter(F.col("event_id") % 3 == 0).select(
+        "event_type", (F.col("user_id") % 10).alias("slot")
+    )
+    ex = (
+        a.exceptAll(b)
+        .groupBy("event_type", "slot")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", "slot", F.lit("except_all").alias("op"), "n")
+    )
+    ia = (
+        a.intersectAll(b)
+        .groupBy("event_type", "slot")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("event_type", "slot", F.lit("intersect_all").alias("op"), "n")
+    )
+    return ex.unionByName(ia)

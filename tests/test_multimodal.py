@@ -50,3 +50,45 @@ def test_metadata_filter_prunes_before_udf(spark):
     # the filter sits below the Python stage in the plan
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "src0" in plan
+
+
+def test_sample_frames_matches_python_slicing(spark):
+    """In-plan strided framing reproduces exact Python byte slicing:
+    positions 0, stride, 2*stride… each frame frame_size bytes (tail
+    short), hashes consistent."""
+    import hashlib
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.multimodal import (
+        attach_payload,
+        sample_frames,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    framed = sample_frames(attach_payload(docs), frame_size=64, stride=48)
+    rows = framed.collect()
+    texts = {r.doc_id: r.text.encode() for r in docs.collect()}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, payload in texts.items():
+        expected = [payload[p : p + 64] for p in range(0, max(len(payload), 1), 48)]
+        got = sorted(by_doc[doc_id], key=lambda r: r.frame_idx)
+        assert [bytes(r.frame) for r in got] == expected
+        for r in got:
+            assert r.frame_hash == hashlib.md5(bytes(r.frame)).hexdigest()
+
+
+def test_downsample_payload_updates_metadata(spark):
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.multimodal import (
+        attach_payload,
+        downsample_payload,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    shrunk = downsample_payload(attach_payload(docs), factor=4).collect()
+    texts = {r.doc_id: r.text.encode() for r in docs.collect()}
+    for r in shrunk:
+        expected = texts[r.doc_id][::4]
+        assert bytes(r.payload) == expected
+        assert r.meta.n_units == len(expected)   # meta never stale
+        assert r.meta.format == "text/plain"

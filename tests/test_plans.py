@@ -210,3 +210,45 @@ def test_kmeans_assignment_broadcasts_centroids(spark):
     tree = tree_of(spark, "x_kmeans_semantic_clusters")
     assert "BroadcastNestedLoopJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_outlier_mad_broadcasts_per_source_scalars(spark):
+    """Every scalar join-back (median, MAD) must broadcast — a
+    sort-merge join on `source` would cap parallelism at the source
+    cardinality AND shuffle the whole fact table. The fact side is
+    scanned more than once (exact MAD is inherently two passes over
+    deviations; the single-pass scale path is approx_percentile), but
+    it must NEVER be exchanged."""
+    tree = tree_of(spark, "x_outlier_mad_by_source")
+    assert "SortMergeJoin" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+    # the only shuffles allowed are the tiny per-source aggregates
+    # ("+- Exchange"; BroadcastExchange lines spell it differently) —
+    # never a repartition of the full doc scan
+    assert tree.count("+- Exchange") <= 3, tree
+
+
+def test_datacard_single_wide_exchange(spark):
+    """The data card groups once on (source, lang); the distinct-
+    fingerprint count re-aggregates the same grain, so the only
+    exchanges allowed are on that grain (partial_count before them)."""
+    tree = tree_of(spark, "x_corpus_datacard")
+    assert "partial_count" in plan_of(spark, "x_corpus_datacard"), "no map-side combine"
+    assert "SortMergeJoin" not in tree, tree
+
+
+def test_ngram_novelty_df_counts_combine_mapside(spark):
+    """The shingle df-count must partially aggregate before its
+    exchange — stopword shingles would otherwise ship every copy."""
+    plan = plan_of(spark, "x_ngram_novelty")
+    assert "partial_count" in plan, plan
+
+
+def test_incremental_batch_prunes_to_fingerprint_before_anti_join(spark):
+    """Both anti-join inputs are single-column projections of the scan;
+    the text column must not survive past fingerprint computation."""
+    plan = plan_of(spark, "x_dedup_incremental_batch")
+    tree = tree_of(spark, "x_dedup_incremental_batch")
+    assert "LeftAnti" in plan, plan
+    # no sort-merge: whichever side Spark picks, the join must be hash
+    assert "SortMergeJoin" not in tree, tree
