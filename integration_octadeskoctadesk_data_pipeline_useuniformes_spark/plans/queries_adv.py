@@ -475,3 +475,31 @@ def x_resample_daily_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").isNotNull().alias("observed"),
         F.last("day_max", ignorenulls=True).over(w).alias("ffill_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto skyline (EDBT'23 "skyline queries in Spark SQL" shape): parts
+# no other part beats on BOTH price (lower better) and size (larger
+# better). The oracle is the quadratic NOT EXISTS definition; the Spark
+# plan is the distributed sweep in operators/skyline.py — the
+# dominance nested loop never materializes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_skyline_price_size",
+    """
+SELECT a.p_partkey, a.p_retailprice, a.p_size
+FROM part a
+WHERE a.p_retailprice IS NOT NULL AND a.p_size IS NOT NULL
+  AND NOT EXISTS (
+    SELECT 1 FROM part b
+    WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+""",
+)
+def x_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skyline import skyline_2d
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    return skyline_2d(p, minimize="p_retailprice", maximize="p_size")

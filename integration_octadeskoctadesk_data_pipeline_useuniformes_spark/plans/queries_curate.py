@@ -374,3 +374,45 @@ def x_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("source") != "src1").select(fp.alias("fp")).distinct()
     batch = docs.filter(F.col("source") == "src1").select("doc_id", fp.alias("fp"))
     return batch.join(corpus, "fp", "left_anti").select("doc_id", "fp")
+
+
+# ---------------------------------------------------------------------------
+# Lexicon-based sentiment (the classic large-scale-Spark sentiment
+# pipeline shape): per-doc polarity plus a per-source rollup.
+# ---------------------------------------------------------------------------
+
+_POS_SQL = ", ".join(f"'{s}'" for s in T.SENTIMENT_LEXICON["pos"])
+_NEG_SQL = ", ".join(f"'{s}'" for s in T.SENTIMENT_LEXICON["neg"])
+
+
+@register(
+    "x_text_sentiment",
+    f"""
+SELECT doc_id, source, n_pos, n_neg,
+       CASE WHEN n_pos + n_neg = 0 THEN 0.0
+            ELSE CAST(n_pos - n_neg AS DOUBLE) / CAST(n_pos + n_neg AS DOUBLE)
+       END AS sentiment
+FROM (
+  SELECT doc_id, source,
+         len(list_filter(w, x -> list_contains([{_POS_SQL}], x))) AS n_pos,
+         len(list_filter(w, x -> list_contains([{_NEG_SQL}], x))) AS n_neg
+  FROM (SELECT doc_id, source,
+               string_split_regex(trim(lower(text)), '\\s+') AS w
+        FROM documents)
+)
+""",
+)
+def x_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexicon polarity — deterministic scoring in one
+    narrow projection (no shuffle, whole-stage codegen); swapping in a
+    model-based scorer changes only the inner expression to a batched
+    pandas_udf, not the plan shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = T.sentiment_counts(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "source",
+        c["n_pos"].alias("n_pos"),
+        c["n_neg"].alias("n_neg"),
+        T.sentiment_score(F.col("text")).alias("sentiment"),
+    )

@@ -514,3 +514,56 @@ def fn_set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "slot", F.lit("intersect_all").alias("op"), "n")
     )
     return ex.unionByName(ia)
+
+
+@register(
+    "fn_window_ratio_to_report",
+    """
+SELECT event_id, event_type,
+       CAST(value AS DECIMAL(18,2)) AS val,
+       CAST(CAST(value AS DECIMAL(18,2)) / sum(CAST(value AS DECIMAL(18,2)))
+              OVER (PARTITION BY event_type) AS DECIMAL(18,6)) AS share
+FROM events
+""",
+)
+def fn_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each row's share of its group total via an
+    unbounded partition window — no self-join with a grouped total.
+    Sum and division ride DECIMAL so neither partial order inside the
+    window nor engine rounding perturbs the hash (both engines round
+    the scale-6 quotient half-up on exact decimal inputs)."""
+    e = load_table(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,2)")
+    w = Window.partitionBy("event_type")
+    return e.select(
+        "event_id",
+        "event_type",
+        val.alias("val"),
+        (val / F.sum(val).over(w)).cast("decimal(18,6)").alias("share"),
+    )
+
+
+@register(
+    "agg_grouping_sets_mixed",
+    """
+SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+       grouping(source) AS g_source, grouping(lang) AS g_lang
+FROM documents
+GROUP BY GROUPING SETS ((source), (lang), ())
+""",
+)
+def agg_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (disjoint slices + grand total in one
+    pass — not derivable from ROLLUP/CUBE), via the SQL entry path
+    over a registered view: Spark expands the sets into one Expand +
+    single aggregation, so the scan happens once, with grouping()
+    markers disambiguating real NULLs from subtotal rows."""
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_gs")
+    return spark.sql(
+        """
+        SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
+               grouping(source) AS g_source, grouping(lang) AS g_lang
+        FROM documents_gs
+        GROUP BY GROUPING SETS ((source), (lang), ())
+        """
+    )

@@ -197,3 +197,49 @@ def test_rp_topk_recall_and_exact_rerank(spark):
     assert r30 <= r100 <= rall, (r30, r100, rall)
     assert rall == 1.0
     assert r30 > 0.0
+
+
+def test_skyline_matches_brute_force_and_is_partition_invariant(spark):
+    """skyline_2d == the quadratic dominance definition, for every
+    orientation of ties/duplicates in the fixture; and the result is a
+    pure function of the value set (invariant to input partitioning)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    p = spark.read.parquet("/root/testdata/sf0.001/part.parquet").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    rows = [(r.p_partkey, r.p_retailprice, r.p_size) for r in p.collect()]
+    def dominated(a):
+        return any(
+            b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+            for b in rows
+        )
+    expected = sorted(r[0] for r in rows if not dominated(r))
+
+    got = sorted(
+        r.p_partkey
+        for r in skyline_2d(p, "p_retailprice", "p_size").collect()
+    )
+    assert got == expected
+    got7 = sorted(
+        r.p_partkey
+        for r in skyline_2d(p.repartition(7), "p_retailprice", "p_size").collect()
+    )
+    assert got7 == expected
+
+
+def test_skyline_plan_has_no_nested_loop(spark):
+    """The whole point: no BroadcastNestedLoopJoin / CartesianProduct —
+    the dominance compare must stay a sweep, not an O(n^2) join."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    p = spark.read.parquet("/root/testdata/sf0.001/part.parquet").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+    plan = skyline_2d(p, "p_retailprice", "p_size")._jdf.queryExecution().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
