@@ -165,3 +165,55 @@ def dedup_within_watermark(
     not O(all keys ever) — the property that lets the stream run
     forever."""
     return stream.withWatermark(event_time, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def maintain_rollup(
+    spark: SparkSession,
+    landing_dir: str,
+    rollup_path: str,
+    checkpoint_dir: str,
+    schema: str,
+    event_time: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "5 days",
+    available_now: bool = True,
+):
+    """Incrementally-maintained materialized rollup: a streaming
+    windowed count MERGEd into a queryable sink table every micro-batch
+    — the materialized-view-maintenance pattern (the BI consumer reads
+    the rollup table; the stream keeps it current).
+
+    update-mode + foreachBatch: each batch carries only the (window,
+    event_type) groups whose counts CHANGED, and the batch output is
+    the full updated count for those groups (streaming state holds the
+    running aggregate), so the merge upserts deltas — it never rescans
+    history. Sink cost per batch is O(changed groups), and watermark
+    expiry bounds both state and which groups can still change —
+    together that is what lets a 100 TB/day stream maintain a rollup
+    table without ever recomputing it.
+    """
+    from ..sinks.append_sink import create_if_not_exists
+    from ..sinks.merge_sink import merge_upsert
+
+    stream = (
+        spark.readStream.schema(schema)
+        .json(landing_dir)
+        .withColumn(event_time, F.col(event_time).cast("timestamp"))
+    )
+    counts = windowed_event_counts(stream, event_time, window, watermark).withColumn(
+        "group_key",
+        F.concat_ws("|", F.col("window_start").cast("string"), F.col("event_type")),
+    )
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        create_if_not_exists(spark, rollup_path, batch_df.schema)
+        merge_upsert(spark, rollup_path, batch_df, key="group_key", insert_unmatched=True)
+
+    writer = (
+        counts.writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

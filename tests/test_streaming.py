@@ -337,3 +337,52 @@ def test_dedup_within_watermark_drops_key_replays_with_new_timestamps(spark, tmp
     q.awaitTermination(120)
     rows = spark.sql("SELECT n_ticket FROM wm_dedup").collect()
     assert sorted(r.n_ticket for r in rows) == ["1", "2"]
+
+
+def test_maintained_rollup_upserts_changed_windows_only(spark, tmp_path):
+    """Materialized-rollup maintenance: batch 2 updates an existing
+    window's count in place (MERGE, not append) and inserts new
+    windows; the rollup table equals the batch-computed truth."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import read_sink
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.incremental import (
+        maintain_rollup,
+    )
+
+    landing = tmp_path / "ev"
+    landing.mkdir()
+    rollup = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "ts string, event_type string"
+
+    _write_batch(
+        landing,
+        "b1.jsonl",
+        [
+            {"ts": "2024-01-01T10:05:00", "event_type": "click"},
+            {"ts": "2024-01-01T10:35:00", "event_type": "click"},
+            {"ts": "2024-01-01T11:10:00", "event_type": "view"},
+        ],
+    )
+    maintain_rollup(spark, str(landing), rollup, ckpt, schema).awaitTermination(120)
+    t1 = {
+        (r.group_key): r.n_events
+        for r in read_sink(spark, rollup).filter(F.col("group_key").isNotNull()).collect()
+    }
+    assert t1["2024-01-01 10:00:00|click"] == 2
+    assert t1["2024-01-01 11:00:00|view"] == 1
+
+    # late-ish arrival into the SAME 10:00 window + a brand-new window
+    _write_batch(
+        landing,
+        "b2.jsonl",
+        [
+            {"ts": "2024-01-01T10:55:00", "event_type": "click"},
+            {"ts": "2024-01-01T12:02:00", "event_type": "view"},
+        ],
+    )
+    maintain_rollup(spark, str(landing), rollup, ckpt, schema).awaitTermination(120)
+    rows = read_sink(spark, rollup).filter(F.col("group_key").isNotNull()).collect()
+    t2 = {r.group_key: r.n_events for r in rows}
+    assert t2["2024-01-01 10:00:00|click"] == 3      # updated in place
+    assert t2["2024-01-01 12:00:00|view"] == 1       # inserted
+    assert len(rows) == len(t2) == 3                 # one row per group, no dupes

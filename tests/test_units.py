@@ -134,3 +134,28 @@ def test_salted_join_matches_plain(spark):
         )
         want = sorted((r["k"], r["v"], r["w"]) for r in big.join(small, "k", how).collect())
         assert got == want, how
+
+
+def test_from_json_corrupt_record_capture(spark):
+    """T4 in-band error semantics for semi-structured parsing: with a
+    _corrupt_record column in the schema, malformed payloads land
+    whole in that column (valid rows parse, corrupt rows are KEPT, not
+    dropped) — the same carry-errors-in-band contract as the REST
+    enrichment path (reference chat.py:289-291)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"k": 69}',), ("{bad{", ), (None,)], "props string"
+    )
+    parsed = df.select(
+        "props",
+        F.from_json(
+            "props",
+            "k bigint, _corrupt_record string",
+            {"columnNameOfCorruptRecord": "_corrupt_record"},
+        ).alias("p"),
+    ).select("props", "p.k", "p._corrupt_record")
+    rows = {r.props: (r.k, r._corrupt_record) for r in parsed.collect()}
+    assert rows['{"k": 69}'] == (69, None)
+    assert rows["{bad{"] == (None, "{bad{")   # kept, in-band
+    assert rows[None] == (None, None)
