@@ -30,6 +30,8 @@ from ..tables import load_table
 from .queries import register
 from .queries_ext import _LSH_PAIRS_CTES, _SHINGLES_SQL, _WORDS_SQL, _langid_oracle
 
+_SW_EN_CUR = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS["en"])
+
 # ---------------------------------------------------------------------------
 # Robust outlier detection: median/MAD per source (length QA).
 # Exactness: n_chars is integral, so every interpolated median is a
@@ -416,3 +418,162 @@ def x_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         c["n_neg"].alias("n_neg"),
         T.sentiment_score(F.col("text")).alias("sentiment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution: fuzzy (edit-distance) match join with blocking.
+# Exact duplicates (distance 0) are x_dedup_exact's job; this finds the
+# NEAR matches (1-2 edits) that exact hashing can never see.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_fuzzy_name_match",
+    """
+WITH p AS (
+  SELECT p_partkey, p_name, string_split(p_name, ' ')[-1] AS blk
+  FROM part
+)
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       a.p_name AS name_a, b.p_name AS name_b,
+       levenshtein(a.p_name, b.p_name) AS dist
+FROM p a JOIN p b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+""",
+)
+def x_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-join: candidate pairs share a blocking key
+    (the type word of the name) so the quadratic edit-distance compare
+    runs inside blocks only, with the bounded block side broadcast —
+    the same all-pairs-in-block shape as x_dedup_ngram_jaccard, and at
+    corpus scale the blocks come from q-gram LSH instead of a field
+    value. Levenshtein has identical unit-cost semantics in both
+    engines, so the distance column is exact."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.element_at(F.split("p_name", " "), -1).alias("blk"),
+    )
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    a = p.repartition(n_part).select(
+        F.col("p_partkey").alias("id_a"), F.col("p_name").alias("name_a"), "blk"
+    )
+    b = p.select(
+        F.col("p_partkey").alias("id_b"), F.col("p_name").alias("name_b"), "blk"
+    )
+    dist = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(F.broadcast(b), "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist").between(1, 2))
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch QA: MinHash-estimated Jaccard vs the exact word-shingle
+# Jaccard, per verified LSH pair — the report that tells you whether
+# 8 hashes are enough before you dedup 100 TB with them.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_estimate_error",
+    f"""
+WITH {_LSH_PAIRS_CTES},
+g AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents
+)
+SELECT v.id_a, v.id_b, v.jaccard_est,
+       round(CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE)
+             / CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS DOUBLE), 6)
+         AS jaccard_exact,
+       round(abs(v.jaccard_est
+             - CAST(len(list_intersect(ga.sh, gb.sh)) AS DOUBLE)
+               / CAST(len(ga.sh) + len(gb.sh) - len(list_intersect(ga.sh, gb.sh)) AS DOUBLE)), 6)
+         AS abs_err
+FROM verified v
+JOIN g ga ON ga.doc_id = v.id_a
+JOIN g gb ON gb.doc_id = v.id_b
+""",
+)
+def x_dedup_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair sketch error: |est − exact| for every signature-verified
+    LSH pair. Exact sets are xxhash64-hashed once per doc (primitive
+    intersects; |A∪B| from sizes, no second set op) and joined to the
+    (small) pair list — the pair side broadcasts, the doc-gram side is
+    scanned once. Kept exact-only: the estimate is already in hand."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs, min_jaccard_est=0.5)
+    g = docs.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(D.word_shingles(F.col("text")), lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    )
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    joined = ga.join(F.broadcast(pairs), "id_a").join(
+        gb, "id_b"
+    )
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    union = (F.size("sha") + F.size("shb")).cast("double") - inter
+    exact = inter / union
+    return joined.select(
+        "id_a",
+        "id_b",
+        "jaccard_est",
+        F.round(exact, 6).alias("jaccard_exact"),
+        F.round(F.abs(F.col("jaccard_est") - exact), 6).alias("abs_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Score-weighted sampling: keep probability proportional to the doc's
+# quality score — deterministic (hash threshold), no rand(), invariant
+# to partitioning. Rate is quantized to 1/65536 steps (threshold is a
+# 4-hex-digit string against the id-hash prefix, capped at ffff).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_sample_by_quality",
+    f"""
+WITH q AS (
+  SELECT doc_id,
+       round(
+         greatest(least(
+           0.5 * least(CAST(len({_WORDS_SQL}) AS DOUBLE) / 50.0, 1.0)
+           + 0.5 * least((CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> list_contains([{_SW_EN_CUR}], x))) AS DOUBLE)
+                / CAST(greatest(len({_WORDS_SQL}), 1) AS DOUBLE)) * 5.0, 1.0)
+           - CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
+             / CAST(greatest(length(text), 1) AS DOUBLE)
+         , 1.0), 0.0)
+       , 6) AS quality
+  FROM documents
+)
+SELECT doc_id, quality FROM q
+WHERE substr(md5('qs:' || CAST(doc_id AS VARCHAR)), 1, 4)
+      < printf('%04x', CAST(least(floor(quality * 65536), 65535) AS INT))
+""",
+)
+def x_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep each document with probability equal to its quality score:
+    high-quality data is oversampled into the training mix without a
+    single random() call — the (salt, id) hash prefix against a
+    per-row quality threshold decides, so re-runs, retries, and any
+    partitioning produce the same sample. Pure scan+filter, no
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+    h = F.substring(F.md5(F.concat(F.lit("qs:"), F.col("doc_id").cast("string"))), 1, 4)
+    thresh = F.lower(
+        F.lpad(
+            F.hex(F.least(F.floor(F.col("quality") * 65536), F.lit(65535)).cast("int")),
+            4,
+            "0",
+        )
+    )
+    return q.filter(h < thresh)

@@ -567,3 +567,34 @@ def agg_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((source), (lang), ())
         """
     )
+
+
+@register(
+    "fn_date_parse_battery",
+    """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%d/%m/%Y') AS br_str,
+       CAST(strptime(strftime(o_orderdate, '%d/%m/%Y'), '%d/%m/%Y') AS DATE) AS reparsed,
+       strftime(o_orderdate, '%Y-%m') AS year_month,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_month
+FROM orders
+""",
+)
+def fn_date_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-string date round-trip: format→parse→format with the
+    dd/MM/yyyy pattern (the reference's BR locale), month formatting,
+    last_day, and end-of-month-aware month addition. Each engine uses
+    its own pattern dialect (Java patterns vs strptime %-codes) — the
+    VALUES are pinned equal, which is what a migration cares about."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    br = F.date_format("o_orderdate", "dd/MM/yyyy")
+    return o.select(
+        "o_orderkey",
+        br.alias("br_str"),
+        F.to_date(br, "dd/MM/yyyy").alias("reparsed"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
+        F.last_day(d).alias("month_end"),
+        F.expr("CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH").alias("plus_month"),
+    )

@@ -98,3 +98,33 @@ def test_proportional_resample_matches_python_model(spark, ids, n_strata):
         if h * counts[s] < (1 << 32) * min_c:
             expect.add(i)
     assert kept == expect, (sorted(kept ^ expect), counts)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=12),
+            st.integers(min_value=0, max_value=12),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+)
+@_SETTINGS
+def test_skyline_matches_python_model(spark, pts):
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    rows = [(i, float(p), s) for i, (p, s) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, price double, size int")
+
+    def dominated(a):
+        return any(
+            b[1] <= a[1] and b[2] >= a[2] and (b[1] < a[1] or b[2] > a[2])
+            for b in rows
+        )
+
+    expected = sorted(r[0] for r in rows if not dominated(r))
+    got = sorted(r.id for r in skyline_2d(df, "price", "size").collect())
+    assert got == expected
