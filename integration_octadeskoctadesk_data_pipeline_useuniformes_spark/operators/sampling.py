@@ -139,3 +139,36 @@ def proportional_resample(
         .filter(h * F.col("__cnt") < F.lit(4294967296) * F.col("__min_cnt"))
         .drop("__cnt", "__min_cnt")
     )
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    *,
+    salt: str = "temp:",
+) -> DataFrame:
+    """Partial (temperature) rebalance: keep rate sqrt(min_count/count)
+    per stratum — between full proportional flattening (rate min/c) and
+    no resampling, the standard smoothing for multilingual/source
+    mixing where flattening overweights tiny strata. Kept strata sizes
+    become sqrt(c·min): still ordered by size, but compressed.
+
+    The exponent is fixed at 0.5 because sqrt is an IEEE-exact
+    operation computed identically in any engine — an arbitrary
+    temperature would need pow(), whose last-bit behavior is
+    library-specific and would break value parity. Same plan shape as
+    proportional_resample: one map-combinable count, two broadcasts,
+    narrow filter; decisions are per-(salt,id) deterministic."""
+    cnt = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    min_c = cnt.agg(F.min("__cnt").alias("__min_cnt"))
+    h = _hash_u32(F.col(id_col), salt)
+    return (
+        df.join(F.broadcast(cnt), strata_col)
+        .crossJoin(F.broadcast(min_c))
+        .filter(
+            h.cast("double") * F.sqrt(F.col("__cnt").cast("double"))
+            < F.lit(4294967296.0) * F.sqrt(F.col("__min_cnt").cast("double"))
+        )
+        .drop("__cnt", "__min_cnt")
+    )

@@ -577,3 +577,52 @@ def x_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return q.filter(h < thresh)
+
+
+# ---------------------------------------------------------------------------
+# Column profiler: per-column null/distinct/min/max over one scan —
+# the data-quality profile a pipeline emits before accepting a drop.
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def _profile_oracle() -> str:
+    aggs = ", ".join(
+        f"count({c}) AS nn_{c}, count(DISTINCT {c}) AS nd_{c}, "
+        f"CAST(min({c}) AS VARCHAR) AS mn_{c}, CAST(max({c}) AS VARCHAR) AS mx_{c}"
+        for c in _PROFILE_COLS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT '{c}' AS column_name, n_rows, nn_{c} AS n_nonnull, nd_{c} AS n_distinct, "
+        f"mn_{c} AS min_val, mx_{c} AS max_val FROM s"
+        for c in _PROFILE_COLS
+    )
+    return f"WITH s AS (SELECT count(*) AS n_rows, {aggs} FROM documents)\n{rows}"
+
+
+@register("x_profile_documents", _profile_oracle())
+def x_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan table profile, unpivoted to a row per column. The five
+    exact count-distincts share one aggregation (Spark plans an Expand
+    — 5× the scan rows but still a single pass and shuffle); at 100 TB
+    each becomes approx_count_distinct and the Expand collapses to
+    mergeable HLL sketches. The unpivot is a 1-row stack — free."""
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("string").alias(f"mn_{c}"),
+            F.max(c).cast("string").alias(f"mx_{c}"),
+        ]
+    s = docs.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _PROFILE_COLS
+    )
+    return s.selectExpr(
+        "n_rows",
+        f"stack({len(_PROFILE_COLS)}, {stack}) AS "
+        "(column_name, n_nonnull, n_distinct, min_val, max_val)",
+    ).select("column_name", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val")

@@ -504,3 +504,57 @@ def x_semdedup_within_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").alias("cluster"),
         F.col("id_b").isNull().alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: BM25 candidate generation → dense-vector rerank —
+# the standard two-stage RAG retrieval pipeline as ONE lazy plan. The
+# "query embedding" is a fixture stand-in (corpus vector 0); a real
+# deployment feeds the encoded query the same way (one broadcast row).
+# ---------------------------------------------------------------------------
+
+
+def _hybrid_oracle() -> str:
+    from .queries import _REGISTRY
+    from .queries_ext import _cos2_sql
+
+    bm25_sql = _REGISTRY["x_bm25_search"][1]
+    return f"""
+WITH cand AS ({bm25_sql}),
+qv AS (SELECT embedding AS qemb FROM embeddings WHERE vec_id = 0)
+SELECT c.doc_id, c.bm25,
+       round({_cos2_sql("e", "embedding", "qv", "qemb")}, 6) AS cos_sim,
+       row_number() OVER (
+         ORDER BY round({_cos2_sql("e", "embedding", "qv", "qemb")}, 6) DESC,
+                  c.doc_id ASC) AS final_rank
+FROM cand c
+JOIN embeddings e ON e.vec_id = c.doc_id
+CROSS JOIN qv
+"""
+
+
+@register("x_hybrid_retrieval_rerank", _hybrid_oracle())
+def x_hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: the sparse (BM25) stage prunes the corpus
+    to 20 candidates, the dense stage reranks ONLY those by cosine to
+    the query vector. The candidate set and query vector are broadcast
+    (both tiny by construction); the embedding table is probed with a
+    broadcast hash join, so stage-2 cost is O(candidates), independent
+    of corpus size — the property that makes rerankers affordable. The
+    final ordering is a 20-row window, not a sort of anything large."""
+    from ..operators import similarity as S
+
+    cand = x_bm25_search(spark, sf_dir).select("doc_id", "bm25")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qemb"))
+    scored = (
+        emb.join(F.broadcast(cand), emb.vec_id == cand.doc_id)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            "bm25",
+            F.round(S.cosine(F.col("embedding"), F.col("qemb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
+    return scored.withColumn("final_rank", F.row_number().over(w))

@@ -335,3 +335,26 @@ def x_train_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("block_chars"),
     )
+
+
+@register(
+    "x_mixture_temperature",
+    """
+WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+m AS (SELECT min(c) AS min_c FROM cnt)
+SELECT doc_id, d.lang
+FROM documents d JOIN cnt ON d.lang = cnt.lang CROSS JOIN m
+WHERE CAST(CAST(concat('0x', substr(md5(concat('temp:', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS DOUBLE)
+      * sqrt(CAST(cnt.c AS DOUBLE)) < 4294967296.0 * sqrt(CAST(m.min_c AS DOUBLE))
+""",
+)
+def x_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed corpus mixing (keep rate sqrt(min/c) per
+    lang): the midpoint between proportional flattening
+    (x_mixture_resample) and the raw mix; see
+    operators.sampling.temperature_resample for why the exponent is
+    pinned to the IEEE-exact sqrt."""
+    from ..operators.sampling import temperature_resample
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return temperature_resample(d, "lang", "doc_id", salt="temp:")

@@ -34,6 +34,7 @@ from datetime import datetime, timedelta
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     Filter,
     GreaterThan,
@@ -96,17 +97,21 @@ class FileBackedEndpoint:
 
     def check_write_failure(self) -> None:
         """Injectable POST failure: failures.json key "write" = how many
-        POSTs should fail (globally) before succeeding."""
+        POSTs should fail (globally) before succeeding. Each failure is
+        consumed atomically (O_EXCL marker per unit) so concurrent
+        writer tasks can never over-consume the budget — exactly
+        ``budget`` POSTs fail, deterministically."""
         budget = self._failures().get("write", 0)
         if not budget:
             return
         state_dir = os.path.join(self.root, ".attempts")
         os.makedirs(state_dir, exist_ok=True)
-        marker = os.path.join(state_dir, "write")
-        seen = int(open(marker).read()) if os.path.exists(marker) else 0
-        if seen < budget:
-            with open(marker, "w") as fh:
-                fh.write(str(seen + 1))
+        for i in range(budget):
+            marker = os.path.join(state_dir, f"write.{i}")
+            try:
+                os.close(os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            except FileExistsError:
+                continue
             raise TransientServerError("injected 500 on POST")
 
     def _read_range(self, path: str, start, end, page: int, limit: int) -> _Page:
@@ -431,3 +436,62 @@ class RestDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> RestWriter:
         return RestWriter(schema, self.options, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool) -> "RestStreamWriter":
+        return RestStreamWriter(schema, self.options)
+
+
+class RestStreamWriter(DataSourceStreamWriter):
+    """Streaming twin of RestWriter: each micro-batch POSTs its rows in
+    ≤limit-sized batches through the same staged two-phase commit, but
+    publication is PER EPOCH — commit(messages, batchId) publishes the
+    batch's staged files as ``batch-<id>-*.jsonl`` and appends one line
+    to ``_epochs.jsonl``. Spark calls commit for a batchId exactly once
+    even across restarts (the offset log replays the read, the commit
+    log skips re-publication), so the destination sees each micro-batch
+    once — end-to-end exactly-once over a plain POST transport, which
+    is the property the reference's dedup-before-append approximates.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.root = options["path"]
+        self.limit = int(options.get("limit", 100))
+        self.fields = [f.name for f in schema.fields]
+
+    def _delegate(self, write_id: str) -> RestWriter:
+        class _S(StructType):
+            pass
+
+        w = RestWriter.__new__(RestWriter)
+        w.root = self.root
+        w.limit = self.limit
+        w.fields = self.fields
+        w.overwrite = False
+        w.write_id = write_id
+        return w
+
+    def write(self, iterator) -> "_TaskCommit":
+        # batch id is not known executor-side; stage under a neutral id
+        # and let commit() move files into the epoch's namespace
+        return self._delegate("stream").write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        published = []
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            dst = os.path.join(self.root, f"batch-{batchId}-{i}.jsonl")
+            os.rename(m.staged, dst)
+            published.append(os.path.basename(dst))
+            total += m.rows
+        with open(os.path.join(self.root, "_epochs.jsonl"), "a") as fh:
+            fh.write(json.dumps({"batch_id": batchId, "files": published, "rows": total}) + "\n")
+        shutil.rmtree(os.path.join(self.root, ".staging-stream"), ignore_errors=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        shutil.rmtree(os.path.join(self.root, ".staging-stream"), ignore_errors=True)

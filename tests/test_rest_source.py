@@ -230,3 +230,57 @@ def test_writer_overwrite_replaces_published_batches(spark, tmp_path):
         for line in (root / fn).read_text().splitlines():
             total += len(_json.loads(line))
     assert total == 5
+
+
+def test_stream_writer_publishes_per_epoch_exactly_once(spark, tmp_path):
+    """Streaming write path: two availableNow runs over a growing
+    landing dir publish each micro-batch once (epoch log), rows land in
+    <=limit POST batches, and nothing is double-published on the second
+    run (the commit log skips completed epochs)."""
+    import json as _json
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    sink = tmp_path / "sink"
+    sink.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sources.rest_source import (
+        RestDataSource,
+    )
+
+    spark.dataSource.register(RestDataSource)
+    schema = "id string, number bigint, createdAt string, status string, payload string"
+
+    def land(name, n0, n):
+        with open(landing / name, "w") as fh:
+            for i in range(n0, n0 + n):
+                fh.write(_json.dumps({
+                    "id": str(i), "number": i, "createdAt": "2024-01-01T00:00:00",
+                    "status": "Aberto", "payload": "{}",
+                }) + "\n")
+
+    def run():
+        q = (
+            spark.readStream.schema(schema).json(str(landing))
+            .writeStream.format("octadesk_rest")
+            .option("path", str(sink)).option("limit", "100")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    land("a.jsonl", 0, 150)
+    run()
+    land("b.jsonl", 150, 30)
+    run()
+
+    epochs = [_json.loads(l) for l in (sink / "_epochs.jsonl").read_text().splitlines()]
+    assert sorted(e["rows"] for e in epochs if e["rows"]) == [30, 150]
+    seen = []
+    for e in epochs:
+        for fn in e["files"]:
+            for line in (sink / fn).read_text().splitlines():
+                batch = _json.loads(line)
+                assert len(batch) <= 100
+                seen.extend(r["id"] for r in batch)
+    assert sorted(seen, key=int) == [str(i) for i in range(180)]
