@@ -147,3 +147,57 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
+
+
+def test_versioned_sink_time_travel_and_change_feed(spark, tmp_path):
+    """Time travel: every version reads exactly its committed state,
+    even after later appends/replaces; the change feed between two
+    versions classifies insert/delete/update with pre+post images."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        changes_between,
+        commit_append,
+        commit_replace,
+        latest_version,
+        read_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    v0 = commit_append(
+        spark.createDataFrame(
+            [("1", "Aberto"), ("2", "Aberto")], "n_ticket string, status string"
+        ),
+        path,
+    )
+    v1 = commit_append(
+        spark.createDataFrame([("3", "Pendente")], "n_ticket string, status string"),
+        path,
+    )
+    # merge-style rewrite: ticket 2 resolved, ticket 3 deleted, 4 added
+    v2 = commit_replace(
+        spark.createDataFrame(
+            [("1", "Aberto"), ("2", "Resolvido"), ("4", "Aberto")],
+            "n_ticket string, status string",
+        ),
+        path,
+    )
+    assert (v0, v1, v2) == (0, 1, 2) and latest_version(path) == 2
+
+    def snap(v):
+        return {
+            (r.n_ticket, r.status) for r in read_version(spark, path, v).collect()
+        }
+
+    assert snap(0) == {("1", "Aberto"), ("2", "Aberto")}
+    assert snap(1) == {("1", "Aberto"), ("2", "Aberto"), ("3", "Pendente")}
+    assert snap(2) == {("1", "Aberto"), ("2", "Resolvido"), ("4", "Aberto")}
+
+    feed = {
+        (r.n_ticket, r._change_type, r.status)
+        for r in changes_between(spark, path, "n_ticket", 1, 2).collect()
+    }
+    assert feed == {
+        ("4", "insert", "Aberto"),
+        ("3", "delete", "Pendente"),
+        ("2", "update_pre", "Aberto"),
+        ("2", "update_post", "Resolvido"),
+    }  # ticket 1 unchanged -> absent

@@ -99,3 +99,37 @@ def test_sessionize_gap_boundary(spark):
     out = sessionize(e, keys=["k"], ts_col="ts", gap_seconds=1800, order_tiebreak="eid")
     got = {r["eid"]: r["session_id"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_agrees_with_builtin_session_window(spark):
+    """The composed gaps-and-islands sessionizer and Spark's built-in
+    F.session_window produce the same per-user session-size multisets
+    on real (microsecond-resolution) timestamps. Boundary semantics
+    differ only when a gap is EXACTLY the threshold (ours: same
+    session; session_window: new session) — measure-zero on this data.
+    The composed form exists because it yields per-ROW session ids
+    (joinable back to events); the built-in aggregates only."""
+    from collections import Counter
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.temporal import (
+        sessionize,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.tables import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "user_id", "ts", "event_id"
+    )
+    ours = (
+        sessionize(e, ["user_id"], "ts", gap_seconds=3600, order_tiebreak="event_id")
+        .groupBy("user_id", "session_id")
+        .count()
+        .collect()
+    )
+    builtin = (
+        e.groupBy("user_id", F.session_window("ts", "1 hour"))
+        .count()
+        .collect()
+    )
+    ours_sizes = Counter((r.user_id, r["count"]) for r in ours)
+    builtin_sizes = Counter((r.user_id, r["count"]) for r in builtin)
+    assert ours_sizes == builtin_sizes
