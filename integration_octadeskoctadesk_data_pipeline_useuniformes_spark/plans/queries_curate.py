@@ -626,3 +626,64 @@ def x_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stack}) AS "
         "(column_name, n_nonnull, n_distinct, min_val, max_val)",
     ).select("column_name", "n_rows", "n_nonnull", "n_distinct", "min_val", "max_val")
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram: fixed bucket count over the observed range —
+# the profiling/viz companion to the equi-depth buckets in
+# operators/buckets.py. Bucket edges derive from a broadcast 1-row
+# (min, max) aggregate; bucket assignment is integer arithmetic on
+# exact longs, so edges and counts are bit-identical cross-engine.
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKETS = 10
+
+
+@register(
+    "x_length_histogram",
+    f"""
+WITH b AS (SELECT min(n_chars) AS lo, max(n_chars) AS hi FROM documents)
+SELECT bucket,
+       min(lo + ((hi - lo) * bucket) // {_HIST_BUCKETS}) AS bucket_lo,
+       min(lo + ((hi - lo) * (bucket + 1)) // {_HIST_BUCKETS}) AS bucket_hi,
+       count(*) AS n_docs
+FROM (
+  SELECT least(((n_chars - lo) * {_HIST_BUCKETS}) // greatest(hi - lo + 1, 1),
+               {_HIST_BUCKETS - 1}) AS bucket,
+         lo, hi
+  FROM documents CROSS JOIN b
+)
+GROUP BY bucket
+""",
+)
+def x_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-bucket equi-width histogram of document lengths. One scan for
+    the (min, max) scalar (broadcast), one for the assignment — the
+    bucket id is exact integer arithmetic (value−lo)·k ÷ (range+1), so
+    no float edge ever lands a row in the wrong bucket. The grouped
+    count partial-aggregates map-side on ≤k keys."""
+    docs = load_table(spark, sf_dir, "documents").select("n_chars")
+    b = docs.agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+    k = _HIST_BUCKETS
+    with_b = docs.crossJoin(F.broadcast(b))
+    bucket = F.least(
+        F.floor(
+            ((F.col("n_chars") - F.col("lo")) * k)
+            / F.greatest(F.col("hi") - F.col("lo") + 1, F.lit(1))
+        ),
+        F.lit(k - 1),
+    ).cast("long")
+    return (
+        with_b.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.min(
+                F.col("lo") + F.floor((F.col("hi") - F.col("lo")) * F.col("bucket") / k)
+            ).alias("bucket_lo"),
+            F.min(
+                F.col("lo")
+                + F.floor((F.col("hi") - F.col("lo")) * (F.col("bucket") + 1) / k)
+            ).alias("bucket_hi"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )

@@ -201,3 +201,43 @@ def test_versioned_sink_time_travel_and_change_feed(spark, tmp_path):
         ("2", "update_pre", "Aberto"),
         ("2", "update_post", "Resolvido"),
     }  # ticket 1 unchanged -> absent
+
+
+def test_change_feed_applies_to_reconstruct_snapshot(spark, tmp_path):
+    """The CDC contract: old snapshot + change feed == new snapshot
+    (apply = drop deletes & update_pre keys, add inserts &
+    update_post). Proves the feed is complete and minimal."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        changes_between,
+        commit_append,
+        commit_replace,
+        read_version,
+    )
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "tbl")
+    commit_append(
+        spark.createDataFrame(
+            [("1", "a"), ("2", "b"), ("3", "c")], "k string, v string"
+        ),
+        path,
+    )
+    commit_replace(
+        spark.createDataFrame(
+            [("1", "a"), ("2", "B"), ("4", "d")], "k string, v string"
+        ),
+        path,
+    )
+    feed = changes_between(spark, path, "k", 0, 1)
+    removed = feed.filter(
+        F.col("_change_type").isin("delete", "update_pre")
+    ).select("k")
+    added = feed.filter(
+        F.col("_change_type").isin("insert", "update_post")
+    ).drop("_change_type")
+    reconstructed = (
+        read_version(spark, path, 0).join(removed, "k", "left_anti").unionByName(added)
+    )
+    assert {(r.k, r.v) for r in reconstructed.collect()} == {
+        (r.k, r.v) for r in read_version(spark, path, 1).collect()
+    }
