@@ -153,3 +153,29 @@ def changes_between(
         F.lit("update_post").alias("_change_type"),
     )
     return ins.unionByName(dele).unionByName(pre).unionByName(post)
+
+
+def vacuum(path: str, retain_last: int = 1) -> list[str]:
+    """Delete data files referenced ONLY by manifests older than the
+    last ``retain_last`` versions, then drop those manifests — Delta
+    VACUUM's file-set arithmetic on the plain-parquet log. Returns the
+    deleted file names.
+
+    Time travel keeps working for every retained version: a file shared
+    with any retained manifest survives. Pure driver-side set algebra
+    over manifests (O(files) JSON, no data scan)."""
+    versions = _manifests(path)
+    if len(versions) <= retain_last:
+        return []
+    retained, expired = versions[-retain_last:], versions[:-retain_last]
+    keep = set()
+    for v in retained:
+        keep.update(_files_of(path, v))
+    dead = set()
+    for v in expired:
+        dead.update(f for f in _files_of(path, v) if f not in keep)
+    for f in sorted(dead):
+        os.remove(os.path.join(path, f))
+    for v in expired:
+        os.remove(os.path.join(path, f"_v{v}.json"))
+    return sorted(dead)

@@ -241,3 +241,30 @@ def test_change_feed_applies_to_reconstruct_snapshot(spark, tmp_path):
     assert {(r.k, r.v) for r in reconstructed.collect()} == {
         (r.k, r.v) for r in read_version(spark, path, 1).collect()
     }
+
+
+def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
+    """vacuum removes only files no retained manifest references: the
+    latest snapshot still reads exactly, expired versions are gone, and
+    shared files survive."""
+    import os
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        commit_append,
+        commit_replace,
+        read_version,
+        vacuum,
+    )
+
+    path = str(tmp_path / "tbl")
+    commit_append(spark.createDataFrame([("1", "a")], "k string, v string"), path)
+    commit_append(spark.createDataFrame([("2", "b")], "k string, v string"), path)
+    commit_replace(spark.createDataFrame([("9", "z")], "k string, v string"), path)
+
+    deleted = vacuum(path, retain_last=1)
+    assert deleted, "v0/v1-only files should have been removed"
+    assert {(r.k, r.v) for r in read_version(spark, path).collect()} == {("9", "z")}
+    assert not os.path.exists(os.path.join(path, "_v0.json"))
+    # v0/v1 data files are gone from disk
+    for f in deleted:
+        assert not os.path.exists(os.path.join(path, f))

@@ -159,3 +159,35 @@ def test_from_json_corrupt_record_capture(spark):
     assert rows['{"k": 69}'] == (69, None)
     assert rows["{bad{"] == (None, "{bad{")   # kept, in-band
     assert rows[None] == (None, None)
+
+
+def test_observe_quality_gate_single_pass(spark):
+    """Quality metrics ride the write action (no second scan) and the
+    gate raises exactly when an invariant breaks."""
+    import pytest
+
+    from pyspark.sql import functions as F
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.guards import (
+        QualityViolation,
+        enforce_quality,
+        observe_quality,
+    )
+
+    df = spark.range(100).select(
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id").cast("string"))
+        .alias("n_ticket")
+    )
+    guarded, obs = observe_quality(df, ["n_ticket"])
+    guarded.write.format("noop").mode("overwrite").save()
+    metrics = enforce_quality(obs, max_null_frac=0.2)     # 10% nulls: passes
+    assert metrics == {"n_rows": 100, "n_null_n_ticket": 10}
+
+    guarded2, obs2 = observe_quality(df, ["n_ticket"], name="strict")
+    guarded2.write.format("noop").mode("overwrite").save()
+    with pytest.raises(QualityViolation, match="n_ticket"):
+        enforce_quality(obs2, max_null_frac=0.05)         # 10% nulls: fails
+
+    empty, obs3 = observe_quality(df.filter(F.lit(False)), ["n_ticket"], name="e")
+    empty.write.format("noop").mode("overwrite").save()
+    with pytest.raises(QualityViolation, match="min_rows"):
+        enforce_quality(obs3)
