@@ -503,3 +503,97 @@ def x_skyline_price_size(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
     return skyline_2d(p, minimize="p_retailprice", maximize="p_size")
+
+
+# ---------------------------------------------------------------------------
+# IQR (Tukey-fence) outliers per event type — quartile twin of the
+# MAD outlier query; 1.5·IQR fences in exact-once-rounded doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_value_iqr_outliers",
+    """
+WITH q AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, q.q1, q.q3,
+       count(*) AS n_events,
+       count(*) FILTER (WHERE e.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                           OR e.value > q.q3 + 1.5 * (q.q3 - q.q1)) AS n_outliers
+FROM events e JOIN q USING (event_type)
+GROUP BY e.event_type, q.q1, q.q3
+""",
+)
+def x_value_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier report per event type: exact interpolated
+    quartiles (grouped, no global sort), broadcast back onto the fact
+    scan, flags counted in one re-aggregation. Every arithmetic step
+    (q3−q1, ×1.5, ±) is a single IEEE op on engine-identical inputs, so
+    fences — and therefore counts — match bit-for-bit."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    out = (F.col("value") < F.col("q1") - 1.5 * iqr) | (
+        F.col("value") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(out.cast("long")).alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weekly cohort retention — users grouped by first-activity week,
+# activity counted per whole-weeks-since. weeks_since is day-diff // 7
+# (identical boundary-crossing day count in both engines) — NEVER a
+# week-unit diff, whose elapsed-vs-boundary semantics differ.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_cohort_retention",
+    """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week,
+         CAST(min(ts) AS DATE) AS first_day
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       date_diff('day', f.first_day, CAST(e.ts AS DATE)) // 7 AS weeks_since,
+       count(DISTINCT e.user_id) AS n_active
+FROM events e JOIN firsts f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: one aggregation to the per-user first
+    activity (tiny, broadcast back), then one distinct-count on the
+    (cohort, weeks_since) grain. Monday-start week truncation agrees
+    across engines; the week index is an integer day-diff divided by 7
+    so no unit-semantics trap can skew a cell."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"),
+        F.min("ts").cast("date").alias("first_day"),
+    )
+    return (
+        e.join(F.broadcast(firsts), "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("first_day")) / 7
+            ).alias("weeks_since"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
