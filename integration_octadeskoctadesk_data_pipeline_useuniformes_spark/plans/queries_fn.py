@@ -598,3 +598,41 @@ def fn_date_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last_day(d).alias("month_end"),
         F.expr("CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH").alias("plus_month"),
     )
+
+
+@register(
+    "fn_nullsafe_join",
+    """
+WITH a AS (
+  SELECT CASE WHEN o_orderkey % 13 = 0 THEN NULL ELSE o_orderkey % 50 END AS k,
+         count(*) AS n_a
+  FROM orders GROUP BY 1
+),
+b AS (
+  SELECT CASE WHEN o_orderkey % 11 = 0 THEN NULL ELSE o_orderkey % 50 END AS k,
+         count(*) AS n_b
+  FROM orders GROUP BY 1
+)
+SELECT a.k, a.n_a, b.n_b
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""",
+)
+def fn_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): the NULL-key
+    groups MATCH each other instead of silently dropping — the opposite
+    choice from the integrate join J1 (where null keys never match by
+    design); an engine must offer both. Spark plans <=> as a regular
+    hash join key, so this stays a broadcast/shuffle hash join, not a
+    nested loop — but note the scale caveat: null-safe equality makes
+    the NULL group a real (often hot) key, which is exactly why J1
+    excludes it; salt it like any other hot key if it dominates."""
+    o = load_table(spark, sf_dir, "orders")
+    key = F.when(F.col("o_orderkey") % 13 == 0, F.lit(None)).otherwise(
+        F.col("o_orderkey") % 50
+    )
+    key_b = F.when(F.col("o_orderkey") % 11 == 0, F.lit(None)).otherwise(
+        F.col("o_orderkey") % 50
+    )
+    a = o.select(key.alias("k")).groupBy("k").agg(F.count(F.lit(1)).alias("n_a"))
+    b = o.select(key_b.alias("kb")).groupBy("kb").agg(F.count(F.lit(1)).alias("n_b"))
+    return a.join(b, a.k.eqNullSafe(b.kb)).select("k", "n_a", "n_b")
