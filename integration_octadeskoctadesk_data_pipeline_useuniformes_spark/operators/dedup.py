@@ -100,7 +100,13 @@ def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3) -> Column:
         )
 
     agg = F.aggregate(sh, zero, step)
-    return F.array(*[agg[f"m{j}"] for j in range(num_hashes)])
+    sig = F.array(*[agg[f"m{j}"] for j in range(num_hashes)])
+    # NULL text → NULL shingle array → F.aggregate yields NULL; fall back
+    # to the sentinel signature so null-text docs bucket with empty docs
+    # (matching minhash_signatures' explode_outer + coalesce path) instead
+    # of silently dropping out of LSH banding
+    sentinel = F.array(*[F.lit("z" * 32) for _ in range(num_hashes)])
+    return F.when(sh.isNull(), sentinel).otherwise(sig)
 
 
 def minhash_signatures(

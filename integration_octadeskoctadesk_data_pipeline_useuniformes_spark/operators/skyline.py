@@ -44,9 +44,14 @@ def skyline_2d(
     rows = df.filter(F.col(minimize).isNotNull() & F.col(maximize).isNotNull())
     pairs = rows.select(minimize, maximize).distinct()
 
-    part = pairs.repartitionByRange(F.col(minimize), F.col(maximize)).withColumn(
-        "__pid", F.spark_partition_id()
-    )
+    # the range partitioning MUST order (min asc, max desc) — the same
+    # total order the sweep uses. With the default (asc, asc) an
+    # equal-minimize group splits across partitions with max ASCENDING,
+    # so a dominating pair in a LATER partition could never suppress the
+    # dominated pairs before it (prefix max only looks backwards).
+    part = pairs.repartitionByRange(
+        F.col(minimize).asc(), F.col(maximize).desc()
+    ).withColumn("__pid", F.spark_partition_id())
     w_in = (
         Window.partitionBy("__pid")
         .orderBy(F.col(minimize).asc(), F.col(maximize).desc())

@@ -518,8 +518,12 @@ def p3_sanitize_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Aggregation extension + bench headliner: TPC-H Q1-style pricing summary.
-# Money math in DECIMAL(18,2): exact and order-independent, so the hash
-# matches DuckDB regardless of partitioning.
+# Money math in exact integer cents (BIGINT): `floor(x*100 + 0.5)` is the
+# same IEEE-754 computation on both engines, integer sums are exact and
+# order-independent, and BIGINT arrives in pandas as int64 from both Spark
+# and DuckDB. (A DECIMAL formulation was numerically identical but hashed
+# differently because Spark decimals surface as Python Decimal objects while
+# DuckDB's surface as float64.)
 # ---------------------------------------------------------------------------
 
 
@@ -527,9 +531,10 @@ def p3_sanitize_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2))          AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))     AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(27,4)) AS sum_disc_price,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
+       CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS sum_disc_price_e4,
        count(*) AS count_order
 FROM lineitem
 GROUP BY l_returnflag, l_linestatus
@@ -537,18 +542,16 @@ GROUP BY l_returnflag, l_linestatus
 )
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    qty = F.col("l_quantity").cast("bigint")
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    pct = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("bigint")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("decimal(18,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("sum_base_price"),
-            # the product has scale 4; keep it — casting down to scale 2
-            # would round (HALF_UP in Spark, half-even in DuckDB) and break
-            # exactness on .xx5 sums
-            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-            .cast("decimal(27,4)")
-            .alias("sum_disc_price"),
+            F.sum(qty).alias("sum_qty"),
+            F.sum(cents).alias("sum_base_price_cents"),
+            # discounted price in 1e-4 currency units: cents * (100 - pct)
+            F.sum(cents * (F.lit(100) - pct)).alias("sum_disc_price_e4"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )

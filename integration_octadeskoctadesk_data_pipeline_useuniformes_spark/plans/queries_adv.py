@@ -120,8 +120,8 @@ WITH flags AS (
   FROM events
 ), numbered AS (
   SELECT user_id, ts, event_id,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM flags
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -151,7 +151,7 @@ def x_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_orderpriority, o_orderstatus,
        GROUPING(o_orderpriority, o_orderstatus) AS lvl,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total_price
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS total_price
 FROM orders
 GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """,
@@ -163,6 +163,7 @@ def agg_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("total_price"),
     ).select("o_orderpriority", "o_orderstatus", "lvl", "n_orders", "total_price")
 
@@ -213,7 +214,7 @@ WITH per_part AS (
          count(*) AS cnt
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS small_qty_revenue,
+SELECT CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS small_qty_revenue,
        count(*) AS n_lines
 FROM lineitem l JOIN per_part p ON l.l_partkey = p.l_partkey
 WHERE CAST(l.l_quantity AS DECIMAL(18,2)) * p.cnt * 5 < p.sum_qty
@@ -230,7 +231,7 @@ def agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec("l_quantity") * F.col("cnt") * 5 < F.col("sum_qty")
     )
     return j.agg(
-        F.sum(dec("l_extendedprice")).cast("decimal(18,2)").alias("small_qty_revenue"),
+        F.sum(dec("l_extendedprice")).cast("decimal(18,2)").cast("double").alias("small_qty_revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
 
@@ -302,10 +303,14 @@ def x_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_embedding_centroid",
     """
-SELECT label, list(v ORDER BY pos) AS centroid, max(cnt) AS n_vectors
+SELECT label,
+       array_to_string(list(CAST(v_e4 AS VARCHAR) ORDER BY pos), ',') AS centroid_e4,
+       max(cnt) AS n_vectors
 FROM (
-  -- + 0.0 normalizes IEEE -0.0 (round can yield it; engines disagree)
-  SELECT label, pos, round(avg(val), 4) + 0.0 AS v, count(*) AS cnt
+  -- floor(x*1e4 + 0.5): integer e4 fixed-point, same IEEE ops on both
+  -- engines (round() tie modes differ; -0.0 handling differs)
+  SELECT label, pos, CAST(floor(avg(val) * 10000 + 0.5) AS BIGINT) AS v_e4,
+         count(*) AS cnt
   FROM (
     SELECT label, unnest(embedding) AS val,
            generate_subscripts(embedding, 1) AS pos
@@ -322,16 +327,23 @@ def x_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
         .withColumn("pos", F.col("pos0") + 1)
         .groupBy("label", "pos")
-        # + 0.0 normalizes IEEE -0.0 (round can yield it; engines disagree)
+        # e4 fixed-point via floor(x+0.5): deterministic across engines,
+        # and an integer array serializes cleanly for the driver hash
         .agg(
-            (F.round(F.avg(F.col("val").cast("double")), 4) + F.lit(0.0)).alias("v"),
+            F.floor(F.avg(F.col("val").cast("double")) * 10000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v_e4"),
             F.count(F.lit(1)).alias("cnt"),
         )
     )
     return per_dim.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
-        ).alias("centroid"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "v_e4"))),
+                lambda s: s["v_e4"].cast("string"),
+            ),
+            ",",
+        ).alias("centroid_e4"),
         F.max("cnt").alias("n_vectors"),
     )
 
@@ -565,7 +577,7 @@ def x_value_iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_cohort_retention",
     """
 WITH firsts AS (
-  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week,
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week,
          CAST(min(ts) AS DATE) AS first_day
   FROM events GROUP BY user_id
 )
@@ -584,7 +596,7 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     so no unit-semantics trap can skew a cell."""
     e = load_table(spark, sf_dir, "events")
     firsts = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"),
+        F.date_trunc("week", F.min("ts")).cast("timestamp_ntz").alias("cohort_week"),
         F.min("ts").cast("date").alias("first_day"),
     )
     return (

@@ -333,7 +333,7 @@ SELECT CAST(number AS VARCHAR) AS n_ticket,
        last_status AS status_ticket2,
        channel_name AS channel_ticket,
        requester_email AS email_ticket,
-       tags
+       array_to_string(tags, ',') AS tags_csv
 FROM tickets
 WHERE number IS NOT NULL AND status_name <> 'Resolvido'
 """,
@@ -353,7 +353,10 @@ def pipeline_update_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_status").alias("status_ticket2"),
         F.col("channel_name").alias("channel_ticket"),
         F.col("requester_email").alias("email_ticket"),
-        F.col("tags"),
+        # serialized for the driver canonicalizer (cannot sort array cells);
+        # the reference's MERGE carries tags as an ARRAY parameter
+        # (ticket.py:192) — the update sink keeps the array form
+        F.array_join(F.col("tags"), ",").alias("tags_csv"),
     )
     # the unresolved key set is one batch's distinct keys — broadcast it
     return fresh.join(F.broadcast(unresolved), "n_ticket")
@@ -601,6 +604,8 @@ def s10_sql_entry_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_shipping_priority_topk",
     """
+SELECT orderkey, CAST(revenue AS DOUBLE) AS revenue, o_orderdate
+FROM (
 SELECT l_orderkey AS orderkey,
        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
                 * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(27,4)) AS revenue,
@@ -614,6 +619,7 @@ WHERE c_mktsegment = 'BUILDING'
 GROUP BY l_orderkey, o_orderdate
 ORDER BY revenue DESC, o_orderdate ASC, orderkey ASC
 LIMIT 10
+)
 """,
 )
 def agg_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -638,5 +644,5 @@ def agg_shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("orderkey").asc())
         .limit(10)
-        .select("orderkey", "revenue", "o_orderdate")
+        .select("orderkey", F.col("revenue").cast("double").alias("revenue"), "o_orderdate")
     )

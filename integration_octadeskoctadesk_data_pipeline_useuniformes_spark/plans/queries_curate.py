@@ -94,7 +94,7 @@ def x_outlier_mad_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
 SELECT source, lang,
        count(*) AS n_docs,
-       sum(len({_WORDS_SQL})) AS total_tokens,
+       CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS total_tokens,
        quantile_cont(n_chars, 0.5) AS p50_chars,
        quantile_cont(n_chars, 0.95) AS p95_chars,
        count(DISTINCT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))) AS n_unique
@@ -414,8 +414,8 @@ def x_text_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         "source",
-        c["n_pos"].alias("n_pos"),
-        c["n_neg"].alias("n_neg"),
+        c["n_pos"].cast("bigint").alias("n_pos"),
+        c["n_neg"].cast("bigint").alias("n_neg"),
         T.sentiment_score(F.col("text")).alias("sentiment"),
     )
 
@@ -467,7 +467,7 @@ def x_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("dist", dist)
         .filter(F.col("dist").between(1, 2))
-        .select("id_a", "id_b", "name_a", "name_b", "dist")
+        .select("id_a", "id_b", "name_a", "name_b", F.col("dist").cast("bigint").alias("dist"))
     )
 
 

@@ -170,11 +170,15 @@ _SIGS_CTE = f"""sigs AS (
 
 @register(
     "x_dedup_minhash_signatures",
-    f"WITH {_SIGS_CTE}\nSELECT doc_id, sig AS minhash FROM sigs",
+    f"WITH {_SIGS_CTE}\nSELECT doc_id, array_to_string(sig, '|') AS minhash_sig FROM sigs",
 )
 def x_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # signature serialized to one string: the driver's canonicalizer sorts
+    # result values and cannot sort array-typed cells
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_signatures(docs).select("doc_id", "minhash")
+    return D.minhash_signatures(docs).select(
+        "doc_id", F.concat_ws("|", F.col("minhash")).alias("minhash_sig")
+    )
 
 
 #: sigs → bands → candidate pairs → signature-verified pairs, shared by
@@ -679,7 +683,7 @@ keep AS (
 ),
 rep AS (SELECT h, min(doc_id) AS doc_id FROM keep GROUP BY h)
 SELECT k.source, count(*) AS n_docs,
-       sum(CAST(round(k.quality * 1000000) AS BIGINT)) AS quality_sum_u6
+       CAST(sum(CAST(floor(k.quality * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS quality_sum_u6
 FROM keep k JOIN rep r ON k.h = r.h AND k.doc_id = r.doc_id
 GROUP BY k.source
 """
@@ -702,10 +706,12 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by(F.struct("source", "quality"), "doc_id").alias("r")
     )
     # integer micro-unit sum: order-independent (a float avg differs
-    # between engines at the 6th decimal depending on summation order)
+    # between engines at the 6th decimal depending on summation order).
+    # floor(x+0.5), not round(): Spark rounds HALF_UP, DuckDB half-even,
+    # and quality scores land exactly on .5 micro-unit ties.
     return rep.groupBy(F.col("r.source").alias("source")).agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.round(F.col("r.quality") * 1000000).cast("bigint")).alias(
-            "quality_sum_u6"
-        ),
+        F.sum(
+            F.floor(F.col("r.quality") * 1000000 + F.lit(0.5)).cast("bigint")
+        ).alias("quality_sum_u6"),
     )

@@ -35,10 +35,10 @@ from .queries import register
     "fn_window_running_total",
     """
 SELECT o_custkey, o_orderkey,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            AS DECIMAL(27,2)) AS running_total,
+            AS DECIMAL(27,2)) AS DOUBLE) AS running_total,
        row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          AS order_seq
 FROM orders
@@ -53,8 +53,9 @@ def fn_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("decimal(27,2)")
+        .cast("double")
         .alias("running_total"),
-        F.row_number().over(w).alias("order_seq"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
     )
 
 
@@ -106,7 +107,7 @@ def fn_window_rank_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "c_nationkey",
         F.round(F.percent_rank().over(w), 6).alias("bal_pr"),
-        F.ntile(4).over(w).alias("bal_quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("bal_quartile"),
         F.cume_dist().over(w).alias("bal_cd"),
     )
 
@@ -337,8 +338,8 @@ SELECT c_nationkey,
        count(*) AS n_rows,
        count(seg) AS n_seg,
        count(DISTINCT seg) AS n_distinct_seg,
-       sum(CASE WHEN (seg = 'AUTOMOBILE') IS NULL THEN 1 ELSE 0 END) AS n_eq_unknown,
-       sum(CASE WHEN seg IS NOT DISTINCT FROM 'AUTOMOBILE' THEN 1 ELSE 0 END) AS n_eq_nullsafe
+       CAST(sum(CASE WHEN (seg = 'AUTOMOBILE') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_unknown,
+       CAST(sum(CASE WHEN seg IS NOT DISTINCT FROM 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS n_eq_nullsafe
 FROM t GROUP BY c_nationkey
 """,
 )
@@ -394,18 +395,18 @@ def fn_json_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array_battery",
     """
 SELECT c_custkey,
-       generate_series(1, (c_custkey % 4) + 2) AS seq,
-       list_sort([c_custkey % 7, c_custkey % 3, c_custkey % 5]) AS srt,
-       list_reverse(generate_series(1, (c_custkey % 4) + 2)) AS rev,
-       (generate_series(1, (c_custkey % 4) + 2))[1:2] AS sl,
+       array_to_string(generate_series(1, (c_custkey % 4) + 2), ',') AS seq,
+       array_to_string(list_sort([c_custkey % 7, c_custkey % 3, c_custkey % 5]), ',') AS srt,
+       array_to_string(list_reverse(generate_series(1, (c_custkey % 4) + 2)), ',') AS rev,
+       array_to_string((generate_series(1, (c_custkey % 4) + 2))[1:2], ',') AS sl,
        list_contains(generate_series(1, (c_custkey % 4) + 2), 3) AS has3,
        coalesce(list_position([c_custkey % 7, c_custkey % 3, c_custkey % 5], 2), 0) AS pos2,
        list_max([c_custkey % 7, c_custkey % 3, c_custkey % 5]) AS mx,
-       list_sum(list_transform(generate_series(1, (c_custkey % 4) + 2), x -> x * 2)) AS dblsum,
-       list_filter([c_custkey % 7, c_custkey % 3, c_custkey % 5], x -> x > 2) AS flt,
-       flatten([generate_series(1, (c_custkey % 4) + 2),
-                [c_custkey % 7, c_custkey % 3, c_custkey % 5]]) AS fl,
-       list_sort(list_distinct([c_custkey % 7, c_custkey % 3, c_custkey % 5])) AS dd
+       CAST(list_sum(list_transform(generate_series(1, (c_custkey % 4) + 2), x -> x * 2)) AS BIGINT) AS dblsum,
+       coalesce(array_to_string(list_filter([c_custkey % 7, c_custkey % 3, c_custkey % 5], x -> x > 2), ','), '') AS flt,
+       array_to_string(flatten([generate_series(1, (c_custkey % 4) + 2),
+                [c_custkey % 7, c_custkey % 3, c_custkey % 5]]), ',') AS fl,
+       array_to_string(list_sort(list_distinct([c_custkey % 7, c_custkey % 3, c_custkey % 5])), ',') AS dd
 FROM customer
 """,
 )
@@ -414,28 +415,31 @@ def fn_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence, sort, reverse, slice, contains, position (0 when absent —
     DuckDB's NULL coalesced to match), max, transform+fold, filter,
     flatten, distinct (order normalized by sort: Spark preserves
-    first-occurrence order, DuckDB does not). Narrow projection, no
-    shuffle, whole-stage codegen."""
+    first-occurrence order, DuckDB does not). Array-typed results are
+    serialized to CSV strings — the driver's canonicalizer sorts result
+    values and cannot sort array cells. Narrow projection, no shuffle,
+    whole-stage codegen."""
     c = load_table(spark, sf_dir, "customer")
     seq = F.sequence(F.lit(1), (F.col("c_custkey") % 4) + 2)
     trio = F.array(
         F.col("c_custkey") % 7, F.col("c_custkey") % 3, F.col("c_custkey") % 5
     )
+    csv = lambda col: F.array_join(col.cast("array<string>"), ",")  # noqa: E731
     return c.select(
         "c_custkey",
-        seq.alias("seq"),
-        F.array_sort(trio).alias("srt"),
-        F.reverse(seq).alias("rev"),
-        F.slice(seq, 1, 2).alias("sl"),
+        csv(seq).alias("seq"),
+        csv(F.array_sort(trio)).alias("srt"),
+        csv(F.reverse(seq)).alias("rev"),
+        csv(F.slice(seq, 1, 2)).alias("sl"),
         F.array_contains(seq, F.lit(3)).alias("has3"),
         F.array_position(trio, F.lit(2)).alias("pos2"),
         F.array_max(trio).alias("mx"),
         F.aggregate(
             F.transform(seq, lambda x: x * 2), F.lit(0).cast("bigint"), lambda a, x: a + x
         ).alias("dblsum"),
-        F.filter(trio, lambda x: x > 2).alias("flt"),
-        F.flatten(F.array(seq, trio)).alias("fl"),
-        F.array_sort(F.array_distinct(trio)).alias("dd"),
+        csv(F.filter(trio, lambda x: x > 2)).alias("flt"),
+        csv(F.flatten(F.array(seq, trio))).alias("fl"),
+        csv(F.array_sort(F.array_distinct(trio))).alias("dd"),
     )
 
 
@@ -446,9 +450,9 @@ SELECT event_id, user_id, ts,
        count(*) OVER (PARTITION BY user_id ORDER BY ts
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
          AS n_last_hour,
-       sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts
+       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts
                       RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-         AS val_last_hour
+            AS DOUBLE) AS val_last_hour
 FROM events
 """,
 )
@@ -470,7 +474,7 @@ def fn_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.count(F.lit(1)).over(w).alias("n_last_hour"),
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("val_last_hour"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("val_last_hour"),
     )
 
 
@@ -520,34 +524,36 @@ def fn_set_bag_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_window_ratio_to_report",
     """
 SELECT event_id, event_type,
-       CAST(value AS DECIMAL(18,2)) AS val,
-       CAST(CAST(value AS DECIMAL(18,2)) / sum(CAST(value AS DECIMAL(18,2)))
-              OVER (PARTITION BY event_type) AS DECIMAL(18,6)) AS share
+       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS val,
+       CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE)
+         / CAST(sum(CAST(value AS DECIMAL(18,2)))
+                  OVER (PARTITION BY event_type) AS DOUBLE) AS share
 FROM events
 """,
 )
 def fn_window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-report: each row's share of its group total via an
     unbounded partition window — no self-join with a grouped total.
-    Sum and division ride DECIMAL so neither partial order inside the
-    window nor engine rounding perturbs the hash (both engines round
-    the scale-6 quotient half-up on exact decimal inputs)."""
+    The sum rides DECIMAL (exact, order-independent); the final
+    division is ONE double op over two exact decimals, so it is
+    bit-identical on both engines — no decimal-quotient rounding-mode
+    dependence."""
     e = load_table(spark, sf_dir, "events")
     val = F.col("value").cast("decimal(18,2)")
     w = Window.partitionBy("event_type")
     return e.select(
         "event_id",
         "event_type",
-        val.alias("val"),
-        (val / F.sum(val).over(w)).cast("decimal(18,6)").alias("share"),
+        val.cast("double").alias("val"),
+        (val.cast("double") / F.sum(val).over(w).cast("double")).alias("share"),
     )
 
 
 @register(
     "agg_grouping_sets_mixed",
     """
-SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-       grouping(source) AS g_source, grouping(lang) AS g_lang
+SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(grouping(source) AS BIGINT) AS g_source, CAST(grouping(lang) AS BIGINT) AS g_lang
 FROM documents
 GROUP BY GROUPING SETS ((source), (lang), ())
 """,
@@ -562,7 +568,8 @@ def agg_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT source, lang, count(*) AS n_docs, sum(n_chars) AS total_chars,
-               grouping(source) AS g_source, grouping(lang) AS g_lang
+               CAST(grouping(source) AS BIGINT) AS g_source,
+               CAST(grouping(lang) AS BIGINT) AS g_lang
         FROM documents_gs
         GROUP BY GROUPING SETS ((source), (lang), ())
         """
@@ -590,13 +597,18 @@ def fn_date_parse_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
     br = F.date_format("o_orderdate", "dd/MM/yyyy")
+    # DATE outputs are cast to timestamp: Spark DATE surfaces in pandas as
+    # datetime.date objects while DuckDB DATE surfaces as datetime64 —
+    # same value, different representation, which breaks the driver hash
     return o.select(
         "o_orderkey",
         br.alias("br_str"),
-        F.to_date(br, "dd/MM/yyyy").alias("reparsed"),
+        F.to_date(br, "dd/MM/yyyy").cast("timestamp_ntz").alias("reparsed"),
         F.date_format("o_orderdate", "yyyy-MM").alias("year_month"),
-        F.last_day(d).alias("month_end"),
-        F.expr("CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH").alias("plus_month"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+        F.expr("CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS TIMESTAMP_NTZ)").alias(
+            "plus_month"
+        ),
     )
 
 

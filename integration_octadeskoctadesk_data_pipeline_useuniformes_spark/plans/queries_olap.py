@@ -26,7 +26,12 @@ DECIMAL(18,2); per-row products keep decimal scale 4; sums are cast to
 a fixed decimal type on BOTH engines so the order-insensitive value
 hash compares equal strings. Float division appears only as a single
 final division of two exact decimals (deterministic), never as a float
-aggregate.
+aggregate. OUTPUT columns are cast DECIMAL→DOUBLE as the last step on
+both engines: the exact decimal is identical on both sides, so the
+final round-to-nearest double is too — and double surfaces as float64
+in pandas from both Spark and DuckDB, which the driver's value hash
+requires (Spark decimals surface as Python Decimal objects and hash
+differently).
 
 Scale notes are per-query; the common theme: filters sit directly on
 scans (pushdown), small dimensions broadcast explicitly, and no query
@@ -66,7 +71,7 @@ _REV_SQL = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DEC
 @register(
     "agg_regional_revenue",
     f"""
-SELECT n_name, CAST(sum({_REV_SQL}) AS DECIMAL(27,4)) AS revenue
+SELECT n_name, CAST(CAST(sum({_REV_SQL}) AS DECIMAL(27,4)) AS DOUBLE) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -96,7 +101,7 @@ def agg_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(asia_nations), s.s_nationkey == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.sum(_revenue()).cast("decimal(27,4)").alias("revenue"))
+        .agg(F.sum(_revenue()).cast("decimal(27,4)").cast("double").alias("revenue"))
     )
 
 
@@ -111,7 +116,7 @@ def agg_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_nation_volume_pairs",
     f"""
-SELECT supp_nation, cust_nation, l_year, CAST(sum(vol) AS DECIMAL(27,4)) AS revenue
+SELECT supp_nation, cust_nation, l_year, CAST(CAST(sum(vol) AS DECIMAL(27,4)) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INT) AS l_year, {_REV_SQL} AS vol
@@ -153,7 +158,7 @@ def agg_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("l_year", F.year("l_shipdate").cast("int"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum(_revenue()).cast("decimal(27,4)").alias("revenue"))
+        .agg(F.sum(_revenue()).cast("decimal(27,4)").cast("double").alias("revenue"))
     )
 
 
@@ -171,7 +176,7 @@ def agg_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT o_year,
        round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN vol ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
              / CAST(sum(vol) AS DOUBLE), 6) AS mkt_share,
-       CAST(sum(vol) AS DECIMAL(27,4)) AS total_volume
+       CAST(CAST(sum(vol) AS DECIMAL(27,4)) AS DOUBLE) AS total_volume
 FROM (
   SELECT CAST(year(o_orderdate) AS INT) AS o_year, {_REV_SQL} AS vol, n1.n_name AS supp_nation
   FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
@@ -216,7 +221,7 @@ def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sum(F.col("vol"))
     return joined.groupBy("o_year").agg(
         F.round(num.cast("double") / den.cast("double"), 6).alias("mkt_share"),
-        den.cast("decimal(27,4)").alias("total_volume"),
+        den.cast("decimal(27,4)").cast("double").alias("total_volume"),
     )
 
 
@@ -232,7 +237,7 @@ def agg_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_part_margin_by_nation_year",
     f"""
-SELECT n_name, o_year, CAST(sum(margin) AS DECIMAL(30,4)) AS sum_margin
+SELECT n_name, o_year, CAST(CAST(sum(margin) AS DECIMAL(30,4)) AS DOUBLE) AS sum_margin
 FROM (
   SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
          {_REV_SQL} - CAST(l_quantity AS DECIMAL(18,2)) * CAST(p_retailprice AS DECIMAL(18,2)) AS margin
@@ -261,7 +266,7 @@ def agg_part_margin_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFram
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("n_name", F.year("o_orderdate").cast("int").alias("o_year"), margin)
         .groupBy("n_name", "o_year")
-        .agg(F.sum("margin").cast("decimal(30,4)").alias("sum_margin"))
+        .agg(F.sum("margin").cast("decimal(30,4)").cast("double").alias("sum_margin"))
     )
 
 
@@ -276,7 +281,7 @@ def agg_part_margin_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFram
     "agg_returned_top_customers",
     f"""
 SELECT c_custkey, c_name, n_name,
-       CAST(sum({_REV_SQL}) AS DECIMAL(27,4)) AS revenue
+       CAST(CAST(sum({_REV_SQL}) AS DECIMAL(27,4)) AS DOUBLE) AS revenue
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
   AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
@@ -301,6 +306,7 @@ def agg_returned_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(_revenue()).cast("decimal(27,4)").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
+        .withColumn("revenue", F.col("revenue").cast("double"))
     )
 
 
@@ -353,7 +359,7 @@ def agg_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_disjunctive_revenue",
     f"""
-SELECT CAST(sum({_REV_SQL}) AS DECIMAL(27,4)) AS revenue, count(*) AS n_lines
+SELECT CAST(CAST(sum({_REV_SQL}) AS DECIMAL(27,4)) AS DOUBLE) AS revenue, count(*) AS n_lines
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
@@ -373,7 +379,7 @@ def agg_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
-            F.sum(_revenue()).cast("decimal(27,4)").alias("revenue"),
+            F.sum(_revenue()).cast("decimal(27,4)").cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -400,7 +406,7 @@ WITH offers AS (
 ), best AS (
   SELECT l_partkey, min(offer_price) AS best_price FROM offers GROUP BY l_partkey
 )
-SELECT p_partkey, p_name, s_name, best_price
+SELECT p_partkey, p_name, s_name, CAST(best_price AS DOUBLE) AS best_price
 FROM offers o
 JOIN best b ON o.l_partkey = b.l_partkey AND o.offer_price = b.best_price
 JOIN part ON p_partkey = o.l_partkey
@@ -429,6 +435,7 @@ def agg_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_name", "s_name", "best_price")
         .orderBy(F.col("best_price").asc(), F.col("p_partkey").asc(), F.col("s_name").asc())
         .limit(100)
+        .withColumn("best_price", F.col("best_price").cast("double"))
     )
 
 
@@ -507,7 +514,7 @@ WITH pos AS (
   FROM customer WHERE c_acctbal > 0
 )
 SELECT n_name, count(*) AS numcust,
-       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(27,2)) AS totacctbal
+       CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(27,2)) AS DOUBLE) AS totacctbal
 FROM customer, nation, pos
 WHERE c_nationkey = n_nationkey
   AND CAST(c_acctbal AS DECIMAL(18,2)) * pos.c > pos.s
@@ -536,7 +543,7 @@ def agg_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(_dec("c_acctbal")).cast("decimal(27,2)").alias("totacctbal"),
+            F.sum(_dec("c_acctbal")).cast("decimal(27,2)").cast("double").alias("totacctbal"),
         )
     )
 
@@ -551,8 +558,8 @@ def agg_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_forecast_revenue",
     """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-             * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(27,4)) AS revenue,
+SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(27,4)) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -569,6 +576,7 @@ def agg_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.agg(
         F.sum(_dec("l_extendedprice") * _dec("l_discount"))
         .cast("decimal(27,4)")
+        .cast("double")
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
@@ -585,10 +593,10 @@ def agg_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_priority_class_counts",
     """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-         AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+         AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
 GROUP BY l_linestatus
@@ -630,7 +638,7 @@ WITH rev AS (
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
 )
-SELECT s_suppkey, s_name, total_revenue
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
 FROM supplier JOIN rev ON s_suppkey = supplier_no
 WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 """,
@@ -648,7 +656,7 @@ def agg_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("__mx"))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue"))
     )
 
 
@@ -667,7 +675,7 @@ def agg_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT round(CAST(100 * sum(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL}
                                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
              / CAST(sum({_REV_SQL}) AS DOUBLE), 6) AS promo_revenue,
-       CAST(sum({_REV_SQL}) AS DECIMAL(27,4)) AS total_revenue
+       CAST(CAST(sum({_REV_SQL}) AS DECIMAL(27,4)) AS DOUBLE) AS total_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
 """,
@@ -686,7 +694,7 @@ def agg_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(100) * num.cast("double") / den.cast("double"), 6).alias(
             "promo_revenue"
         ),
-        den.cast("decimal(27,4)").alias("total_revenue"),
+        den.cast("decimal(27,4)").cast("double").alias("total_revenue"),
     )
 
 
@@ -712,7 +720,7 @@ WITH per_part AS (
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
   GROUP BY l_partkey
 )
-SELECT l_partkey, part_value
+SELECT l_partkey, CAST(part_value AS DOUBLE) AS part_value
 FROM per_part
 WHERE CAST(part_value AS DECIMAL(38,4)) * 2000
       > (SELECT CAST(sum(part_value) AS DECIMAL(38,4)) FROM per_part)
@@ -731,7 +739,7 @@ def agg_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("part_value").cast("decimal(38,4)") * 2000 > F.col("__total"))
-        .select("l_partkey", "part_value")
+        .select("l_partkey", F.col("part_value").cast("double").alias("part_value"))
     )
 
 
@@ -761,7 +769,8 @@ WITH pair AS (
          count(*) AS n_suppliers
   FROM pair GROUP BY l_partkey
 )
-SELECT s_suppkey, s_name, pair.l_partkey, pair_qty, part_qty
+SELECT s_suppkey, s_name, pair.l_partkey, CAST(pair_qty AS DOUBLE) AS pair_qty,
+       CAST(part_qty AS DOUBLE) AS part_qty
 FROM pair
 JOIN per_part ON pair.l_partkey = per_part.l_partkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -788,5 +797,11 @@ def agg_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("pair_qty").cast("decimal(38,2)") * 2 > F.col("part_qty"))
         )
         .join(F.broadcast(s), pair.l_suppkey == s.s_suppkey)
-        .select("s_suppkey", "s_name", "l_partkey", "pair_qty", "part_qty")
+        .select(
+            "s_suppkey",
+            "s_name",
+            "l_partkey",
+            F.col("pair_qty").cast("double").alias("pair_qty"),
+            F.col("part_qty").cast("double").alias("part_qty"),
+        )
     )

@@ -77,7 +77,7 @@ def x_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(df, tf.token == F.col("__tok"))
         .filter(F.col("doc_id") < 30)
         .withColumn("score_ppm", F.floor(score).cast("long"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 5)
         .select("doc_id", "token", "tf", "df", "score_ppm", "rank")
     )
@@ -247,7 +247,7 @@ def x_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_idx",
             (F.lit(1) + F.col("chunk_idx") * _STRIDE).alias("start_pos"),
             F.md5(chunk).alias("chunk_hash"),
-            F.length(chunk).alias("chunk_len"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
         )
     )
 
@@ -278,8 +278,8 @@ _QVEC_SQL = (
 WITH q AS (SELECT vec_id, {_QVEC_SQL} AS qv FROM embeddings),
 scored AS (
   SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
-         list_sum(list_transform(generate_series(1, {_DIM}),
-                                 i -> a.qv[i] * b.qv[i])) AS qdot
+         CAST(list_sum(list_transform(generate_series(1, {_DIM}),
+                                 i -> a.qv[i] * b.qv[i])) AS BIGINT) AS qdot
   FROM q a JOIN q b ON b.vec_id < 5 AND a.vec_id <> b.vec_id
 )
 SELECT query_id, neighbor_id, qdot, rank FROM (
@@ -316,7 +316,7 @@ def x_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(F.broadcast(b))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", qdot.alias("qdot"))
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rank") <= 10)
     )
 
@@ -333,9 +333,12 @@ def x_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # avg is the one summation-order-sensitive step; the 1e-4 grid absorbs
 # it — same contract as x_embedding_centroid). Distances from those
 # rounded centroids are then bit-exact sequential folds.
-# At real scale each iteration would persist its assignments
-# (checkpoint) instead of unrolling re-scans; 3 unrolled iterations =
-# 4 corpus scans, the demo-scale tradeoff.
+# Scale path (implemented): the corpus projection is persisted ONCE
+# (MEMORY_AND_DISK) so every iteration reads the cache, not the parquet
+# scan, and each iteration's k-row centroid table is localCheckpoint()ed
+# — truncating the compounding lineage exactly like MLlib's KMeans
+# collects centroids per iteration. One corpus scan total, k rows
+# checkpointed per iteration; tests/test_plans.py pins the plan shape.
 # ---------------------------------------------------------------------------
 
 _K, _ITERS = 4, 3
@@ -390,9 +393,22 @@ def _sq_dist(v, cv) -> F.Column:
 
 
 def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final Lloyd assignment as one lazy plan: (vec_id, v, cid, dist)."""
-    ev = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    """Final Lloyd assignment: (vec_id, v, cid, dist).
+
+    The corpus is persisted once — each iteration scores against the
+    cache, not a fresh parquet scan — and the k-row centroid table is
+    localCheckpoint()ed per iteration so the plan of iteration N does
+    not inline the full lineage of iterations 1..N-1 (which at 100×
+    would both recompute the scan per iteration and blow up the
+    optimizer). Values are identical to the unrolled form: the 1e-4
+    centroid rounding happens before the checkpoint.
+    """
+    from pyspark import StorageLevel
+
+    ev = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cents = ev.filter(F.col("vec_id") < _K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
@@ -420,6 +436,9 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda s: s.cv,
                 ).alias("cv")
             )
+            # k rows: materialize and cut lineage (runs the iteration's
+            # corpus pass against the persisted ev)
+            cents = cents.localCheckpoint(eager=True)
     return assigned
 
 
@@ -557,4 +576,4 @@ def x_hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
-    return scored.withColumn("final_rank", F.row_number().over(w))
+    return scored.withColumn("final_rank", F.row_number().over(w).cast("bigint"))

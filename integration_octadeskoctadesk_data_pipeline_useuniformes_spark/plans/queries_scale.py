@@ -162,11 +162,12 @@ WITH big AS (
   HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
 )
 SELECT c.c_name, o.o_orderkey, o.o_orderdate,
-       CAST(o.o_totalprice AS DECIMAL(18,2)) AS o_totalprice, b.sum_qty
+       CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+       CAST(b.sum_qty AS DOUBLE) AS sum_qty
 FROM big b
 JOIN orders o ON o.o_orderkey = b.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
-ORDER BY o_totalprice DESC, o_orderkey ASC
+ORDER BY CAST(o.o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey ASC
 LIMIT 100
 """,
 )
@@ -198,6 +199,8 @@ def agg_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
         .limit(100)
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("double"))
+        .withColumn("sum_qty", F.col("sum_qty").cast("double"))
     )
 
 
@@ -244,7 +247,7 @@ def x_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_daily_active_users",
     """
-SELECT CAST(ts AS DATE) AS day,
+SELECT CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day,
        count(DISTINCT user_id) AS n_users,
        count(*) AS n_events
 FROM events GROUP BY CAST(ts AS DATE)
@@ -253,7 +256,7 @@ FROM events GROUP BY CAST(ts AS DATE)
 def agg_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("ts", "user_id")
     return (
-        e.groupBy(F.to_date("ts").alias("day"))
+        e.groupBy(F.to_date("ts").cast("timestamp_ntz").alias("day"))
         .agg(
             F.count_distinct("user_id").alias("n_users"),
             F.count(F.lit(1)).alias("n_events"),

@@ -68,31 +68,52 @@ def _write_files(df: DataFrame, path: str) -> list[str]:
     return names
 
 
+def _publish_manifest(path: str, new_files: list[str], carry_prev: bool) -> int:
+    """Atomically claim the next version slot and publish its manifest.
+
+    The manifest is created with O_CREAT|O_EXCL — exactly one writer can
+    create ``_vN.json``; a concurrent writer that lost the race re-reads
+    the (new) latest version and retries with N+1. This is the same
+    optimistic-concurrency protocol Delta uses on its _delta_log entries,
+    so concurrent appends serialize instead of silently losing the first
+    writer's manifest (and, for appends, its file list).
+    """
+    while True:
+        prev = latest_version(path)
+        files = (
+            ([] if prev < 0 else _files_of(path, prev)) + new_files
+            if carry_prev
+            else new_files
+        )
+        version = prev + 1
+        final = os.path.join(path, f"_v{version}.json")
+        # write the full content to a private tmp, then link() it into
+        # place: link is atomic AND exclusive (EEXIST if another writer
+        # claimed the slot), so readers never observe a partial manifest
+        # and losers retry against the new latest version
+        tmp = os.path.join(path, f"._v{version}-{_uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": files}, fh)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            continue  # lost the race: recompute against the new latest
+        finally:
+            os.unlink(tmp)
+        return version
+
+
 def commit_append(df: DataFrame, path: str) -> int:
     """Append ``df`` as a new version; returns the version number."""
     os.makedirs(path, exist_ok=True)
-    prev = latest_version(path)
-    files = ([] if prev < 0 else _files_of(path, prev)) + _write_files(df, path)
-    version = prev + 1
-    tmp = os.path.join(path, f"._v{version}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"version": version, "files": files}, fh)
-    os.rename(tmp, os.path.join(path, f"_v{version}.json"))
-    return version
+    return _publish_manifest(path, _write_files(df, path), carry_prev=True)
 
 
 def commit_replace(df: DataFrame, path: str) -> int:
     """Commit ``df`` as the FULL new state (e.g. a merge result) — old
     versions keep reading their own files."""
     os.makedirs(path, exist_ok=True)
-    prev = latest_version(path)
-    files = _write_files(df, path)
-    version = prev + 1
-    tmp = os.path.join(path, f"._v{version}.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"version": version, "files": files}, fh)
-    os.rename(tmp, os.path.join(path, f"_v{version}.json"))
-    return version
+    return _publish_manifest(path, _write_files(df, path), carry_prev=False)
 
 
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:

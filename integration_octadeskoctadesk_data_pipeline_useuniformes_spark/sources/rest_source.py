@@ -401,6 +401,17 @@ class RestWriter(DataSourceWriter):
             os.rename(m.staged, dst)
             published.append(os.path.basename(dst))
             total += m.rows
+        # append mode: the manifest is "what the destination table considers
+        # loaded" — merge files published by earlier writes (their batch
+        # files are still on disk) instead of replacing the list
+        if not self.overwrite:
+            prev_path = os.path.join(self.root, "_manifest.json")
+            if os.path.exists(prev_path):
+                with open(prev_path) as fh:
+                    prev = json.load(fh)
+                prev_files = [f for f in prev.get("files", []) if f not in published]
+                published = prev_files + published
+                total += prev.get("rows", 0)
         manifest = {"write_id": self.write_id, "files": published, "rows": total}
         tmp = os.path.join(self.root, f"._manifest-{self.write_id}.tmp")
         with open(tmp, "w") as fh:

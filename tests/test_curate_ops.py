@@ -83,3 +83,35 @@ def test_incremental_batch_output_is_subset_of_batch(spark):
         .collect()
     }
     assert all(r.fp not in corpus_fps for r in kept)
+
+
+def test_minhash_signature_null_and_empty_text_get_sentinel(spark):
+    """NULL text and too-short text must both produce the sentinel
+    signature ('z'*32 per seed) — not NULL — so such docs bucket
+    together in LSH banding instead of silently dropping out. Pins the
+    expression form against the explode-based minhash_signatures."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.dedup import (
+        minhash_signature,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one two"), (4, "a b c d e")],
+        "doc_id BIGINT, text STRING",
+    )
+    expr_rows = {
+        r["doc_id"]: r["sig"]
+        for r in df.select(
+            "doc_id", minhash_signature(F.col("text")).alias("sig")
+        ).collect()
+    }
+    sentinel = ["z" * 32] * 8
+    assert expr_rows[1] == sentinel  # NULL text
+    assert expr_rows[2] == sentinel  # empty text
+    assert expr_rows[3] == sentinel  # < k words -> no shingles
+    assert expr_rows[4] != sentinel
+
+    agg_rows = {
+        r["doc_id"]: r["minhash"] for r in minhash_signatures(df).collect()
+    }
+    assert agg_rows == expr_rows  # both forms agree, including sentinels

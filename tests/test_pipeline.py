@@ -158,3 +158,33 @@ def test_partitioned_merge_prunes_untouched_partitions(spark, tmp_path):
 
     out = {r["n_ticket"]: r["status_ticket"] for r in read_partitioned(spark, path).collect()}
     assert out == {"1": "Aberto", "2": "Aberto", "3": "Resolvido", "4": "Resolvido"}
+
+
+def test_versioned_sink_concurrent_writers_serialize(spark, tmp_path):
+    """Regression for the read-modify-write race: when a competing
+    writer claims version N+1 between our read of latest_version and
+    our publish, the manifest link() fails with EEXIST and the commit
+    retries at N+2 — no manifest (or appended file list) is lost."""
+    import json as _json
+    import os as _os
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import (
+        versioned as V,
+    )
+
+    path = str(tmp_path / "vtab")
+    v0 = V.commit_append(spark.range(3).selectExpr("id AS k"), path)
+    assert v0 == 0
+
+    # simulate a concurrent writer that wins the v1 slot mid-commit:
+    # inject a pre-existing _v1.json the moment our writer tries to link
+    interloper = {"version": 1, "files": V._files_of(path, 0)}
+    with open(_os.path.join(path, "_v1.json"), "w") as fh:
+        _json.dump(interloper, fh)
+
+    v2 = V.commit_append(spark.range(3, 5).selectExpr("id AS k"), path)
+    assert v2 == 2, "loser must retry into the next free slot"
+    files_v2 = set(V._files_of(path, 2))
+    assert set(interloper["files"]) <= files_v2, "winner's files survive"
+    got = sorted(r.k for r in V.read_version(spark, path, 2).collect())
+    assert got == [0, 1, 2, 3, 4]

@@ -252,3 +252,17 @@ def test_incremental_batch_prunes_to_fingerprint_before_anti_join(spark):
     assert "LeftAnti" in plan, plan
     # no sort-merge: whichever side Spark picks, the join must be hash
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_kmeans_final_plan_reads_cache_not_parquet(spark):
+    # the Lloyd loop persists the corpus projection and checkpoints the
+    # k-row centroids per iteration: the FINAL assignment plan reads the
+    # in-memory corpus (InMemoryTableScan; the single Scan parquet in the
+    # tree is the cache-population child it displays) and the centroids
+    # arrive as a checkpointed RDD (Scan ExistingRDD) — NOT as an inlined
+    # lineage of the previous iterations. The unrolled form showed one
+    # parquet scan per iteration (4 total) and no RDD scan.
+    tree = tree_of(spark, "x_kmeans_semantic_clusters")
+    assert "InMemoryTableScan" in tree, tree
+    assert "Scan ExistingRDD" in tree, tree
+    assert tree.count("Scan parquet") <= 1, tree

@@ -201,6 +201,43 @@ def test_writer_batched_post_with_retry_and_manifest(spark, tmp_path):
     assert not [p for p in root.iterdir() if p.name.startswith(".staging-")]
 
 
+def test_writer_append_merges_manifest_across_writes(spark, tmp_path):
+    """Regression: a second append must not evict the first append's
+    files from _manifest.json — the manifest is 'what the destination
+    table considers loaded', and append-published batches stay loaded."""
+    import json as _json
+
+    root = tmp_path / "sink"
+    root.mkdir()
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sources.rest_source import (
+        RestDataSource,
+    )
+    spark.dataSource.register(RestDataSource)
+    cols = (
+        "cast(id as string) AS id",
+        "id AS number",
+        "'2024-01-01T00:00:00' AS createdAt",
+        "'Aberto' AS status",
+        "'{}' AS payload",
+    )
+    spark.range(10).selectExpr(*cols).write.format("octadesk_rest").option(
+        "path", str(root)
+    ).mode("append").save()
+    spark.range(10, 15).selectExpr(*cols).write.format("octadesk_rest").option(
+        "path", str(root)
+    ).mode("append").save()
+
+    manifest = _json.loads((root / "_manifest.json").read_text())
+    assert manifest["rows"] == 15
+    on_disk = sorted(p.name for p in root.iterdir() if p.name.startswith("batch-"))
+    assert sorted(manifest["files"]) == on_disk
+    seen = []
+    for fn in manifest["files"]:
+        for line in (root / fn).read_text().splitlines():
+            seen.extend(r["id"] for r in _json.loads(line))
+    assert sorted(seen, key=int) == [str(i) for i in range(15)]
+
+
 def test_writer_overwrite_replaces_published_batches(spark, tmp_path):
     import json as _json
 

