@@ -392,16 +392,54 @@ def _sq_dist(v, cv) -> F.Column:
     )
 
 
+def _assign_in_row(ev: DataFrame, cents_df: DataFrame) -> DataFrame:
+    """Assign every vector to its nearest centroid with the corpus
+    never leaving its partitions.
+
+    ``cents_df`` is the k-row (cid, cv) centroid table. It is packed
+    into ONE row (``collect_list`` of k structs) and broadcast, so the
+    corpus side sees a single BroadcastNestedLoopJoin of a 1-row
+    relation — no shuffle, no window. ``array_min`` over (dist, cid)
+    structs picks the lowest-cid centroid on distance ties, matching
+    the oracle's ``row_number() OVER (ORDER BY dist, cid)``. Because
+    the centroid VALUES travel through the broadcast rather than as
+    literals, the generated code is identical for every iteration, so
+    whole-stage codegen compiles once and is reused.
+    """
+    packed = cents_df.agg(F.collect_list(F.struct("cid", "cv")).alias("cents"))
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                _sq_dist(F.col("v"), c["cv"]).alias("dist"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    return ev.crossJoin(F.broadcast(packed)).select(
+        "vec_id",
+        "v",
+        best.getField("cid").alias("cid"),
+        best.getField("dist").alias("dist"),
+    )
+
+
 def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final Lloyd assignment: (vec_id, v, cid, dist).
 
-    The corpus is persisted once — each iteration scores against the
-    cache, not a fresh parquet scan — and the k-row centroid table is
-    localCheckpoint()ed per iteration so the plan of iteration N does
-    not inline the full lineage of iterations 1..N-1 (which at 100×
-    would both recompute the scan per iteration and blow up the
-    optimizer). Values are identical to the unrolled form: the 1e-4
-    centroid rounding happens before the checkpoint.
+    MLlib-style Lloyd: centroids are O(k·d) METADATA. Each iteration's
+    update is a single map-side-combined groupBy of the corpus into
+    k×d partial averages, collected to the driver (k rows — same
+    legitimacy class as the pivot-domain collect, and exactly what
+    MLlib's KMeans does per iteration) and re-emitted as a fresh k-row
+    DataFrame, which both cuts the compounding lineage and keeps every
+    iteration's physical plan identical (codegen cache hits).
+    Assignment broadcasts the packed centroid row into the corpus scan
+    — NO join shuffle, NO window, the corpus is never exchanged, which
+    is the shape that survives a 1000-executor 100 TB run. The corpus
+    projection is persisted once so per-iteration passes and the
+    caller's action read the cache, not the parquet scan. Values are
+    identical to the joined form: the 1e-4 centroid rounding absorbs
+    summation-order differences (same contract as x_embedding_centroid).
     """
     from pyspark import StorageLevel
 
@@ -410,35 +448,33 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    cents = ev.filter(F.col("vec_id") < _K).select(
+    # seed: the k lowest vec_ids, raw doubles (oracle CTE c0)
+    cents_df = ev.filter(F.col("vec_id") < _K).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
     assigned = None
     for it in range(1, _ITERS + 1):
-        scored = ev.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "v", "cid", _sq_dist(F.col("v"), F.col("cv")).alias("dist")
-        )
-        assigned = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn")
-        )
+        assigned = _assign_in_row(ev, cents_df)
         if it < _ITERS:
-            per_dim = (
+            # narrow (cid, pos, val) rows with map-side partial avg —
+            # scales with d (no d-wide agg buffers) and collects k×d
+            # scalars, not vectors
+            rows = (
                 assigned.select("cid", F.posexplode("v").alias("pos", "val"))
                 .groupBy("cid", "pos")
                 .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("cv"))
+                .collect()
             )
-            cents = per_dim.groupBy("cid").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cv"))),
-                    lambda s: s.cv,
-                ).alias("cv")
+            by_cid: dict[int, dict[int, float]] = {}
+            for r in rows:
+                by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cv"]
+            cents_df = ev.sparkSession.createDataFrame(
+                [
+                    (cid, [dims[p] for p in range(_DIM)])
+                    for cid, dims in sorted(by_cid.items())
+                ],
+                "cid int, cv array<double>",
             )
-            # k rows: materialize and cut lineage (runs the iteration's
-            # corpus pass against the persisted ev)
-            cents = cents.localCheckpoint(eager=True)
     return assigned
 
 

@@ -204,12 +204,22 @@ def test_quantized_ann_broadcasts_query_side(spark):
     assert "SortMergeJoin" not in tree, tree
 
 
-def test_kmeans_assignment_broadcasts_centroids(spark):
-    # each Lloyd iteration must broadcast the k centroid rows into the
-    # corpus scan, never shuffle the corpus for assignment
+def test_kmeans_assignment_never_shuffles_corpus(spark):
+    # centroids arrive as ONE broadcast packed row: the final assignment
+    # plan may contain only that BroadcastNestedLoopJoin — no shuffle
+    # join, no window, no exchange of the corpus (MLlib-shape Lloyd)
     tree = tree_of(spark, "x_kmeans_semantic_clusters")
     assert "BroadcastNestedLoopJoin" in tree, tree
-    assert "SortMergeJoin" not in tree, tree
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "Window"):
+        assert op not in tree, (op, tree)
+    # the only exchanges allowed are broadcast ones (the packed row and
+    # its k-row collect_list input) — never a shuffle Exchange
+    import re
+
+    shuffle_exchanges = [
+        ln for ln in tree.splitlines() if re.search(r"\bExchange (hash|range|Single)", ln)
+    ]
+    assert not shuffle_exchanges, shuffle_exchanges
 
 
 def test_outlier_mad_broadcasts_per_source_scalars(spark):
@@ -255,14 +265,12 @@ def test_incremental_batch_prunes_to_fingerprint_before_anti_join(spark):
 
 
 def test_kmeans_final_plan_reads_cache_not_parquet(spark):
-    # the Lloyd loop persists the corpus projection and checkpoints the
-    # k-row centroids per iteration: the FINAL assignment plan reads the
-    # in-memory corpus (InMemoryTableScan; the single Scan parquet in the
-    # tree is the cache-population child it displays) and the centroids
-    # arrive as a checkpointed RDD (Scan ExistingRDD) — NOT as an inlined
+    # the Lloyd loop persists the corpus projection once: the FINAL
+    # assignment plan reads the in-memory corpus (InMemoryTableScan; the
+    # single Scan parquet in the tree is the cache-population child it
+    # displays) and the centroids arrive as literals — NOT as an inlined
     # lineage of the previous iterations. The unrolled form showed one
-    # parquet scan per iteration (4 total) and no RDD scan.
+    # parquet scan per iteration (4 total).
     tree = tree_of(spark, "x_kmeans_semantic_clusters")
     assert "InMemoryTableScan" in tree, tree
-    assert "Scan ExistingRDD" in tree, tree
     assert tree.count("Scan parquet") <= 1, tree
