@@ -262,3 +262,78 @@ def agg_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning (operators/bloom.py) — build a deterministic
+# md5-positioned Bloom filter over the join keys surviving a selective
+# predicate, probe the other side WITHOUT shuffling it, and report the
+# confusion matrix against exact membership. No false negatives is a
+# structural guarantee, so (maybe=false, actual=true) can never appear.
+# At 100 TB this is the pre-shuffle kill switch for big-big joins; the
+# built-in alternative is AQE's runtime bloom filter — this variant's
+# bits are engine-reproducible (same md5 slice in DuckDB) and hence
+# oracle-verifiable.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 16384
+_BLOOM_SEEDS = ("bf1:", "bf2:", "bf3:")
+_BLOOM_PRICE = 480000
+
+
+def _bloom_oracle() -> str:
+    seeds_values = ", ".join(f"('{s}')" for s in _BLOOM_SEEDS)
+    return f"""
+WITH keys AS (
+  SELECT DISTINCT o_custkey AS k FROM orders WHERE o_totalprice > {_BLOOM_PRICE}
+), pos AS (
+  SELECT ('0x' || substr(md5(concat(s, CAST(k AS VARCHAR))), 1, 15))::BIGINT
+         % {_BLOOM_M} AS p
+  FROM keys CROSS JOIN (VALUES {seeds_values}) seeds(s)
+), lanes AS (
+  SELECT p // 32 AS lane, bit_or((1::BIGINT) << CAST(p % 32 AS INT)) AS bits
+  FROM pos GROUP BY 1
+), probe AS (
+  SELECT c.c_custkey,
+         bool_and(
+           (COALESCE(l.bits, 0) & ((1::BIGINT) << CAST(pp.p % 32 AS INT))) <> 0
+         ) AS maybe
+  FROM (
+    SELECT c_custkey,
+           ('0x' || substr(md5(concat(s, CAST(c_custkey AS VARCHAR))), 1, 15))::BIGINT
+           % {_BLOOM_M} AS p
+    FROM customer CROSS JOIN (VALUES {seeds_values}) seeds(s)
+  ) pp
+  JOIN customer c USING (c_custkey)
+  LEFT JOIN lanes l ON pp.p // 32 = l.lane
+  GROUP BY c.c_custkey
+)
+SELECT p.maybe AS bloom_maybe,
+       (k.k IS NOT NULL) AS actual_member,
+       count(*) AS n_customers
+FROM probe p LEFT JOIN keys k ON p.c_custkey = k.k
+GROUP BY 1, 2
+"""
+
+
+@register("x_bloom_prune_join", _bloom_oracle())
+def x_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bloom import bloom_build, bloom_probe
+
+    orders = load_table(spark, sf_dir, "orders")
+    keys = (
+        orders.filter(F.col("o_totalprice") > _BLOOM_PRICE)
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    bloom = bloom_build(keys, "k", m_bits=_BLOOM_M, seeds=_BLOOM_SEEDS)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    probed = bloom_probe(
+        cust, "c_custkey", bloom, m_bits=_BLOOM_M, seeds=_BLOOM_SEEDS
+    )
+    return (
+        probed.join(F.broadcast(keys), probed["c_custkey"] == keys["k"], "left")
+        .select("bloom_maybe", F.col("k").isNotNull().alias("actual_member"))
+        .groupBy("bloom_maybe", "actual_member")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )

@@ -274,3 +274,15 @@ def test_kmeans_final_plan_reads_cache_not_parquet(spark):
     tree = tree_of(spark, "x_kmeans_semantic_clusters")
     assert "InMemoryTableScan" in tree, tree
     assert tree.count("Scan parquet") <= 1, tree
+
+
+def test_bloom_probe_never_shuffles_probe_side(spark):
+    """The probe table must reach its membership verdict through
+    broadcast joins only — bloom pruning that shuffles the big side
+    first defeats its purpose. The only shuffle exchanges allowed are
+    the tiny lane-table build (<= m/32 rows) and the final 4-row
+    confusion-matrix agg."""
+    tree = tree_of(spark, "x_bloom_prune_join")
+    assert "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "ShuffledHashJoin" not in tree, tree

@@ -269,3 +269,37 @@ def test_skyline_plan_has_no_nested_loop(spark):
     plan = skyline_2d(p, "p_retailprice", "p_size")._jdf.queryExecution().toString()
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fpr(spark):
+    """Structural guarantee: every inserted key probes True. Statistical
+    check: with n=300 keys in m=16384 bits / 3 hashes the expected FPR
+    is ~2e-4, so over 3000 non-member probes we allow a generous <1%."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    members = spark.range(0, 300).withColumnRenamed("id", "k")
+    bloom = bloom_build(members, "k", m_bits=16384)
+    probes = spark.range(0, 3300).withColumnRenamed("id", "k")
+    res = bloom_probe(probes, "k", bloom, m_bits=16384).collect()
+    by_k = {r["k"]: r["bloom_maybe"] for r in res}
+    assert len(by_k) == 3300  # left joins must not duplicate or drop rows
+    assert all(by_k[k] for k in range(300)), "false negative!"
+    fp = sum(1 for k in range(300, 3300) if by_k[k])
+    assert fp < 30, f"false-positive rate too high: {fp}/3000"
+
+
+def test_bloom_probe_handles_empty_filter(spark):
+    """An empty key set yields an empty lane table: every probe must
+    come back False (coalesce-0 path), not null or True."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    empty = spark.range(0).withColumnRenamed("id", "k")
+    bloom = bloom_build(empty, "k")
+    res = bloom_probe(spark.range(5).withColumnRenamed("id", "k"), "k", bloom).collect()
+    assert all(r["bloom_maybe"] is False for r in res)
