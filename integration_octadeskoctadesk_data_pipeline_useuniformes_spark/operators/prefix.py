@@ -1,0 +1,71 @@
+"""Distributed exact global running totals (prefix sums).
+
+``sum(x) OVER (ORDER BY ...)`` with no PARTITION BY forces Spark to move
+every row into ONE window partition — a single-task global sort that
+cannot scale (WindowExec even warns). The classic fix is the two-level
+prefix sum:
+
+1. range-partition by the global order (RangePartitioner's sampled
+   boundaries are seed-stable, so re-evaluation reproduces them),
+2. compute each partition's LOCAL running sum with a window keyed by
+   ``spark_partition_id()`` — parallel across partitions,
+3. cumulate the per-partition totals (one tiny P-row window — single
+   partition is fine BECAUSE it runs after the reduction) into exclusive
+   offsets, broadcast them back, and add.
+
+The result equals the single-partition window bit-for-bit when the
+value type has order-independent addition (BIGINT, DECIMAL) and
+``order_cols`` is a TOTAL order (include a unique tiebreak column —
+with ties, range partitioning may split equal keys and any consistent
+extension of the partial order could be produced).
+
+Scale: two narrow shuffles of the data (range + pid re-cluster) and a
+P-row side plan, versus one shuffle into a single task for the naive
+form — at 100 TB the naive form simply does not finish.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["global_running_sum"]
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value: Column,
+    *,
+    out_col: str = "running_total",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach ``out_col`` = exact running total of ``value`` over the
+    global ``order_cols`` order, without a single-partition window.
+
+    ``value`` must have order-independent addition (integer/decimal);
+    ``order_cols`` must be a total order (unique tiebreak included).
+    """
+    part = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        if num_partitions
+        else df.repartitionByRange(*order_cols)
+    )
+    part = part.withColumn("__val", value).withColumn("__pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = part.withColumn("__run_local", F.sum("__val").over(w_local))
+    totals = local.groupBy("__pid").agg(F.sum("__val").alias("__tot"))
+    # exclusive prefix over P partition totals — post-reduction, tiny
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.sum("__tot").over(w_off).alias("__off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(out_col, F.col("__run_local") + F.coalesce(F.col("__off"), F.lit(0)))
+        .drop("__pid", "__val", "__run_local", "__off")
+    )

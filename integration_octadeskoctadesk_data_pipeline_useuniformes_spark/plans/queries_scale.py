@@ -337,3 +337,42 @@ def x_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bloom_maybe", "actual_member")
         .agg(F.count(F.lit(1)).alias("n_customers"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed global running total (operators/prefix.py) — the scalable
+# replacement for sum() OVER (ORDER BY ...) with no PARTITION BY, which
+# Spark executes in ONE task. Two-level prefix sum: parallel local
+# running sums + tiny cumulated partition offsets broadcast back.
+# DECIMAL arithmetic end-to-end so the distributed summation order
+# cannot diverge from the oracle's sequential window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_global_running_revenue",
+    """
+SELECT o_orderkey,
+       CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+            OVER (ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS DECIMAL(27,2)) AS DOUBLE) AS running_revenue
+FROM orders
+""",
+)
+def x_global_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_running_sum
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    run = global_running_sum(
+        o,
+        ["o_orderdate", "o_orderkey"],
+        F.col("o_totalprice").cast("decimal(18,2)"),
+        out_col="__run",
+    )
+    return run.select(
+        "o_orderkey",
+        F.col("__run").cast("decimal(27,2)").cast("double").alias("running_revenue"),
+    )

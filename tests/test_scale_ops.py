@@ -303,3 +303,50 @@ def test_bloom_probe_handles_empty_filter(spark):
     bloom = bloom_build(empty, "k")
     res = bloom_probe(spark.range(5).withColumnRenamed("id", "k"), "k", bloom).collect()
     assert all(r["bloom_maybe"] is False for r in res)
+
+
+def test_global_running_sum_matches_single_partition_window(spark):
+    """The two-level prefix sum must equal the naive single-partition
+    window bit-for-bit, including with AQE partition-coalescing disabled
+    and ties in the leading order column split across range partitions
+    (the unique tiebreak column makes the order total)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.prefix import (
+        global_running_sum,
+    )
+
+    df = (
+        spark.range(0, 5000)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 7).alias("grp"),  # heavy ties in leading col
+            ((F.col("id") * 37) % 1000).cast("decimal(18,2)").alias("val"),
+        )
+        .repartition(11)  # scramble input placement
+    )
+    naive = {
+        r["k"]: r["run"]
+        for r in df.withColumn(
+            "run",
+            F.sum("val").over(
+                Window.orderBy("grp", "k").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            ),
+        ).collect()
+    }
+    prev = spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        for n_parts in (3, 16):
+            got = {
+                r["k"]: r["run"]
+                for r in global_running_sum(
+                    df, ["grp", "k"], F.col("val"), out_col="run", num_partitions=n_parts
+                ).collect()
+            }
+            assert got == naive, f"mismatch at num_partitions={n_parts}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
