@@ -413,3 +413,104 @@ def x_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users_exact",
         (err <= 0.15).alias("sketch_within_15pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters — the fixed-memory frequency sketch for
+# streams/corpora too wide to exact-count. Three md5-seeded hash rows x
+# 1024 counters; the token stream partially aggregates map-side so the
+# shuffle carries at most 3*1024 counter rows per mapper, regardless of
+# corpus size. Estimates are min-over-rows and can only OVERcount.
+# Both engines compute the identical sketch (same md5 slice), so the
+# driver checks the sketch itself, not just the exact counts.
+# ---------------------------------------------------------------------------
+
+_CMS_W = 1024
+_CMS_SEEDS = ("cms0:", "cms1:", "cms2:")
+
+
+def _cms_seed_values() -> str:
+    return ", ".join(f"({i}, '{s}')" for i, s in enumerate(_CMS_SEEDS))
+
+
+@register(
+    "x_cms_heavy_hitters",
+    f"""
+WITH t AS (
+  SELECT token FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> ''
+), sketch AS (
+  SELECT i, ('0x' || substr(md5(concat(s, token)), 1, 15))::BIGINT % {_CMS_W} AS pos,
+         count(*) AS c
+  FROM t CROSS JOIN (VALUES {", ".join(f"({i}, '{s}')" for i, s in enumerate(_CMS_SEEDS))}) seeds(i, s)
+  GROUP BY 1, 2
+), exact AS (
+  SELECT token, count(*) AS n FROM t GROUP BY token
+  ORDER BY n DESC, token LIMIT 20
+), epos AS (
+  SELECT e.token, e.n, seeds.i,
+         ('0x' || substr(md5(concat(seeds.s, e.token)), 1, 15))::BIGINT % {_CMS_W} AS pos
+  FROM exact e CROSS JOIN (VALUES {", ".join(f"({i}, '{s}')" for i, s in enumerate(_CMS_SEEDS))}) seeds(i, s)
+)
+SELECT token, n AS n_exact, min(c) AS cms_estimate, min(c) - n AS overcount
+FROM epos JOIN sketch USING (i, pos)
+GROUP BY token, n
+""",
+)
+def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def pos(token: F.Column, seed: str) -> F.Column:
+        h = F.conv(F.substring(F.md5(F.concat(F.lit(seed), token)), 1, 15), 16, 10)
+        return (h.cast("bigint") % _CMS_W).cast("bigint")
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    # sketch build: one pass over the token stream, map-side combined
+    sketch = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("i"), pos(F.col("token"), s).alias("pos")
+                        )
+                        for i, s in enumerate(_CMS_SEEDS)
+                    ]
+                )
+            ).alias("s")
+        )
+        .select("s.i", "s.pos")
+        .groupBy("i", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+    epos = exact.select(
+        "token",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("i"), pos(F.col("token"), s).alias("pos"))
+                    for i, s in enumerate(_CMS_SEEDS)
+                ]
+            )
+        ).alias("s"),
+    ).select("token", "n", "s.i", "s.pos")
+    est = (
+        epos.join(F.broadcast(sketch), ["i", "pos"])
+        .groupBy("token", "n")
+        .agg(F.min("c").alias("cms_estimate"))
+    )
+    return est.select(
+        "token",
+        F.col("n").alias("n_exact"),
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("n")).alias("overcount"),
+    )

@@ -286,3 +286,14 @@ def test_bloom_probe_never_shuffles_probe_side(spark):
     assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
     assert "ShuffledHashJoin" not in tree, tree
+
+
+def test_cms_sketch_joins_broadcast_and_combines_mapside(spark):
+    """The counter build must partially aggregate before its exchange
+    (the shuffle carries <= 3*1024 counter rows per mapper, not one row
+    per token occurrence); the estimate join is broadcast."""
+    plan = plan_of(spark, "x_cms_heavy_hitters")
+    assert "partial_count" in plan, plan
+    tree = tree_of(spark, "x_cms_heavy_hitters")
+    assert "SortMergeJoin" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
