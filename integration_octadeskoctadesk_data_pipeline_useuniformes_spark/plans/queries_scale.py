@@ -514,3 +514,51 @@ def x_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_estimate",
         (F.col("cms_estimate") - F.col("n")).alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew aggregation (operators/skew.py) — events.event_type has 5
+# values over the whole table: the textbook hot-key shape where a plain
+# groupBy caps the reduce stage at 5 tasks. The salted two-phase form
+# spreads each hot key over 16 salt buckets, then merges the tiny
+# partials. Results are identical to the direct group-by (algebraic
+# aggregates only), which is exactly what the oracle checks. Money sums
+# ride integer cents, so neither phase order nor salting can perturb
+# the value.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_skew_salted_agg",
+    """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts
+FROM events
+GROUP BY event_type
+""",
+)
+def x_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_aggregate
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("__cents"),
+        F.lit(1).alias("__one"),
+    )
+    return salted_aggregate(
+        e,
+        ["event_type"],
+        {
+            "n_events": ("count", "__one"),
+            "value_cents": ("sum", "__cents"),
+            "first_ts": ("min", "ts"),
+            "last_ts": ("max", "ts"),
+        },
+        salt_on=F.col("event_id"),
+        salt_buckets=16,
+    )

@@ -297,3 +297,12 @@ def test_cms_sketch_joins_broadcast_and_combines_mapside(spark):
     tree = tree_of(spark, "x_cms_heavy_hitters")
     assert "SortMergeJoin" not in tree, tree
     assert "BroadcastHashJoin" in tree, tree
+
+
+def test_salted_agg_two_phase_shape(spark):
+    """Phase 1 must reduce on (key, salt) and phase 2 on the key — two
+    exchanges total, each fed by a map-side partial aggregate. Losing a
+    phase silently restores the 5-task hot-key bottleneck."""
+    tree = tree_of(spark, "x_skew_salted_agg")
+    assert tree.count("Exchange") == 2, tree
+    assert tree.count("HashAggregate") == 4, tree
