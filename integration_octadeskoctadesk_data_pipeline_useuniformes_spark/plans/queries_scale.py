@@ -562,3 +562,52 @@ def x_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_on=F.col("event_id"),
         salt_buckets=16,
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table checksum (operators/integrity.py) — anti-
+# entropy verification of a sink against its source without sorting
+# either side: commutative bit_xor over 60-bit md5 row digests, grouped
+# by o_orderstatus to localize mismatches. Both engines compute the
+# same digests from the same canonical serialization (integer cents,
+# STRING-CAST ntz timestamps, NULL sentinel), so the checksum is a
+# cross-engine contract, not an engine artifact. Timestamps must be
+# serialized with CAST, never date_format(): Spark's date_format
+# round-trips TIMESTAMP_NTZ through the session timezone, so DST-gap
+# wall-clocks (e.g. Brazil 1995-10-15 00:00) silently shift by an hour.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_table_checksum",
+    """
+WITH ser AS (
+  SELECT o_orderstatus,
+         concat_ws('|',
+           COALESCE(CAST(o_orderkey AS VARCHAR), '␀'),
+           COALESCE(CAST(o_custkey AS VARCHAR), '␀'),
+           COALESCE(o_orderstatus, '␀'),
+           COALESCE(o_orderpriority, '␀'),
+           COALESCE(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), '␀'),
+           COALESCE(CAST(o_orderdate AS VARCHAR), '␀')
+         ) AS row_ser
+  FROM orders
+)
+SELECT o_orderstatus, count(*) AS n_rows,
+       CAST(bit_xor(('0x' || substr(md5(row_ser), 1, 15))::BIGINT) AS BIGINT) AS checksum
+FROM ser GROUP BY o_orderstatus
+""",
+)
+def x_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.integrity import grouped_checksum
+
+    o = load_table(spark, sf_dir, "orders")
+    cols = [
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint"),
+        F.col("o_orderdate").cast("string"),
+    ]
+    return grouped_checksum(o, cols, group_by=["o_orderstatus"])

@@ -350,3 +350,38 @@ def test_global_running_sum_matches_single_partition_window(spark):
             assert got == naive, f"mismatch at num_partitions={n_parts}"
     finally:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+
+
+def test_grouped_checksum_detects_mutation_and_is_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.integrity import (
+        grouped_checksum,
+    )
+
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.concat(F.lit("v"), F.col("id")).alias("payload"),
+    )
+    cols = [F.col("id"), F.col("payload")]
+    base = {
+        r["grp"]: (r["n_rows"], r["checksum"])
+        for r in grouped_checksum(df, cols, ["grp"]).collect()
+    }
+    # partition-layout independence (commutative combine)
+    re = {
+        r["grp"]: (r["n_rows"], r["checksum"])
+        for r in grouped_checksum(df.repartition(13), cols, ["grp"]).collect()
+    }
+    assert re == base
+    # a single mutated cell must flip exactly its group's checksum
+    mut = df.withColumn(
+        "payload", F.when(F.col("id") == 500, F.lit("CORRUPT")).otherwise(F.col("payload"))
+    )
+    after = {
+        r["grp"]: (r["n_rows"], r["checksum"])
+        for r in grouped_checksum(mut, cols, ["grp"]).collect()
+    }
+    changed = [g for g in base if after[g] != base[g]]
+    assert changed == [str(500 % 3)], (changed, base, after)
