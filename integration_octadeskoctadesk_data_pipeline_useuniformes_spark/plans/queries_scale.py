@@ -611,3 +611,40 @@ def x_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate").cast("string"),
     ]
     return grouped_checksum(o, cols, group_by=["o_orderstatus"])
+
+
+# ---------------------------------------------------------------------------
+# Sketched percentiles — approx_percentile (GK summary, fixed memory,
+# mergeable) is the 100 TB path; exact percentile is the oracle-checked
+# value (Spark's interpolating percentile == DuckDB quantile_cont,
+# pinned to 4 decimals). The sketch ships as a self-attesting bound:
+# the row turns red if the approximation drifts past 5% relative (or
+# 0.5 absolute near zero) of exact, under ANY partition layout — the
+# GK merge is layout-dependent, so the attestation must hold for every
+# layout, not just this one.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_approx_percentile_value",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 4) AS p50_exact,
+       round(quantile_cont(value, 0.95), 4) AS p95_exact,
+       TRUE AS sketch_within_5pct
+FROM events GROUP BY event_type
+""",
+)
+def x_approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "value")
+    agg = e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_exact"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_exact"),
+        F.expr("approx_percentile(value, 0.95, 10000)").alias("__ap95"),
+    )
+    err = F.abs(F.col("__ap95") - F.col("p95_exact")) / F.greatest(
+        F.abs(F.col("p95_exact")), F.lit(10.0)
+    )
+    return agg.select(
+        "event_type", "p50_exact", "p95_exact", (err <= 0.05).alias("sketch_within_5pct")
+    )

@@ -51,7 +51,9 @@ def _norm(v):
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):
-        return v.isoformat()
+        # the driver compares through pandas, where DATE and midnight
+        # TIMESTAMP both become datetime64 — normalize identically
+        return _dt.datetime(v.year, v.month, v.day).isoformat()
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     if isinstance(v, dict):
