@@ -221,10 +221,22 @@ def chats_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buffer by ~1.7× measured at sf0.1; going full HashAggregate would
     # need a fixed-width (long/decimal) packing, which the unbounded
     # event_id/k domains don't guarantee.
+    # Fixed-width wall-clock render of the NTZ timestamp. NOT
+    # date_format: that round-trips NTZ through the session timezone, and
+    # in a DST zone (America/Sao_Paulo) the mapping is non-monotonic at
+    # fall-back and collides at spring-forward, which can silently flip
+    # the min() pick. CAST is wall-clock pure; padding the fractional
+    # part to 6 digits restores the fixed width concat-ordering needs.
+    ts_str = F.col("ts").cast("string")
+    ts_fixed = F.rpad(
+        F.when(ts_str.contains("."), ts_str).otherwise(F.concat(ts_str, F.lit("."))),
+        26,
+        "0",
+    )
     packed_first_purchase = F.when(
         F.col("event_type") == "purchase",
         F.concat(
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            ts_fixed,
             F.lpad(F.col("event_id").cast("string"), 12, "0"),
             F.lit("|"),
             F.regexp_extract(F.col("props"), r'"k":\s*(\d+)', 1),
