@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["global_running_sum"]
+__all__ = ["global_running_sum", "global_row_number"]
 
 
 def global_running_sum(
@@ -68,4 +68,30 @@ def global_running_sum(
         local.join(F.broadcast(offsets), "__pid")
         .withColumn(out_col, F.col("__run_local") + F.coalesce(F.col("__off"), F.lit(0)))
         .drop("__pid", "__val", "__run_local", "__off")
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    *,
+    out_col: str = "row_num",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Attach ``out_col`` = 1-based contiguous global row number in
+    ``order_cols`` order — ``row_number() OVER (ORDER BY ...)`` without
+    its single-partition window.
+
+    The standard shard-building primitive (stable sample ids, training
+    example numbering, deterministic splits). Same two-level shape as
+    ``global_running_sum`` with count as the value: local row_number per
+    range partition plus broadcast exclusive row-count offsets.
+    ``order_cols`` must be a total order for a unique result.
+    """
+    return global_running_sum(
+        df,
+        order_cols,
+        F.lit(1).cast("bigint"),
+        out_col=out_col,
+        num_partitions=num_partitions,
     )

@@ -648,3 +648,28 @@ def x_approx_percentile_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "event_type", "p50_exact", "p95_exact", (err <= 0.05).alias("sketch_within_5pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed global row numbering — row_number() OVER (ORDER BY ...)
+# is the other single-partition-window trap (every shard/split/example-id
+# assignment needs it). Same two-level prefix machinery with count as
+# the value; the driver checks it against DuckDB's true global window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_global_row_number",
+    """
+SELECT doc_id,
+       row_number() OVER (ORDER BY source, doc_id) AS example_id
+FROM documents
+""",
+)
+def x_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_row_number
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return global_row_number(d, ["source", "doc_id"], out_col="example_id").select(
+        "doc_id", "example_id"
+    )

@@ -385,3 +385,23 @@ def test_grouped_checksum_detects_mutation_and_is_partition_invariant(spark):
     }
     changed = [g for g in base if after[g] != base[g]]
     assert changed == [str(500 % 3)], (changed, base, after)
+
+
+def test_global_row_number_contiguous_and_partition_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.prefix import (
+        global_row_number,
+    )
+
+    df = spark.range(0, 2000).select(
+        F.col("id"), ((F.col("id") * 7919) % 100).alias("k")
+    ).repartition(9)
+    for n_parts in (4, 17):
+        rows = global_row_number(
+            df, ["k", "id"], out_col="rn", num_partitions=n_parts
+        ).collect()
+        got = [r["id"] for r in sorted(rows, key=lambda r: r["rn"])]
+        want = [r["id"] for r in sorted(rows, key=lambda r: (r["k"], r["id"]))]
+        assert got == want
+        assert sorted(r["rn"] for r in rows) == list(range(1, 2001))
