@@ -158,3 +158,57 @@ def downsample_payload(
             F.col("meta.origin").alias("origin"),
         ).alias("meta"),
     )
+
+
+AUDIO_WINDOW_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("window_idx", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("energy", LongType()),
+    ]
+)
+
+
+def audio_windows(
+    df: DataFrame,
+    window: int = 256,
+    batch_size: int = 1024,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Windowed energy over a PCM-like payload — the audio analogue of
+    ``sample_frames``: fixed-size sample windows, per-window sum of
+    squared amplitudes (BIGINT — deterministic, order-free).
+
+    The decode step (payload bytes → amplitude array) is the stubbed
+    boundary: here ``np.frombuffer(uint8)`` stands in for a real
+    torchaudio/soundfile decode, and everything downstream (vectorized
+    ``np.add.reduceat`` windowing inside Arrow-batched ``mapInPandas``,
+    1→N row fan-out, bounded batch memory) is exactly the production
+    shape. Empty payloads emit no windows, like a zero-length clip.
+    """
+    import numpy as np
+
+    def run(batches):
+        for pdf in batches:
+            ids, widx, ns, en = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                a = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                if a.size == 0:
+                    continue
+                starts = np.arange(0, a.size, window)
+                sq = a * a
+                e = np.add.reduceat(sq, starts)
+                n = np.minimum(starts + window, a.size) - starts
+                k = starts.size
+                ids.extend([doc_id] * k)
+                widx.extend(range(k))
+                ns.extend(n.tolist())
+                en.extend(e.tolist())
+            yield pd.DataFrame(
+                {"doc_id": ids, "window_idx": widx, "n_samples": ns, "energy": en}
+            )
+
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    return df.select("doc_id", F.col(payload_col)).mapInPandas(run, AUDIO_WINDOW_SCHEMA)

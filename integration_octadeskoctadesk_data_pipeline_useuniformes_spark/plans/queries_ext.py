@@ -715,3 +715,34 @@ def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("r.quality") * 1000000 + F.lit(0.5)).cast("bigint")
         ).alias("quality_sum_u6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: audio-window energy (operators/multimodal.audio_windows) —
+# fixed 256-sample windows over the PCM-like payload, per-window sum of
+# squared amplitudes. Arrow-batched mapInPandas with vectorized numpy
+# windowing; the fixture payload is the ASCII text bytes, so the DuckDB
+# oracle reproduces the amplitudes with ascii(substr(...)) and checks
+# the 1→N fan-out and every energy value exactly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_multimodal_audio_energy",
+    """
+WITH s AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx,
+         ascii(substr(text, CAST(i AS INT), 1)) AS amp
+  FROM documents,
+       LATERAL unnest(generate_series(1, length(text))) AS t(i)
+)
+SELECT doc_id, CAST(idx // 256 AS BIGINT) AS window_idx, count(*) AS n_samples,
+       CAST(sum(amp * amp) AS BIGINT) AS energy
+FROM s GROUP BY 1, 2
+""",
+)
+def x_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import attach_payload, audio_windows
+
+    d = load_table(spark, sf_dir, "documents")
+    return audio_windows(attach_payload(d), window=256)

@@ -92,3 +92,22 @@ def test_downsample_payload_updates_metadata(spark):
         assert bytes(r.payload) == expected
         assert r.meta.n_units == len(expected)   # meta never stale
         assert r.meta.format == "text/plain"
+
+
+def test_audio_windows_edges(spark):
+    """Empty payload emits no windows; exact-multiple payload has no
+    short tail; energies are exact integer sums of squares."""
+    from pyspark.sql import functions as F
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.multimodal import (
+        audio_windows,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b""), (2, bytes([2] * 8)), (3, bytes([1] * 10))], "doc_id long, payload binary"
+    )
+    rows = sorted(
+        (r["doc_id"], r["window_idx"], r["n_samples"], r["energy"])
+        for r in audio_windows(df, window=8).collect()
+    )
+    assert rows == [(2, 0, 8, 32), (3, 0, 8, 8), (3, 1, 2, 2)]
