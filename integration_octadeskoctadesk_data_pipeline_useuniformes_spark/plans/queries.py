@@ -111,6 +111,26 @@ DRIVER_WINDOW: list[str] = [
     "fn_json_battery",
     "fn_array_battery",
 ]
+# Round-3 rotation backlog (49 queries with no driver row after r2 —
+# they fill the next window; the one overflow slot re-checks flagship):
+# x_multimodal_audio_energy, x_asof_click_before_purchase,
+# x_range_join_error_window, x_sessionize_batch, x_split_train_val,
+# x_token_topk, x_embedding_centroid, x_resample_daily_gapfill,
+# x_skyline_price_size, x_value_iqr_outliers, x_doc_length_buckets,
+# x_sample_stratified, x_sample_cap_per_source, x_scd2_user_state,
+# x_bloom_prune_join, x_global_running_revenue, x_approx_distinct_users,
+# x_cms_heavy_hitters, x_skew_salted_agg, x_table_checksum,
+# x_approx_percentile_value, x_global_row_number, x_mixture_resample,
+# x_pii_redact, x_quality_repetition, x_contamination_3gram,
+# x_train_pipeline, x_mixture_temperature, fn_window_range_frame,
+# fn_set_bag_ops, fn_window_ratio_to_report, fn_date_parse_battery,
+# fn_nullsafe_join, x_tfidf_top_terms, x_chunk_documents,
+# x_ann_quantized_topk, x_semdedup_within_clusters,
+# x_hybrid_retrieval_rerank, x_corpus_datacard,
+# x_langid_mismatch_by_source, x_dedup_cluster_sizes,
+# x_dedup_containment, x_dedup_incremental_batch, x_text_sentiment,
+# x_fuzzy_name_match, x_dedup_estimate_error, x_sample_by_quality,
+# x_profile_documents, x_length_histogram
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
