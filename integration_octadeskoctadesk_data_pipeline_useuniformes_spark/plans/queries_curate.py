@@ -687,3 +687,58 @@ def x_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus composition drift — the (source × lang) contingency table with
+# EXACT integer association statistics. The chi-square cell term is
+# (obs·N − row·col)² / (N·row·col); emitting the integer numerator
+# root (obs·N − row·col) and the BIGINT denominator factors keeps every
+# value exact and engine-identical — the float division is left to the
+# monitoring layer. One groupBy over the corpus plus broadcast margins:
+# the fact table is shuffled once on the (source, lang) grain.
+# ---------------------------------------------------------------------------
+
+
+def _drift_oracle() -> str:
+    return """
+WITH cells AS (
+  SELECT source, lang, count(*) AS obs FROM documents GROUP BY source, lang
+), rows_m AS (
+  SELECT source, CAST(sum(obs) AS BIGINT) AS row_n FROM cells GROUP BY source
+), cols_m AS (
+  SELECT lang, CAST(sum(obs) AS BIGINT) AS col_n FROM cells GROUP BY lang
+), tot AS (
+  SELECT CAST(sum(obs) AS BIGINT) AS n FROM cells
+)
+SELECT c.source, c.lang, c.obs,
+       r.row_n, l.col_n, t.n,
+       CAST(c.obs * t.n - r.row_n * l.col_n AS BIGINT) AS dev_num
+FROM cells c
+JOIN rows_m r USING (source)
+JOIN cols_m l USING (lang)
+CROSS JOIN tot t
+"""
+
+
+@register("x_category_drift", _drift_oracle())
+def x_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents").select("source", "lang")
+    cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("obs"))
+    # margins as windows over the REDUCED cells table (|source|x|lang|
+    # rows), not re-aggregation joins: one corpus scan total, and the
+    # unpartitioned total window runs post-reduction where a single
+    # partition is the right plan
+    return cells.select(
+        "source",
+        "lang",
+        "obs",
+        F.sum("obs").over(W.partitionBy("source")).alias("row_n"),
+        F.sum("obs").over(W.partitionBy("lang")).alias("col_n"),
+        F.sum("obs").over(W.partitionBy()).alias("n"),
+    ).withColumn(
+        "dev_num",
+        (F.col("obs") * F.col("n") - F.col("row_n") * F.col("col_n")).cast("bigint"),
+    )

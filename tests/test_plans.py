@@ -306,3 +306,10 @@ def test_salted_agg_two_phase_shape(spark):
     tree = tree_of(spark, "x_skew_salted_agg")
     assert tree.count("Exchange") == 2, tree
     assert tree.count("HashAggregate") == 4, tree
+
+
+def test_category_drift_single_scan(spark):
+    """Margins must come from windows over the reduced cells table —
+    the margin-join formulation re-scanned the corpus 4 times."""
+    tree = tree_of(spark, "x_category_drift")
+    assert tree.count("Scan parquet") == 1, tree
