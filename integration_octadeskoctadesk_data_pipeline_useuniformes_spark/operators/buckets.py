@@ -53,3 +53,51 @@ def equi_depth_buckets(
         col, (F.expr("__pos_k div __total") + F.lit(1)).alias(bucket_col)
     )
     return df.join(F.broadcast(mapping), col)
+
+
+def exact_quantile_disc(
+    df: DataFrame,
+    col: str,
+    quantiles: "dict[str, tuple[int, int]]",
+    group_by: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Exact discrete quantiles (SQL ``percentile_disc`` / DuckDB
+    ``quantile_disc``) WITHOUT sorting the raw rows.
+
+    ``quantiles`` maps output label -> (numerator, denominator), e.g.
+    ``{"p50": (1, 2), "p90": (9, 10)}``. Same histogram trick as
+    ``equi_depth_buckets``: reduce to per-value counts (one map-side-
+    combined shuffle), cumulate over the tiny histogram, then pick the
+    value at 1-based position ``ceil(q·N)`` per group — all integer
+    arithmetic, so engines agree bit-for-bit. Every requested quantile
+    reads the SAME histogram: one scan regardless of len(quantiles).
+
+    Returns one row per group with a column per label.
+    """
+    keys = list(group_by)
+    hist = df.groupBy(*keys, col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_cum = (
+        Window.partitionBy(*keys)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*keys)
+    cum = hist.select(
+        *keys,
+        F.col(col),
+        F.col("__cnt"),
+        F.sum("__cnt").over(w_cum).alias("__cum"),
+        F.sum("__cnt").over(w_all).alias("__total"),
+    )
+    picks = []
+    for label, (qn, qd) in quantiles.items():
+        pos = F.expr(f"({qn} * __total + {qd} - 1) div {qd}")
+        picks.append(
+            F.max(
+                F.when(
+                    ((F.col("__cum") - F.col("__cnt")) < pos) & (pos <= F.col("__cum")),
+                    F.col(col),
+                )
+            ).alias(label)
+        )
+    return cum.groupBy(*keys).agg(*picks)

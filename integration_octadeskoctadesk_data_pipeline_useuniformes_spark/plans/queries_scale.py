@@ -673,3 +673,36 @@ def x_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_row_number(d, ["source", "doc_id"], out_col="example_id").select(
         "doc_id", "example_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact discrete quantiles without a global sort — the histogram trick
+# from operators/buckets.py generalized: per-value counts (one combined
+# shuffle), integer cumulative positions, pick at ceil(q*N). Every
+# quantile shares one histogram pass; all arithmetic is integer, so the
+# result is EXACT and engine-identical — the scalable alternative when
+# approx_percentile's error bound is not acceptable and the value
+# domain is discrete (lengths, counts, scores).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_exact_quantiles_chars",
+    """
+SELECT source,
+       quantile_disc(n_chars, 0.5) AS p50,
+       quantile_disc(n_chars, 0.9) AS p90,
+       quantile_disc(n_chars, 0.99) AS p99
+FROM documents GROUP BY source
+""",
+)
+def x_exact_quantiles_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.buckets import exact_quantile_disc
+
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    return exact_quantile_disc(
+        d,
+        "n_chars",
+        {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)},
+        group_by=("source",),
+    )

@@ -405,3 +405,30 @@ def test_global_row_number_contiguous_and_partition_invariant(spark):
         want = [r["id"] for r in sorted(rows, key=lambda r: (r["k"], r["id"]))]
         assert got == want
         assert sorted(r["rn"] for r in rows) == list(range(1, 2001))
+
+
+def test_exact_quantile_disc_matches_sorted_definition(spark):
+    """ceil(q*N) 1-based pick over the histogram == indexing the sorted
+    values directly, including heavy duplicates and tiny groups."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.buckets import (
+        exact_quantile_disc,
+    )
+
+    data = [("a", v) for v in [5, 1, 3, 3, 3, 9, 7, 3]] + [("b", v) for v in [2, 2, 2]] + [
+        ("c", 42)
+    ]
+    df = spark.createDataFrame(data, "g string, v int").repartition(5)
+    got = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in exact_quantile_disc(
+            df, "v", {"p50": (1, 2), "p90": (9, 10)}, group_by=("g",)
+        ).collect()
+    }
+    for g in ("a", "b", "c"):
+        vals = sorted(v for gg, v in data if gg == g)
+        want = tuple(vals[math.ceil(q * len(vals)) - 1] for q in (0.5, 0.9))
+        assert got[g] == want, (g, got[g], want)
