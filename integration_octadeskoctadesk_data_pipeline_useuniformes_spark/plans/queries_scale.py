@@ -706,3 +706,59 @@ def x_exact_quantiles_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"p50": (1, 2), "p90": (9, 10), "p99": (99, 100)},
         group_by=("source",),
     )
+
+
+# ---------------------------------------------------------------------------
+# Constraint audit — the invariants a warehouse load would assert
+# (sinks/guards.py enforces in-flight; this is the oracle-checked batch
+# audit): FK orphans via anti-join against the broadcast dimension key
+# set, primary-key duplication via one grouped count, null rates as
+# conditional counts. All three ride a single pass over orders plus one
+# tiny dimension scan.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_constraint_audit",
+    """
+WITH orphan AS (
+  SELECT count(*) AS fk_orphans
+  FROM orders o
+  WHERE o.o_custkey IS NOT NULL
+    AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+), dup AS (
+  SELECT CAST(COALESCE(sum(cnt - 1), 0) AS BIGINT) AS pk_duplicates
+  FROM (SELECT o_orderkey, count(*) AS cnt FROM orders GROUP BY o_orderkey)
+  WHERE cnt > 1
+), nulls AS (
+  SELECT count(*) FILTER (o_custkey IS NULL) AS null_custkey,
+         count(*) FILTER (o_orderdate IS NULL) AS null_orderdate,
+         count(*) AS n_rows
+  FROM orders
+)
+SELECT fk_orphans, pk_duplicates, null_custkey, null_orderdate, n_rows
+FROM orphan, dup, nulls
+""",
+)
+def x_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orphans = (
+        o.filter(F.col("o_custkey").isNotNull())
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).cast("bigint").alias("pk_duplicates"))
+    )
+    nulls = o.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("null_custkey"),
+        F.count(F.when(F.col("o_orderdate").isNull(), 1)).alias("null_orderdate"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return orphans.crossJoin(dups).crossJoin(nulls)
