@@ -256,13 +256,20 @@ def ivf_topk(
     approximate: neighbors outside the probed cells are missed (that is
     the IVF recall trade-off).
     """
-    seeds = corpus.filter(F.col(id_col) < n_seeds).select(
+    from pyspark import StorageLevel
+
+    # the corpus projection feeds SEVEN consumers (seeds, home-cell
+    # assignment, query semi-join, probe ranking, both scoring sides);
+    # without a persist each one re-runs the parquet scan — at 100 TB
+    # that is seven corpus reads for one query batch
+    base = corpus.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    seeds = base.filter(F.col(id_col) < n_seeds).select(
         F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
     )
-    assign = ivf_cells(corpus, seeds, 1, id_col, vec_col).select(
+    assign = ivf_cells(base, seeds, 1, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "cell"
     )
-    queries = corpus.join(query_ids, id_col, "left_semi")
+    queries = base.join(query_ids, id_col, "left_semi")
     probes = ivf_cells(queries, seeds, nprobe, id_col, vec_col).select(
         F.col(id_col).alias("query_id"), "cell"
     )
@@ -270,7 +277,7 @@ def ivf_topk(
     cand = assign.join(F.broadcast(probes), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")
     )
-    e = corpus.select(id_col, vec_col, norm(F.col(vec_col)).alias("__n"))
+    e = base.select(id_col, vec_col, norm(F.col(vec_col)).alias("__n"))
     q = e.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),

@@ -382,44 +382,50 @@ FROM s3
 """,
 )
 def agg_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Strictly-ordered three-stage funnel. The per-stage condition
-    (this stage's ts AFTER the previous stage's) is a conditional min,
-    not a window: each pass is one partial-aggregated shuffle on
-    user_id, and passes 2-3 join the (tiny) per-user stage table back
-    to events on the same key, so the exchanges line up."""
+    """Strictly-ordered three-stage funnel as the canonical ONE-PASS
+    algorithm: per user, collect the (ts, type) pairs of the three
+    funnel types, sort, and fold once through the timeline — stage N's
+    timestamp is the first event of its type strictly after stage N-1.
+    One scan and one user-keyed shuffle (the previous conditional-min
+    formulation joined the per-user stage table back to events twice:
+    three corpus scans). No event-type pre-filter: n_users counts every
+    user with ANY event, exactly like the oracle's unconditional GROUP
+    BY. Per-user state is bounded by that user's events; at larger
+    scale, pre-truncate with a per-user event cap before the collect."""
     e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
-    s1 = e.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    timeline = F.array_sort(F.collect_list(F.struct("ts", "event_type")))
+    init = F.struct(
+        F.lit(None).cast("timestamp_ntz").alias("t_view"),
+        F.lit(None).cast("timestamp_ntz").alias("t_click"),
+        F.lit(None).cast("timestamp_ntz").alias("t_purchase"),
     )
-    s2 = (
-        e.join(s1, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.any_value("t_view").alias("t_view"),
-            F.min(
-                F.when(
-                    (F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")),
-                    F.col("ts"),
-                )
-            ).alias("t_click"),
+
+    def step(acc, ev):
+        is_view = (ev["event_type"] == "view") & acc["t_view"].isNull()
+        is_click = (
+            (ev["event_type"] == "click")
+            & acc["t_view"].isNotNull()
+            & acc["t_click"].isNull()
+            & (ev["ts"] > acc["t_view"])
         )
-    )
-    s3 = (
-        e.join(s2, "user_id")
-        .groupBy("user_id")
-        .agg(
-            F.any_value("t_view").alias("t_view"),
-            F.any_value("t_click").alias("t_click"),
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") > F.col("t_click")),
-                    F.col("ts"),
-                )
-            ).alias("t_purchase"),
+        is_purchase = (
+            (ev["event_type"] == "purchase")
+            & acc["t_click"].isNotNull()
+            & acc["t_purchase"].isNull()
+            & (ev["ts"] > acc["t_click"])
         )
+        return F.struct(
+            F.when(is_view, ev["ts"]).otherwise(acc["t_view"]).alias("t_view"),
+            F.when(is_click, ev["ts"]).otherwise(acc["t_click"]).alias("t_click"),
+            F.when(is_purchase, ev["ts"]).otherwise(acc["t_purchase"]).alias("t_purchase"),
+        )
+
+    stages = (
+        e.groupBy("user_id")
+        .agg(F.aggregate(timeline, init, step).alias("s"))
+        .select("user_id", "s.t_view", "s.t_click", "s.t_purchase")
     )
-    return s3.agg(
+    return stages.agg(
         F.count(F.lit(1)).alias("n_users"),
         F.count("t_view").alias("n_view"),
         F.count("t_click").alias("n_view_click"),
