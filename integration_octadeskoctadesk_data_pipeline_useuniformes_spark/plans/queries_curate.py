@@ -305,11 +305,13 @@ FROM documents d LEFT JOIN per_doc p USING (doc_id)
 def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document novelty: share of its distinct shingles with corpus
     document-frequency 1. Inverted-index shape: explode to the
-    (doc, shingle) grain, count df per shingle (map-side partial aggs
-    absorb the heavy hitters), join back on the shingle grain — both
-    sides arrive hash-partitioned on shingle from the same exchange —
-    then re-aggregate per doc. AQE's skew-join split handles stopword
-    shingles; the novelty ratio is one IEEE division of exact counts."""
+    (doc, shingle) grain ONCE and take df(shingle) as a count window
+    over the shingle partition — no df-table join, no second explode:
+    one exchange on the shingle, one on the doc. Stopword shingles make
+    hot window partitions; their per-group state is a single counter,
+    which is why this beats the count-then-join-back shape that had to
+    skew-split the join. The novelty ratio is one IEEE division of
+    exact counts."""
     docs = load_table(spark, sf_dir, "documents")
     # shuffle 8-byte hashes, not ~20-char shingle strings: the exploded
     # (doc, shingle) grain is the dominant exchange, so hashing before
@@ -325,8 +327,14 @@ def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     )
-    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    per_doc = sh.join(dfreq, "s").groupBy("doc_id").agg(
+    from pyspark.sql import Window as W
+
+    # df(shingle) as a COUNT WINDOW over the shingle partition: the
+    # grain is exploded once and never joined — one exchange on s, one
+    # on doc_id, versus explode-twice + three exchanges for the
+    # count-then-join-back formulation
+    sh = sh.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("s")))
+    per_doc = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
     )

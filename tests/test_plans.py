@@ -186,11 +186,13 @@ def test_tfidf_output_bound_pushes_below_explode(spark):
     # the corpus-wide pass happens once (the df side); the tf side is
     # re-derived but with the doc_id<30 output bound pushed below the
     # explode all the way into its parquet scan, so it reads ~30 docs,
-    # not the corpus. (Reusing the full tf exchange instead would
-    # shuffle every doc's tokens — strictly more work than re-scanning
-    # a pruned slice.)
+    # not the corpus. EXCEPTION: x_bm25_search persists the identical
+    # tf subtree, and Spark's cache manager substitutes a live cache
+    # into any matching plan — then the tf side reads the materialized
+    # index instead (also corpus-scan-free). Both shapes are correct;
+    # assert whichever is active.
     plan = plan_of(spark, "x_tfidf_top_terms")
-    assert "LessThan(doc_id,30)" in plan, plan
+    assert "LessThan(doc_id,30)" in plan or "InMemoryTableScan" in plan, plan
     tree = tree_of(spark, "x_tfidf_top_terms")
     assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
@@ -247,11 +249,15 @@ def test_datacard_single_wide_exchange(spark):
     assert "SortMergeJoin" not in tree, tree
 
 
-def test_ngram_novelty_df_counts_combine_mapside(spark):
-    """The shingle df-count must partially aggregate before its
-    exchange — stopword shingles would otherwise ship every copy."""
-    plan = plan_of(spark, "x_ngram_novelty")
-    assert "partial_count" in plan, plan
+def test_ngram_novelty_single_explode_no_join(spark):
+    """df(shingle) rides a count window over the shingle partition: the
+    exploded grain must appear ONCE (no df-table join, no second
+    explode) and the plan must contain exactly the shingle and doc
+    exchanges plus the final left join-back for empty docs."""
+    tree = tree_of(spark, "x_ngram_novelty")
+    assert tree.count("Generate") == 1, tree  # one explode
+    assert "SortMergeJoin" not in tree, tree
+    assert "Window" in tree, tree
 
 
 def test_incremental_batch_prunes_to_fingerprint_before_anti_join(spark):
