@@ -320,11 +320,17 @@ GROUP BY 1, 2
 def x_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bloom import bloom_build, bloom_probe
 
+    from pyspark import StorageLevel
+
     orders = load_table(spark, sf_dir, "orders")
+    # the key set feeds both the bloom build and the exact-membership
+    # join; persist the (small, distinct) keys so the selective orders
+    # scan runs once
     keys = (
         orders.filter(F.col("o_totalprice") > _BLOOM_PRICE)
         .select(F.col("o_custkey").alias("k"))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     bloom = bloom_build(keys, "k", m_bits=_BLOOM_M, seeds=_BLOOM_SEEDS)
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
