@@ -34,7 +34,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordering is deliberate: the driver checks the first 50 entries per
+    round, so ``plans.queries.DRIVER_WINDOW`` rotates the queries that
+    most need a fresh CORRECTNESS row to the front (see COVERAGE.md).
+    """
     regs = _catalog.queries()
 
     def wrap(fn):
