@@ -386,3 +386,63 @@ def test_maintained_rollup_upserts_changed_windows_only(spark, tmp_path):
     assert t2["2024-01-01 10:00:00|click"] == 3      # updated in place
     assert t2["2024-01-01 12:00:00|view"] == 1       # inserted
     assert len(rows) == len(t2) == 3                 # one row per group, no dupes
+
+
+EN_GOOD = "the a of and to in is for on with " * 6  # 60 stopword tokens, en, quality 1.0
+ES_DOC = "el la de que y en un por con los " * 6
+EN_LOWQ = "the and of to in " + "! " * 60  # en vote, punctuation sinks quality to 0
+
+
+def test_streaming_curation_gates_dedups_and_versions(spark, tmp_path):
+    """End-to-end streaming curation: quality/lang gate with the batch
+    tier's expressions, in-batch fingerprint dedup, cross-batch dedup
+    against the sink's history, one time-travelable version per
+    micro-batch, and an empty-batch short-circuit."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.curation import (
+        streaming_curation,
+    )
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    sink = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(
+        landing,
+        "b1.jsonl",
+        [
+            {"doc_id": 1, "source": "web", "text": EN_GOOD},
+            {"doc_id": 2, "source": "web", "text": EN_GOOD},  # in-batch dup content
+            {"doc_id": 3, "source": "web", "text": ES_DOC},  # wrong language
+            {"doc_id": 4, "source": "web", "text": EN_LOWQ},  # quality gate
+        ],
+    )
+    streaming_curation(spark, str(landing), sink, ckpt).awaitTermination(120)
+    assert versioned.latest_version(sink) == 0
+    v0 = versioned.read_version(spark, sink)
+    assert v0.count() == 1 and v0.first()["doc_id"] in (1, 2)
+
+    # batch 2: replay of the same content (cross-batch dup) + one new doc
+    new_text = EN_GOOD + "fresh content entirely here now really truly"
+    _write_batch(
+        landing,
+        "b2.jsonl",
+        [
+            {"doc_id": 5, "source": "web", "text": EN_GOOD},
+            {"doc_id": 6, "source": "api", "text": new_text},
+        ],
+    )
+    streaming_curation(spark, str(landing), sink, ckpt).awaitTermination(120)
+    assert versioned.latest_version(sink) == 1
+    v1 = versioned.read_version(spark, sink)
+    assert sorted(r["doc_id"] for r in v1.collect())[-1] == 6
+    assert v1.count() == 2  # history + exactly one novel doc
+    # the change feed shows exactly what batch 2 contributed
+    changes = versioned.changes_between(spark, sink, "doc_id", 0, 1).collect()
+    assert [(c["_change_type"], c["doc_id"]) for c in changes] == [("insert", 6)]
+
+    # batch 3: everything filtered -> NO new version (empty short-circuit)
+    _write_batch(landing, "b3.jsonl", [{"doc_id": 7, "source": "web", "text": ES_DOC}])
+    streaming_curation(spark, str(landing), sink, ckpt).awaitTermination(120)
+    assert versioned.latest_version(sink) == 1
