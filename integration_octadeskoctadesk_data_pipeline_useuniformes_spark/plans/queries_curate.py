@@ -512,13 +512,26 @@ def x_dedup_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersects; |A∪B| from sizes, no second set op) and joined to the
     (small) pair list — the pair side broadcasts, the doc-gram side is
     scanned once. Kept exact-only: the estimate is already in hand."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.lsh_candidate_pairs(docs, min_jaccard_est=0.5)
-    g = docs.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(D.word_shingles(F.col("text")), lambda s: F.xxhash64(s))
-        ).alias("sh"),
+    # hash the exact gram sets ONLY for docs that appear in a candidate
+    # pair (broadcast semi-join before the expensive shingle transform),
+    # and persist that small table — ga and gb are two references, so
+    # without the persist the corpus-wide shingle hashing ran twice
+    ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    g = (
+        docs.join(F.broadcast(ids), "doc_id")
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(D.word_shingles(F.col("text")), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     ga = g.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
     gb = g.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
