@@ -66,9 +66,16 @@ def x_outlier_mad_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flag documents whose length is >4.5 MADs from their source's
     median — the robust (median/MAD) variant of z-score outlier
     filtering used in pretraining-data QA. Two grouped exact medians +
-    two broadcast joins of per-source scalars; the fact table is
-    scanned once per percentile pass and never shuffled on doc_id."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    two broadcast joins of per-source scalars; the narrow projection is
+    persisted once (exact MAD is inherently multi-pass — four consumers
+    otherwise re-run the scan) and never shuffled on doc_id."""
+    from pyspark import StorageLevel
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     med = docs.groupBy("source").agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
     dev = docs.join(F.broadcast(med), "source").withColumn(
         "abs_dev", F.abs(F.col("n_chars") - F.col("med"))

@@ -747,8 +747,12 @@ FROM orphan, dup, nulls
 """,
 )
 def x_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_custkey", "o_orderdate"
+    from pyspark import StorageLevel
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     orphans = (
