@@ -319,3 +319,19 @@ def test_category_drift_single_scan(spark):
     the margin-join formulation re-scanned the corpus 4 times."""
     tree = tree_of(spark, "x_category_drift")
     assert tree.count("Scan parquet") == 1, tree
+
+
+def test_market_share_no_cartesian_dims_broadcast(spark):
+    """Q8-shape six-table join: every dimension must arrive broadcast;
+    a cartesian or a sort-merge on a dim key caps parallelism."""
+    tree = tree_of(spark, "agg_market_share")
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+
+
+def test_running_total_window_is_partitioned(spark):
+    """The per-customer running total must key its window on o_custkey —
+    one hash exchange, never a single-partition global window."""
+    tree = tree_of(spark, "fn_window_running_total")
+    assert "Window" in tree, tree
+    assert "SinglePartition" not in tree, tree
