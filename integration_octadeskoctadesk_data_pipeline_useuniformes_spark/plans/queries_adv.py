@@ -615,3 +615,81 @@ def agg_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space drift monitor: each label's centroid against the
+# global centroid, ENTIRELY in integer fixed-point. Per-label per-dim
+# means round to e4 ints (floor(x*1e4+0.5) — the engine-stable contract
+# of x_embedding_centroid); the global centroid is then defined as the
+# cnt-weighted mean of those ROUNDED label centroids, so every input to
+# the dot/norm sums is an exact integer and the output BIGINTs are
+# bit-identical on any engine and any partitioning. The monitoring
+# layer divides dot/sqrt(norms) for the cosine; the engine never emits
+# a float. One corpus explode (the per-dim table is persisted; the
+# global side derives from it, not from a second scan).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_embedding_drift_by_source",
+    """
+WITH per_dim AS (
+  SELECT label, pos, CAST(floor(avg(val) * 10000 + 0.5) AS BIGINT) AS v_e4,
+         count(*) AS cnt
+  FROM (
+    SELECT label, unnest(embedding) AS val,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+  )
+  GROUP BY label, pos
+), g AS (
+  SELECT pos,
+         CAST(floor(CAST(sum(v_e4 * cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE) + 0.5)
+              AS BIGINT) AS g_e4
+  FROM per_dim GROUP BY pos
+)
+SELECT p.label,
+       max(p.cnt) AS n_vectors,
+       CAST(sum(p.v_e4 * g.g_e4) AS BIGINT) AS dot_e8,
+       CAST(sum(p.v_e4 * p.v_e4) AS BIGINT) AS norm2_label_e8,
+       CAST(sum(g.g_e4 * g.g_e4) AS BIGINT) AS norm2_global_e8
+FROM per_dim p JOIN g USING (pos)
+GROUP BY p.label
+""",
+)
+def x_embedding_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .withColumn("pos", F.col("pos0") + 1)
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(F.avg(F.col("val").cast("double")) * 10000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v_e4"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    g = per_dim.groupBy("pos").agg(
+        F.floor(
+            F.sum(F.col("v_e4") * F.col("cnt")).cast("double")
+            / F.sum("cnt").cast("double")
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("g_e4")
+    )
+    return (
+        per_dim.join(F.broadcast(g), "pos")
+        .groupBy("label")
+        .agg(
+            F.max("cnt").alias("n_vectors"),
+            F.sum(F.col("v_e4") * F.col("g_e4")).cast("bigint").alias("dot_e8"),
+            F.sum(F.col("v_e4") * F.col("v_e4")).cast("bigint").alias("norm2_label_e8"),
+            F.sum(F.col("g_e4") * F.col("g_e4")).cast("bigint").alias("norm2_global_e8"),
+        )
+    )
