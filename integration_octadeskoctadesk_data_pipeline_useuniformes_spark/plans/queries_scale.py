@@ -772,3 +772,66 @@ def x_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
     )
     return orphans.crossJoin(dups).crossJoin(nulls)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage — what share of all token occurrences the top-K
+# vocabulary captures (the sizing question behind every tokenizer /
+# vocab cut). Frequency-ranked global prefix sums over the vocabulary
+# table via operators/prefix.py (the vocab is orders of magnitude
+# smaller than the corpus but still too big to single-task at web
+# scale); coverage is exact integer parts-per-million (cum*1e6 div
+# total). The vocab table persists: rank and running mass are two
+# passes over it, not two corpus tokenizations.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_vocab_coverage",
+    """
+WITH vocab AS (
+  SELECT token, count(*) AS n FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) WHERE token <> '' GROUP BY token
+), ranked AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token) AS rnk,
+         sum(n) OVER (ORDER BY n DESC, token
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+         sum(n) OVER () AS total_n
+  FROM vocab
+)
+SELECT CAST(rnk AS BIGINT) AS vocab_size,
+       CAST(cum_n AS BIGINT) AS covered_tokens,
+       CAST(total_n AS BIGINT) AS total_tokens,
+       CAST(cum_n * 1000000 // total_n AS BIGINT) AS coverage_ppm
+FROM ranked WHERE rnk IN (100, 500, 1000)
+""",
+)
+def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    from ..operators.prefix import global_row_number, global_running_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("neg_n", -F.col("n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = vocab.agg(F.sum("n").alias("total_tokens"))
+    run = global_running_sum(vocab, ["neg_n", "token"], F.col("n"), out_col="covered_tokens")
+    ranked = global_row_number(run, ["neg_n", "token"], out_col="vocab_size")
+    return (
+        ranked.filter(F.col("vocab_size").isin(100, 500, 1000))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            "covered_tokens",
+            "total_tokens",
+            F.expr("covered_tokens * 1000000 div total_tokens").alias("coverage_ppm"),
+        )
+    )
