@@ -65,11 +65,36 @@ def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def stopword_ratio(text: Column, stopwords: tuple[str, ...] = LANG_STOPWORDS["en"]) -> Column:
-    w = words(F.lower(text))
+def stopword_ratio_from(
+    w: Column, stopwords: tuple[str, ...] = LANG_STOPWORDS["en"]
+) -> Column:
+    """Stopword ratio over a pre-tokenized LOWERCASED token array."""
     sw = F.array(*[F.lit(s) for s in stopwords])
     hits = F.size(F.filter(w, lambda x: F.array_contains(sw, x)))
     return hits.cast("double") / F.greatest(F.size(w), F.lit(1)).cast("double")
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = LANG_STOPWORDS["en"]) -> Column:
+    return stopword_ratio_from(words(F.lower(text)), stopwords)
+
+
+def quality_score_from(w_lower: Column, text: Column) -> Column:
+    """Quality from a pre-tokenized lowercased token array + raw text.
+
+    Higher-order functions are CodegenFallback expressions, so Spark's
+    subexpression elimination does NOT share the ``words(lower(text))``
+    split between quality and langid — callers computing both should
+    tokenize ONCE into a column and use the ``*_from`` variants (token
+    COUNT is case-insensitive, so the lowered array serves both).
+    """
+    n_tok = F.size(w_lower).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    sw = stopword_ratio_from(w_lower)
+    punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), 0)).cast("double") / F.greatest(
+        F.length(text), F.lit(1)
+    ).cast("double")
+    raw = F.lit(0.5) * len_score + F.lit(0.5) * F.least(sw * 5.0, F.lit(1.0)) - punct
+    return F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 6)
 
 
 def quality_score(text: Column) -> Column:
@@ -77,14 +102,7 @@ def quality_score(text: Column) -> Column:
     punctuation excess. Mirrors common pretraining-data filters
     (length/punct/stopword ratios) as one deterministic expression.
     """
-    n_tok = token_count(text).cast("double")
-    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
-    sw = stopword_ratio(text)
-    punct = F.size(F.regexp_extract_all(text, F.lit(PUNCT_RE), 0)).cast("double") / F.greatest(
-        F.length(text), F.lit(1)
-    ).cast("double")
-    raw = F.lit(0.5) * len_score + F.lit(0.5) * F.least(sw * 5.0, F.lit(1.0)) - punct
-    return F.round(F.greatest(F.least(raw, F.lit(1.0)), F.lit(0.0)), 6)
+    return quality_score_from(words(F.lower(text)), text)
 
 
 def langid_scores(text: Column) -> dict[str, Column]:
@@ -93,7 +111,11 @@ def langid_scores(text: Column) -> dict[str, Column]:
     filter pass per language: the array walk, not the membership check,
     dominates). ``isin`` over literal lists compiles to an InSet probe.
     """
-    w = words(F.lower(text))
+    return langid_scores_from(words(F.lower(text)))
+
+
+def langid_scores_from(w: Column) -> dict[str, Column]:
+    """As langid_scores, over a pre-tokenized lowercased token array."""
     langs = list(LANG_STOPWORDS)
     zero = F.struct(*[F.lit(0).alias(lg) for lg in langs])
 
@@ -114,7 +136,12 @@ def langid_scores(text: Column) -> dict[str, Column]:
 def langid(text: Column) -> Column:
     """Argmax language with deterministic tie-break (en > es > fr > de order,
     'und' when no stopword hits at all)."""
-    scores = langid_scores(text)
+    return langid_from(words(F.lower(text)))
+
+
+def langid_from(w: Column) -> Column:
+    """As langid, over a pre-tokenized lowercased token array."""
+    scores = langid_scores_from(w)
     best = F.greatest(*scores.values())
     result = F.lit("und")
     # build reversed so earlier languages win ties

@@ -692,12 +692,17 @@ GROUP BY k.source
 @register("x_curation_pipeline", _curation_oracle())
 def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # tokenize ONCE: the split/filter higher-order functions are
+    # CodegenFallback, so quality and langid would each re-run
+    # words(lower(text)) without the shared column (the *_from variants
+    # exist for exactly this composition)
     keep = (
-        docs.select(
+        docs.withColumn("__wl", T.words(F.lower(F.col("text"))))
+        .select(
             "doc_id",
             "source",
-            T.quality_score(F.col("text")).alias("quality"),
-            T.langid(F.col("text")).alias("lang"),
+            T.quality_score_from(F.col("__wl"), F.col("text")).alias("quality"),
+            T.langid_from(F.col("__wl")).alias("lang"),
             F.md5(F.col("text")).alias("h"),
         )
         .filter((F.col("lang") == "en") & (F.col("quality") >= 0.5))

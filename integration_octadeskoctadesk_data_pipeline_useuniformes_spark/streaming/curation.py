@@ -37,8 +37,10 @@ DOC_SCHEMA = "doc_id long, source string, text string"
 def curate_batch(batch_df: DataFrame, min_quality: float = 0.5, lang: str = "en") -> DataFrame:
     """Gate + fingerprint one micro-batch (pure, also unit-testable)."""
     return (
-        batch_df.withColumn("quality", T.quality_score(F.col("text")))
-        .withColumn("lang_detected", T.langid(F.col("text")))
+        batch_df.withColumn("__wl", T.words(F.lower(F.col("text"))))
+        .withColumn("quality", T.quality_score_from(F.col("__wl"), F.col("text")))
+        .withColumn("lang_detected", T.langid_from(F.col("__wl")))
+        .drop("__wl")
         .filter((F.col("lang_detected") == lang) & (F.col("quality") >= min_quality))
         .withColumn("fingerprint", T.fingerprint(F.col("text")))
         .dropDuplicates(["fingerprint"])
