@@ -335,3 +335,35 @@ def test_running_total_window_is_partitioned(spark):
     tree = tree_of(spark, "fn_window_running_total")
     assert "Window" in tree, tree
     assert "SinglePartition" not in tree, tree
+
+
+def test_table_checksum_single_pass_mapside_combine(spark):
+    """One scan, partial bit_xor/count before the tiny status exchange."""
+    tree = tree_of(spark, "x_table_checksum")
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("HashAggregate") == 2, tree
+
+
+def test_exact_quantiles_histogram_shape(spark):
+    """Histogram reduction first (map-side combined), then windows over
+    the reduced table — never a sort of the raw rows."""
+    plan = plan_of(spark, "x_exact_quantiles_chars")
+    assert "partial_count" in plan, plan
+    tree = tree_of(spark, "x_exact_quantiles_chars")
+    assert "SortMergeJoin" not in tree, tree
+
+
+def test_embedding_drift_single_explode(spark):
+    """The per-dim table persists: BOTH consumers (per-label side and
+    global-centroid side) must read the cache — the explode subtree
+    appears only inside the InMemoryRelation displays, never as a live
+    second scan."""
+    tree = tree_of(spark, "x_embedding_drift_by_source")
+    assert tree.count("InMemoryTableScan") == 2, tree
+
+
+def test_audio_energy_is_arrow_mapinpandas(spark):
+    tree = tree_of(spark, "x_multimodal_audio_energy")
+    assert "MapInPandas" in tree, tree
+    assert "BatchEvalPython" not in tree, tree
