@@ -432,3 +432,33 @@ def test_exact_quantile_disc_matches_sorted_definition(spark):
         vals = sorted(v for gg, v in data if gg == g)
         want = tuple(vals[math.ceil(q * len(vals)) - 1] for q in (0.5, 0.9))
         assert got[g] == want, (g, got[g], want)
+
+
+def test_exact_quantile_disc_global_no_groups(spark):
+    """group_by=() computes global quantiles (the cumulative window then
+    runs over the whole histogram — post-reduction, so still fine)."""
+    from pyspark.sql import functions as F
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.buckets import (
+        exact_quantile_disc,
+    )
+
+    df = spark.range(1, 101).select(F.col("id").alias("v"))  # 1..100
+    r = exact_quantile_disc(df, "v", {"p50": (1, 2), "p99": (99, 100)}).collect()
+    assert len(r) == 1 and (r[0]["p50"], r[0]["p99"]) == (50, 99)
+
+
+def test_bloom_build_partition_invariant(spark):
+    """The lane bitmap must be identical regardless of input layout
+    (bit_or is commutative/idempotent)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.bloom import (
+        bloom_build,
+    )
+
+    keys = spark.range(0, 500).withColumnRenamed("id", "k")
+    a = {(r["lane"], r["bits"]) for r in bloom_build(keys, "k").collect()}
+    b = {
+        (r["lane"], r["bits"])
+        for r in bloom_build(keys.repartition(13), "k").collect()
+    }
+    assert a == b and len(a) > 0
