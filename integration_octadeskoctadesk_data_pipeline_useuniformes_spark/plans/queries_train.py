@@ -358,3 +358,52 @@ def x_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return temperature_resample(d, "lang", "doc_id", salt="temp:")
+
+
+# ---------------------------------------------------------------------------
+# Packing efficiency report — the ops metric behind x_pack_sequences:
+# per shard group, how full the fixed-budget blocks actually are.
+# Utilization is exact integer parts-per-million (chars·1e6 div
+# blocks·budget); the only new aggregation runs over the (source,
+# block) table, which the pack pass already reduced.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_packing_efficiency",
+    f"""
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         COALESCE(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM documents
+), blocks AS (
+  SELECT source, CAST(floor(cum_before / {_PACK_BUDGET}.0) AS BIGINT) AS block_id,
+         CAST(sum(n_chars) AS BIGINT) AS block_chars
+  FROM c GROUP BY source, block_id
+)
+SELECT source,
+       count(*) AS n_blocks,
+       CAST(sum(block_chars) AS BIGINT) AS total_chars,
+       CAST(sum(block_chars) * 1000000 // (count(*) * {_PACK_BUDGET}) AS BIGINT)
+         AS utilization_ppm,
+       CAST(min(block_chars) AS BIGINT) AS min_block_chars,
+       CAST(max(block_chars) AS BIGINT) AS max_block_chars
+FROM blocks GROUP BY source
+""",
+)
+def x_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    packed = pack_sequences(d, "source", "doc_id", "n_chars", _PACK_BUDGET)
+    blocks = packed.groupBy("source", "block_id").agg(
+        F.sum("n_chars").cast("long").alias("block_chars")
+    )
+    return blocks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("block_chars").cast("long").alias("total_chars"),
+        F.expr(f"sum(block_chars) * 1000000 div (count(1) * {_PACK_BUDGET})")
+        .cast("long")
+        .alias("utilization_ppm"),
+        F.min("block_chars").cast("long").alias("min_block_chars"),
+        F.max("block_chars").cast("long").alias("max_block_chars"),
+    )
