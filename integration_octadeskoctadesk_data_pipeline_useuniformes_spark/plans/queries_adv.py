@@ -693,3 +693,52 @@ def x_embedding_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("g_e4") * F.col("g_e4")).cast("bigint").alias("norm2_global_e8"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-level conversion — sessionize (30-min gap), flag sessions
+# containing a purchase, report conversion by session-size bucket (the
+# product-analytics rollup on top of the sessionization operator). All
+# counts exact integers; the rate division belongs to the consumer.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_session_conversion",
+    """
+WITH flags AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, event_type,
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+  FROM flags
+), sess AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM numbered GROUP BY user_id, session_id
+)
+SELECT CAST(least(n_events, 10) AS BIGINT) AS size_bucket,
+       count(*) AS n_sessions,
+       CAST(sum(converted) AS BIGINT) AS n_converted
+FROM sess GROUP BY 1
+""",
+)
+def x_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    s = sessionize(e, keys=["user_id"], ts_col="ts", gap_seconds=1800, order_tiebreak="event_id")
+    sess = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("converted"),
+    )
+    return sess.groupBy(
+        F.least(F.col("n_events"), F.lit(10)).cast("bigint").alias("size_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
