@@ -132,7 +132,8 @@ DRIVER_WINDOW: list[str] = [
 # x_fuzzy_name_match, x_dedup_estimate_error, x_sample_by_quality,
 # x_profile_documents, x_length_histogram, x_category_drift,
 # x_exact_quantiles_chars, x_constraint_audit, x_embedding_drift_by_source,
-# x_vocab_coverage, x_packing_efficiency, x_session_conversion
+# x_vocab_coverage, x_packing_efficiency, x_session_conversion,
+# x_dedup_lsh_recall_sample
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:

@@ -770,3 +770,73 @@ def x_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dev_num",
         (F.col("obs") * F.col("n") - F.col("row_n") * F.col("col_n")).cast("bigint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall evaluation on a bounded sample — the complement of
+# x_dedup_estimate_error (precision of the estimate): how many of the
+# TRUE near-duplicate pairs does the banded pipeline actually surface?
+# Ground truth is exhaustive exact Jaccard on a doc_id<100 sample
+# (4950 pairs — an EVALUATION harness runs on samples by design; the
+# quadratic side never touches the full corpus). The oracle rebinds
+# `documents` to the sample CTE so the shared signature/banding SQL
+# evaluates over the identical subset.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_lsh_recall_sample",
+    f"""
+WITH documents AS (SELECT * FROM main.documents WHERE doc_id < 100),
+{_LSH_PAIRS_CTES},
+g AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents
+),
+exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5
+)
+SELECT (SELECT count(*) FROM exact) AS n_true_pairs,
+       (SELECT count(*) FROM verified) AS n_lsh_pairs,
+       (SELECT count(*) FROM exact e JOIN verified v
+         ON e.id_a = v.id_a AND e.id_b = v.id_b) AS n_found,
+       (SELECT count(*) FROM exact) -
+       (SELECT count(*) FROM exact e JOIN verified v
+         ON e.id_a = v.id_a AND e.id_b = v.id_b) AS n_missed
+""",
+)
+def x_dedup_lsh_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    sample = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    found = D.lsh_candidate_pairs(sample, min_jaccard_est=0.5).select("id_a", "id_b")
+    g = (
+        sample.select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(D.word_shingles(F.col("text")), lambda s: F.xxhash64(s))
+            ).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    union = (F.size("sha") + F.size("shb")).cast("double") - inter
+    exact = (
+        ga.join(F.broadcast(gb), F.col("id_a") < F.col("id_b"))
+        .filter(inter / union >= 0.5)
+        .select("id_a", "id_b")
+    )
+    n_true = exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+    n_lsh = found.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    n_found = exact.join(found, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).alias("n_found")
+    )
+    return (
+        n_true.crossJoin(n_lsh)
+        .crossJoin(n_found)
+        .withColumn("n_missed", F.col("n_true_pairs") - F.col("n_found"))
+    )
