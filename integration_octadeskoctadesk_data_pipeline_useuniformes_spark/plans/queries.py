@@ -111,8 +111,8 @@ DRIVER_WINDOW: list[str] = [
     "fn_json_battery",
     "fn_array_battery",
 ]
-# Round-3 rotation backlog (49 queries with no driver row after r2 —
-# they fill the next window; the one overflow slot re-checks flagship):
+# Round-3 rotation backlog (53 queries with no driver row after r2 —
+# the next window takes 50; the remainder and any re-checks follow in r4):
 # x_multimodal_audio_energy, x_asof_click_before_purchase,
 # x_range_join_error_window, x_sessionize_batch, x_split_train_val,
 # x_token_topk, x_embedding_centroid, x_resample_daily_gapfill,
