@@ -111,7 +111,8 @@ DRIVER_WINDOW: list[str] = [
     "fn_json_battery",
     "fn_array_battery",
 ]
-# Round-3 rotation backlog (53 queries with no driver row after r2 —
+# Round-3 rotation backlog (57 queries with no green driver row after
+# r2 — r1's checked set and the r2 window overlap on the four fixes —
 # the next window takes 50; the remainder and any re-checks follow in r4):
 # x_multimodal_audio_energy, x_asof_click_before_purchase,
 # x_range_join_error_window, x_sessionize_batch, x_split_train_val,
