@@ -128,3 +128,53 @@ def test_skyline_matches_python_model(spark, pts):
     expected = sorted(r[0] for r in rows if not dominated(r))
     got = sorted(r.id for r in skyline_2d(df, "price", "size").collect())
     assert got == expected
+
+
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=60),
+    qn_qd=st.sampled_from([(1, 2), (1, 4), (9, 10), (1, 100), (99, 100)]),
+)
+@_SETTINGS
+def test_exact_quantile_disc_model(spark, vals, qn_qd):
+    """Histogram-pick quantile == indexing the sorted values at the
+    1-based ceil(q*N) position, for arbitrary multisets (duplicates,
+    negatives, singleton groups) and any partition layout."""
+    import math as _m
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.buckets import (
+        exact_quantile_disc,
+    )
+
+    qn, qd = qn_qd
+    df = spark.createDataFrame([(v,) for v in vals], "v int").repartition(4)
+    got = exact_quantile_disc(df, "v", {"q": (qn, qd)}).collect()[0]["q"]
+    s = sorted(vals)
+    want = s[_m.ceil(qn / qd * len(s)) - 1]
+    assert got == want, (vals, qn, qd, got, want)
+
+
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40),
+    parts=st.integers(min_value=1, max_value=6),
+)
+@_SETTINGS
+def test_global_running_sum_model(spark, vals, parts):
+    """Two-level prefix sum == Python itertools.accumulate on the sorted
+    values, for arbitrary data and partition counts."""
+    from itertools import accumulate
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.prefix import (
+        global_running_sum,
+    )
+
+    rows = list(enumerate(vals))  # unique id as tiebreak
+    df = spark.createDataFrame(rows, "id long, v long").repartition(3)
+    got = {
+        r["id"]: r["run"]
+        for r in global_running_sum(
+            df, ["v", "id"], F.col("v"), out_col="run", num_partitions=parts
+        ).collect()
+    }
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    want = dict(zip([i for i, _ in order], accumulate(v for _, v in order)))
+    assert got == want, (vals, parts, got, want)
