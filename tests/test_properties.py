@@ -178,3 +178,24 @@ def test_global_running_sum_model(spark, vals, parts):
     order = sorted(rows, key=lambda t: (t[1], t[0]))
     want = dict(zip([i for i, _ in order], accumulate(v for _, v in order)))
     assert got == want, (vals, parts, got, want)
+
+
+@given(
+    members=st.sets(st.integers(min_value=0, max_value=10**9), min_size=0, max_size=50),
+    probes=st.sets(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=50),
+)
+@_SETTINGS
+def test_bloom_no_false_negatives_model(spark, members, probes):
+    """Structural guarantee on arbitrary key sets: every member probes
+    True; non-members may collide but never the reverse."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.bloom import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    mdf = spark.createDataFrame([(k,) for k in members] or [(None,)], "k long").dropna()
+    bloom = bloom_build(mdf, "k", m_bits=2048)
+    pdf = spark.createDataFrame([(k,) for k in probes], "k long")
+    res = {r["k"]: r["bloom_maybe"] for r in bloom_probe(pdf, "k", bloom, m_bits=2048).collect()}
+    for k in probes & members:
+        assert res[k] is True, (k, members)
