@@ -73,8 +73,15 @@ def exact_quantile_disc(
     reads the SAME histogram: one scan regardless of len(quantiles).
 
     Returns one row per group with a column per label.
+
+    NULLs in ``col`` are ignored (SQL ``percentile_disc`` / DuckDB
+    ``quantile_disc`` semantics): they contribute neither to N nor to
+    the pick position. Without the filter, Spark would count a NULL
+    histogram row in ``__total`` and sort it first in the cumulative
+    window, shifting ceil(q·N) off DuckDB's answer.
     """
     keys = list(group_by)
+    df = df.filter(F.col(col).isNotNull())
     hist = df.groupBy(*keys, col).agg(F.count(F.lit(1)).alias("__cnt"))
     w_cum = (
         Window.partitionBy(*keys)

@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import words
+from ..query_scope import scoped_persist
 
 
 # ---------------------------------------------------------------------------
@@ -172,7 +173,7 @@ def lsh_candidate_pairs(
     # MEMORY_AND_DISK: at 100 TB the signatures are ~num_hashes × 32 B
     # per doc — orders of magnitude smaller than the corpus — and spill
     # safely if even that exceeds executor memory.
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k).persist()
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k).transform(scoped_persist)
     bands = sigs.select(
         F.col(id_col),
         F.explode(

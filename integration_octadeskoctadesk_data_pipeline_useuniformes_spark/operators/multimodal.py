@@ -23,12 +23,33 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .. import query_scope
 from pyspark.sql.types import (
     LongType,
     StringType,
     StructField,
     StructType,
 )
+
+
+def _scoped_arrow_batch_size(df: DataFrame, batch_size: int) -> None:
+    """Cap Arrow batch rows for the query that is being built.
+
+    The conf is read at EXECUTION time, so an immediate save/restore
+    would be a no-op — the previous value is instead restored at
+    query-scope release (next catalog-query call or explicit
+    ``query_scope.release()``), bounding the session-wide side effect
+    to the query that asked for it."""
+    spark = df.sparkSession
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(batch_size))
+    query_scope.defer(
+        (lambda: spark.conf.set(key, prev))
+        if prev is not None
+        else (lambda: spark.conf.unset(key))
+    )
 
 
 def decode_stub(payload: bytes, fmt: str):  # pragma: no cover - by design
@@ -90,9 +111,8 @@ def extract_features(df: DataFrame, batch_size: int = 1024) -> DataFrame:
             )
 
     # bound Arrow batch size so executor memory stays flat however large
-    # the payloads are
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    # the payloads are (restored at query-scope release)
+    _scoped_arrow_batch_size(df, batch_size)
     return df.select("doc_id", "payload", "meta").mapInPandas(run, FEATURE_SCHEMA)
 
 
@@ -209,6 +229,5 @@ def audio_windows(
                 {"doc_id": ids, "window_idx": widx, "n_samples": ns, "energy": en}
             )
 
-    spark = df.sparkSession
-    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+    _scoped_arrow_batch_size(df, batch_size)
     return df.select("doc_id", F.col(payload_col)).mapInPandas(run, AUDIO_WINDOW_SCHEMA)

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..query_scope import scoped_persist
+
 __all__ = ["global_running_sum", "global_row_number"]
 
 
@@ -57,7 +59,15 @@ def global_running_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    local = part.withColumn("__run_local", F.sum("__val").over(w_local))
+    # Both consumers (totals branch and the final join) must see the
+    # SAME __pid assignment. Range-boundary sampling is seed-stable and
+    # ReuseExchange dedupes the subtree today, but neither is a
+    # contract — persist pins one materialization so a future plan
+    # change (e.g. an AQE rule splitting the reused exchange) cannot
+    # give the two branches different partition ids.
+    local = scoped_persist(
+        part.withColumn("__run_local", F.sum("__val").over(w_local))
+    )
     totals = local.groupBy("__pid").agg(F.sum("__val").alias("__tot"))
     # exclusive prefix over P partition totals — post-reduction, tiny
     w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from ..query_scope import scoped_persist
 
 _HEX = "0123456789abcdef"
 
@@ -262,7 +263,7 @@ def ivf_topk(
     # assignment, query semi-join, probe ranking, both scoring sides);
     # without a persist each one re-runs the parquet scan — at 100 TB
     # that is seven corpus reads for one query batch
-    base = corpus.select(id_col, vec_col).persist(StorageLevel.MEMORY_AND_DISK)
+    base = corpus.select(id_col, vec_col).transform(scoped_persist)
     seeds = base.filter(F.col(id_col) < n_seeds).select(
         F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
     )

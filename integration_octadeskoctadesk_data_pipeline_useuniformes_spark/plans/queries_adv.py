@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from ..operators.temporal import as_of_join, binned_interval_join, sessionize
 from ..tables import load_table
 from .queries import register
+from ..query_scope import scoped_persist
 
 # ---------------------------------------------------------------------------
 # As-of join — for each purchase, the latest click by the same user
@@ -672,7 +673,7 @@ def x_embedding_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v_e4"),
             F.count(F.lit(1)).alias("cnt"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(scoped_persist)
     )
     g = per_dim.groupBy("pos").agg(
         F.floor(

@@ -29,6 +29,7 @@ from ..operators import text as T
 from ..tables import load_table
 from .queries import register
 from .queries_ext import _LSH_PAIRS_CTES, _SHINGLES_SQL, _WORDS_SQL, _langid_oracle
+from ..query_scope import scoped_persist
 
 _SW_EN_CUR = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS["en"])
 
@@ -74,7 +75,7 @@ def x_outlier_mad_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source", "n_chars")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(scoped_persist)
     )
     med = docs.groupBy("source").agg(F.expr("percentile(n_chars, 0.5)").alias("med"))
     dev = docs.join(F.broadcast(med), "source").withColumn(
@@ -538,7 +539,7 @@ def x_dedup_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(D.word_shingles(F.col("text")), lambda s: F.xxhash64(s))
             ).alias("sh"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(scoped_persist)
     )
     ga = g.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
     gb = g.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
@@ -819,7 +820,7 @@ def x_dedup_lsh_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(D.word_shingles(F.col("text")), lambda s: F.xxhash64(s))
             ).alias("sh"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(scoped_persist)
     )
     ga = g.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
     gb = g.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from .queries import register
+from ..query_scope import scoped_persist
 
 _TOKENS_SQL = "string_split_regex(trim(lower(text)), '\\s+')"
 
@@ -146,33 +147,43 @@ LIMIT 20
 )
 def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
-    ).filter(F.col("token") != "")
-    from pyspark import StorageLevel
 
-    # tf IS the inverted index — materialize it ONCE (what an IR system
-    # stores anyway; measured 3x faster end-to-end than re-tokenizing)
-    # and derive doc length (dl = Σ tf), corpus stats, and document
-    # frequency all FROM it: one corpus tokenization total where the
-    # per-branch formulation ran four. (ReuseExchange does not dedupe
-    # these branches — their exchanges are keyed differently — so the
-    # explicit persist is load-bearing, not belt-and-braces.)
-    tf = (
-        toks.groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # BM25 needs three statistics, NONE of which require materializing
+    # the full doc_id × token grain (the round-2 version persisted that
+    # whole-vocabulary inverted index per query run — O(total tokens)
+    # cache churn that regressed the bench 3× and would be the scale
+    # killer at 100 TB):
+    #   dl      — tokens per doc: a PURE PROJECTION, size(filter(split)),
+    #             no explode and no shuffle;
+    #   tf      — term frequency for the QUERY TERMS ONLY: the token
+    #             array is filtered to the 2 query terms *before* the
+    #             explode, so the aggregated grain is ≤ |terms| rows/doc;
+    #   df/N/avgdl — aggregates over those two.
+    # One corpus scan total: `pre` carries (doc_id, dl, query-term
+    # tokens) at DOC grain — the only thing persisted, and it stays doc-
+    # sized no matter the vocabulary. dl rides through the tf groupBy
+    # key (doc_id determines dl), so no dl join is needed at all.
+    arr = F.split(F.lower(F.trim("text")), r"\s+")
+    toks = F.filter(arr, lambda x: x != "")
+    pre = scoped_persist(
+        d.select(
+            "doc_id",
+            F.size(toks).alias("dl"),
+            F.filter(
+                arr, lambda x: (x == F.lit("hash")) | (x == F.lit("vector"))
+            ).alias("__qtoks"),
+        ).filter(F.col("dl") > 0)
     )
-    dl = tf.groupBy(F.col("doc_id").alias("__did")).agg(
-        F.sum("tf").alias("dl")
-    )
-    stats = dl.agg(
+    stats = pre.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
-    df = (
-        tf.filter(F.col("token").isin("hash", "vector"))
-        .groupBy(F.col("token").alias("__tok"))
-        .agg(F.count(F.lit(1)).alias("df"))
+    tf = (
+        pre.select("doc_id", "dl", F.explode("__qtoks").alias("token"))
+        .groupBy("doc_id", "dl", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy(F.col("token").alias("__tok")).agg(
+        F.count(F.lit(1)).alias("df")
     )
 
     def term_score() -> F.Column:
@@ -188,7 +199,6 @@ def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scored = (
         tf.join(F.broadcast(df), tf.token == F.col("__tok"))
-        .join(dl, tf.doc_id == F.col("__did"))
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(
@@ -461,7 +471,7 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(scoped_persist)
     )
     # seed: the k lowest vec_ids, raw doubles (oracle CTE c0)
     cents_df = ev.filter(F.col("vec_id") < _K).select(

@@ -17,6 +17,7 @@ from ..operators.sampling import cap_per_group, stratified_sample
 from ..operators.temporal import scd2_intervals
 from ..tables import load_table
 from .queries import register
+from ..query_scope import scoped_persist
 
 # ---------------------------------------------------------------------------
 # Equi-depth length buckets — curriculum binning WITHOUT ntile's global
@@ -330,7 +331,7 @@ def x_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_totalprice") > _BLOOM_PRICE)
         .select(F.col("o_custkey").alias("k"))
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(scoped_persist)
     )
     bloom = bloom_build(keys, "k", m_bits=_BLOOM_M, seeds=_BLOOM_SEEDS)
     cust = load_table(spark, sf_dir, "customer").select("c_custkey")
@@ -752,7 +753,7 @@ def x_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderdate")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(scoped_persist)
     )
     c = load_table(spark, sf_dir, "customer").select("c_custkey")
     orphans = (
@@ -820,7 +821,7 @@ def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
         .withColumn("neg_n", -F.col("n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .transform(scoped_persist)
     )
     total = vocab.agg(F.sum("n").alias("total_tokens"))
     run = global_running_sum(vocab, ["neg_n", "token"], F.col("n"), out_col="covered_tokens")

@@ -1,0 +1,100 @@
+"""Per-query resource scope: cache registration + deferred cleanup.
+
+Query functions in the catalog sometimes ``persist()`` an intermediate
+(the shared subtree of a multi-consumer plan) or set a session conf that
+must stay live until the query's *action* runs (Arrow batch sizing for a
+``mapInPandas`` decode). Neither can be cleaned up inside the query
+function itself — it returns a LAZY DataFrame and the caller decides
+when to materialize it.
+
+The scope solves the lifecycle without requiring cooperation from the
+caller: every persist/conf-change registers here, and the registry is
+drained at the START of the next catalog-query call (``register`` in
+plans/queries.py wraps every query fn with ``release()``), plus
+explicitly in bench.py / tools/parity_check.py / test fixtures. Under a
+long driver session sweeping 50+ queries, at most ONE query's caches are
+live at a time — previously they accumulated for the whole session and
+even leaked between plans (a persisted subtree from query A being
+cache-substituted into query B's plan, changing B's measured shape).
+
+``unpersist()`` on a DataFrame another plan still references is safe:
+Spark just recomputes the subtree — a perf effect, never a correctness
+one.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.storagelevel import StorageLevel
+
+__all__ = ["scoped_persist", "defer", "release", "enter", "exit_scope"]
+
+_ACTIVE_CACHES: list[DataFrame] = []
+_DEFERRED: list[Callable[[], Any]] = []
+_DEPTH: int = 0
+_CURRENT_TAG: str | None = None
+
+
+def enter(tag: str) -> None:
+    """Begin building query ``tag``. Releases the previous query's scope
+    ONLY when this is a top-level entry for a *different* query:
+
+    - nested entry (a registered query composing another registered
+      query, e.g. hybrid rerank calling bm25) must not drop the outer
+      query's caches mid-build, so depth > 0 skips the release;
+    - same-tag re-entry (a warm re-run of the identical query) KEEPS its
+      caches — Spark's cache manager dedupes by analyzed plan, so the
+      rebuilt DataFrame hits the existing cache. That is legitimate
+      reuse of the query's own materialized intermediate (an inverted
+      index, a signature table), not the cross-query leak this module
+      exists to stop; memory stays bounded at one query's caches.
+    """
+    global _DEPTH, _CURRENT_TAG
+    if _DEPTH == 0 and tag != _CURRENT_TAG:
+        release()
+        _CURRENT_TAG = tag
+    _DEPTH += 1
+
+
+def exit_scope() -> None:
+    global _DEPTH
+    _DEPTH = max(0, _DEPTH - 1)
+
+
+def scoped_persist(
+    df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
+) -> DataFrame:
+    """``df.persist(level)`` + registration for release at next query start."""
+    out = df.persist(level)
+    _ACTIVE_CACHES.append(out)
+    return out
+
+
+def defer(fn: Callable[[], Any]) -> None:
+    """Register a cleanup callable (e.g. restore a session conf) to run
+    when the current query scope is released."""
+    _DEFERRED.append(fn)
+
+
+def release() -> None:
+    """Unpersist every scoped cache and run every deferred cleanup.
+
+    Idempotent; errors are swallowed (a dead SparkContext during
+    teardown must not mask the test/bench result)."""
+    global _CURRENT_TAG
+    _CURRENT_TAG = None
+    while _ACTIVE_CACHES:
+        df = _ACTIVE_CACHES.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    while _DEFERRED:
+        fn = _DEFERRED.pop()
+        try:
+            fn()
+        except Exception:
+            pass
