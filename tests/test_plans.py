@@ -11,6 +11,8 @@ invisible at sf0.001 row counts but catastrophic on a cluster.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import queries as catalog
@@ -186,16 +188,41 @@ def test_tfidf_output_bound_pushes_below_explode(spark):
     # the corpus-wide pass happens once (the df side); the tf side is
     # re-derived but with the doc_id<30 output bound pushed below the
     # explode all the way into its parquet scan, so it reads ~30 docs,
-    # not the corpus. EXCEPTION: x_bm25_search persists the identical
-    # tf subtree, and Spark's cache manager substitutes a live cache
-    # into any matching plan — then the tf side reads the materialized
-    # index instead (also corpus-scan-free). Both shapes are correct;
-    # assert whichever is active.
+    # not the corpus. (r2 had to tolerate an InMemoryTableScan here:
+    # x_bm25_search persisted the identical tf subtree and Spark's cache
+    # manager substituted the live cache into this plan. Per-query cache
+    # scoping ended that cross-query leak — and bm25 no longer caches a
+    # token-grain frame at all — so the pushed filter is asserted
+    # unconditionally again.)
     plan = plan_of(spark, "x_tfidf_top_terms")
-    assert "LessThan(doc_id,30)" in plan or "InMemoryTableScan" in plan, plan
+    assert "LessThan(doc_id,30)" in plan, plan
     tree = tree_of(spark, "x_tfidf_top_terms")
     assert "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_bm25_persists_doc_grain_only_single_scan(spark):
+    # the r2 regression: bm25 persisted the WHOLE-VOCABULARY doc_id ×
+    # token inverted index per run — O(total tokens) cache churn, the
+    # scale killer at 100 TB. The only cached relation allowed is the
+    # doc-grain (doc_id, dl, __qtoks) projection; the corpus parquet
+    # scan must appear as ONE reused node; top-k must not global-sort.
+    plan = plan_of(spark, "x_bm25_search")
+    detail = plan.split("\n\n", 1)[1]
+    rels = [
+        b
+        for b in detail.split("\n\n")
+        if b.strip() and "InMemoryRelation" in b.strip().splitlines()[0]
+    ]
+    assert rels, plan
+    for b in rels:
+        args = next(line for line in b.splitlines() if "Arguments" in line)
+        assert "__qtoks" in args and "dl#" in args, args
+        assert "token" not in args and "tf#" not in args, args
+    tree = tree_of(spark, "x_bm25_search")
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scan_ids) == 1, tree
+    assert "TakeOrderedAndProject" in tree, tree
 
 
 def test_quantized_ann_broadcasts_query_side(spark):

@@ -1,0 +1,85 @@
+"""Query-scope lifecycle: caches and conf overrides live exactly as long
+as the query that created them (ADVICE r2: persisted caches accumulated
+over a 50+ query driver session and leaked between plans; the Arrow
+batch-size override leaked session-wide)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import query_scope
+from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+    queries as catalog,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _live_caches():
+    return [df for df in query_scope._ACTIVE_CACHES if df.storageLevel.useMemory]
+
+
+def test_entering_different_query_releases_previous_caches(spark):
+    regs = catalog.queries()
+    query_scope.release()
+    df1 = regs["x_outlier_mad_by_source"](spark, SF)
+    df1.count()
+    held = _live_caches()
+    assert held, "x_outlier_mad_by_source should persist its doc projection"
+    # entering a DIFFERENT query drops the previous query's caches
+    regs["f1_range_filter_events"](spark, SF).count()
+    assert not any(df.storageLevel.useMemory for df in held)
+    assert query_scope._CURRENT_TAG == "f1_range_filter_events"
+
+
+def test_reentering_same_query_keeps_its_caches(spark):
+    regs = catalog.queries()
+    query_scope.release()
+    regs["x_outlier_mad_by_source"](spark, SF).count()
+    held = _live_caches()
+    assert held
+    # warm re-run of the SAME query: caches stay persisted (and the
+    # rebuilt plan hits them — Spark's cache manager dedupes by
+    # canonicalized plan)
+    df2 = regs["x_outlier_mad_by_source"](spark, SF)
+    assert all(df.storageLevel.useMemory for df in held)
+    plan = df2._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+    query_scope.release()
+
+
+def test_nested_query_composition_never_drops_outer_scope(spark):
+    # x_hybrid_retrieval_rerank composes the registered x_bm25_search:
+    # the nested enter() must not release the outer query's caches
+    # mid-build, and the composite must still compute
+    regs = catalog.queries()
+    query_scope.release()
+    n = regs["x_hybrid_retrieval_rerank"](spark, SF).count()
+    assert n > 0
+    assert query_scope._CURRENT_TAG == "x_hybrid_retrieval_rerank"
+    assert query_scope._DEPTH == 0
+    query_scope.release()
+
+
+def test_arrow_batch_size_restored_at_release(spark):
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.multimodal import (
+        attach_payload,
+        audio_windows,
+    )
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    before = spark.conf.get(key, None)
+    query_scope.release()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    out = audio_windows(attach_payload(docs), window=64, batch_size=7)
+    assert spark.conf.get(key) == "7"  # live until the action runs
+    assert out.count() > 0
+    query_scope.release()
+    assert spark.conf.get(key, None) == before
+
+
+def test_release_is_idempotent_and_clears_tag(spark):
+    query_scope.release()
+    query_scope.release()
+    assert query_scope._CURRENT_TAG is None
+    assert not query_scope._ACTIVE_CACHES and not query_scope._DEFERRED

@@ -321,3 +321,59 @@ def test_stream_writer_publishes_per_epoch_exactly_once(spark, tmp_path):
                 assert len(batch) <= 100
                 seen.extend(r["id"] for r in batch)
     assert sorted(seen, key=int) == [str(i) for i in range(180)]
+
+
+def test_stream_writer_replays_epoch_after_mid_epoch_kill(tmp_path):
+    """Adversarial restart: the driver dies AFTER tasks staged their
+    spool files but BEFORE commit() published them — no epoch-log line,
+    orphaned staging. Spark then replays the same batchId on restart
+    (the offset log has it, the commit log does not). The replayed
+    tasks re-stage, commit publishes exactly one copy, and the orphaned
+    first-attempt staging is swept — the destination never sees the
+    killed attempt. (The clean-restart path is covered by
+    test_stream_writer_publishes_per_epoch_exactly_once; this pins the
+    kill branch.)"""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sources.rest_source import (
+        RestStreamWriter,
+    )
+
+    sink = tmp_path / "sink"
+    sink.mkdir()
+    schema = StructType([StructField("id", StringType())])
+    opts = {"path": str(sink), "limit": "2"}
+    rows = [{"id": str(i)} for i in range(5)]
+
+    # attempt 1: task stages, then the driver is killed before commit()
+    w1 = RestStreamWriter(schema, opts)
+    staged_msg = w1.write(iter(rows))
+    assert _os.path.exists(staged_msg.staged)
+    assert not (sink / "_epochs.jsonl").exists()
+    del w1  # driver gone; staging-stream/ is now orphaned on disk
+
+    # restart: a fresh writer replays the SAME batchId end-to-end
+    w2 = RestStreamWriter(schema, opts)
+    replay_msg = w2.write(iter(rows))
+    w2.commit([replay_msg], batchId=0)
+
+    epochs = [_json.loads(l) for l in (sink / "_epochs.jsonl").read_text().splitlines()]
+    assert len(epochs) == 1 and epochs[0] == {
+        "batch_id": 0,
+        "files": ["batch-0-0.jsonl"],
+        "rows": 5,
+    }
+    seen = []
+    for line in (sink / "batch-0-0.jsonl").read_text().splitlines():
+        batch = _json.loads(line)
+        assert len(batch) <= 2
+        seen.extend(r["id"] for r in batch)
+    assert sorted(seen, key=int) == [str(i) for i in range(5)]
+    # the killed attempt's staging must be gone and nothing else published
+    assert not (sink / ".staging-stream").exists()
+    assert sorted(f for f in _os.listdir(sink) if not f.startswith("_")) == [
+        "batch-0-0.jsonl"
+    ]

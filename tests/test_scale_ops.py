@@ -462,3 +462,36 @@ def test_bloom_build_partition_invariant(spark):
         for r in bloom_build(keys.repartition(13), "k").collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_exact_quantile_disc_ignores_nulls(spark):
+    """NULLs contribute neither to N nor to the pick position
+    (percentile_disc / DuckDB quantile_disc semantics) — verified
+    against DuckDB itself, since the r2 ADVICE divergence was exactly
+    here: Spark counted the NULL histogram row in __total and sorted it
+    first in the cumulative window."""
+    import duckdb
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.buckets import (
+        exact_quantile_disc,
+    )
+
+    data = [("a", 1), ("a", None), ("a", 3), ("a", None), ("a", 9), ("b", None), ("b", 4)]
+    df = spark.createDataFrame(data, "g string, v int").repartition(3)
+    got = {
+        r["g"]: (r["p50"], r["p90"])
+        for r in exact_quantile_disc(
+            df, "v", {"p50": (1, 2), "p90": (9, 10)}, group_by=("g",)
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        g: (p50, p90)
+        for g, p50, p90 in con.execute(
+            "SELECT g, quantile_disc(v, 0.5), quantile_disc(v, 0.9)"
+            " FROM (SELECT * FROM (VALUES " + ", ".join(
+                f"('{g}', {'NULL' if v is None else v})" for g, v in data
+            ) + ") t(g, v)) GROUP BY g"
+        ).fetchall()
+    }
+    assert got == want, (got, want)

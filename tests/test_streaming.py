@@ -446,3 +446,47 @@ def test_streaming_curation_gates_dedups_and_versions(spark, tmp_path):
     _write_batch(landing, "b3.jsonl", [{"doc_id": 7, "source": "web", "text": ES_DOC}])
     streaming_curation(spark, str(landing), sink, ckpt).awaitTermination(120)
     assert versioned.latest_version(sink) == 1
+
+
+def test_versioned_sink_concurrent_writer_loser_retries(spark, tmp_path, monkeypatch):
+    """The O_EXCL loser path: a writer that loses the manifest race must
+    NOT clobber the winner's version — it re-reads the new latest and
+    republishes as the next slot, carrying the winner's files. The race
+    is injected deterministically: the loser's first os.link() finds the
+    slot already claimed (we publish the winner's manifest just before
+    the link lands), forcing the FileExistsError retry branch."""
+    import os as _os
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame([(1, "base")], "id int, v string")
+    assert versioned.commit_append(base, path) == 0
+
+    winner = spark.createDataFrame([(2, "winner")], "id int, v string")
+    winner_files = versioned._write_files(winner, path)
+
+    real_link = _os.link
+    state = {"raced": False}
+
+    def racing_link(src, dst):
+        if not state["raced"] and "_v" in _os.path.basename(dst):
+            state["raced"] = True
+            # the winner claims this exact slot first
+            prev = versioned.latest_version(path)
+            files = versioned._files_of(path, prev) + winner_files
+            with open(dst, "w") as fh:
+                json.dump({"version": prev + 1, "files": files}, fh)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(_os, "link", racing_link)
+    loser = spark.createDataFrame([(3, "loser")], "id int, v string")
+    got = versioned.commit_append(loser, path)
+    monkeypatch.undo()
+
+    assert state["raced"], "the race branch never fired"
+    assert got == 2 and versioned.latest_version(path) == 2
+    v1 = {r["id"] for r in versioned.read_version(spark, path, 1).collect()}
+    v2 = {r["id"] for r in versioned.read_version(spark, path, 2).collect()}
+    assert v1 == {1, 2}, "winner's version must survive the loser's retry"
+    assert v2 == {1, 2, 3}, "loser must carry the winner's files, not clobber them"
