@@ -135,10 +135,15 @@ DRIVER_WINDOW: list[str] = [
     "x_session_conversion",
     "x_dedup_lsh_recall_sample",
 ]
-# Round-4 rotation backlog (8 queries with no green driver row after
-# r3 — unchanged implementations, lowest-risk tier, all strict-parity
-# green locally at sf0.01):
-# x_corpus_datacard, x_langid_mismatch_by_source, x_text_sentiment, x_fuzzy_name_match, x_sample_by_quality, x_profile_documents, x_length_histogram, x_packing_efficiency
+# Round-4 rotation backlog (10 queries with no green driver row after
+# r3, all strict-parity green locally at sf0.01): 8 deferred unchanged
+# implementations from the lowest-risk tier —
+# x_corpus_datacard, x_langid_mismatch_by_source, x_text_sentiment,
+# x_fuzzy_name_match, x_sample_by_quality, x_profile_documents,
+# x_length_histogram, x_packing_efficiency —
+# plus the 2 tokenizer-tier queries added this round (registered after
+# the window so they do not displace re-verification slots):
+# x_bpe_pair_counts, x_word_entropy_quality
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
@@ -669,3 +674,4 @@ from . import queries_train  # noqa: E402,F401  (import side effect)
 from . import queries_fn  # noqa: E402,F401  (import side effect)
 from . import queries_retrieval  # noqa: E402,F401  (import side effect)
 from . import queries_curate  # noqa: E402,F401  (import side effect)
+from . import queries_tokenizer  # noqa: E402,F401  (import side effect)

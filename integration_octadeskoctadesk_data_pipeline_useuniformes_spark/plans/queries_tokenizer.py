@@ -1,0 +1,130 @@
+"""Tokenizer-training tier: the corpus statistics a BPE/WordPiece
+trainer and a diversity-based quality gate read off a 100 TB corpus.
+
+Both queries follow the shape real tokenizer trainers use at scale:
+REDUCE TO THE VOCABULARY FIRST. A corpus has O(total tokens) words but
+only O(|vocab|) distinct ones, so pair mining runs on the word-frequency
+table (vocabulary grain, weighted by count), never on raw token streams.
+Reference parity note: the reference (pandas/BigQuery ETL) has no
+tokenizer surface at all — this is the LLM-pipeline extension tier
+(SURVEY §6), same contract as the other x_* queries: Spark fn + DuckDB
+oracle over the shared parquet fixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .queries import register
+from .queries_ext import _WORDS_SQL
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate mining — step one of byte-pair-encoding training:
+# count adjacent symbol pairs, weighted by word frequency. Scale shape:
+#   1. explode words -> groupBy(word) count  (vocab grain after the
+#      map-side combine: the shuffle carries one row per distinct word
+#      per partition, NOT one per token — the reduction real BPE
+#      trainers do before any pair work);
+#   2. explode the word's adjacent char pairs (substring(i, 2) over an
+#      in-plan sequence — narrow, runs inside codegen) weighted by n;
+#   3. groupBy(pair) sum — a ~|alphabet|²-key shuffle, map-side combined.
+# Both engines build pairs as substr(word, i, 2) for i = 1..len and drop
+# the length-1 tail pair, so no empty-sequence edge case exists.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_bpe_pair_counts",
+    f"""
+WITH w AS (
+  SELECT unnest({_WORDS_SQL}) AS word FROM documents
+), wf AS (
+  SELECT lower(word) AS word, count(*) AS n FROM w WHERE word <> '' GROUP BY lower(word)
+), p AS (
+  SELECT unnest(list_transform(generate_series(1, length(word)),
+                               i -> substr(word, i, 2))) AS pair, n
+  FROM wf
+), pc AS (
+  SELECT pair, CAST(sum(n) AS BIGINT) AS cnt
+  FROM p WHERE length(pair) = 2 GROUP BY pair
+)
+SELECT pair, cnt FROM pc ORDER BY cnt DESC, pair ASC LIMIT 30
+""",
+)
+def x_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy(F.lower("word").alias("word"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = wf.select(
+        F.explode(
+            F.expr("transform(sequence(1, char_length(word)), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "n",
+    ).filter(F.length("pair") == 2)
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-document unigram entropy — the diversity signal repetition ratios
+# approximate (x_quality_repetition's uniq_frac/top_bigram_frac are its
+# cheap proxies; Shannon entropy is the exact version): H = ln(n) -
+# Σ c·ln(c) / n over per-doc word counts. One shuffle on (doc_id, word)
+# with map-side combine, then a doc-grain rollup — no windows, no joins.
+# Rounded to 6 decimals so float summation order (Spark partition order
+# vs DuckDB scan order, differences ~1e-12) never flips the comparison.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_word_entropy_quality",
+    f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents
+), cnt AS (
+  SELECT doc_id, word, CAST(count(*) AS BIGINT) AS c
+  FROM toks WHERE word <> '' GROUP BY doc_id, word
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_uniq,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS c_lnc
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_uniq,
+       round(ln(CAST(n_tokens AS DOUBLE)) - c_lnc / CAST(n_tokens AS DOUBLE), 6)
+         AS h_nats
+FROM agg
+""",
+)
+def x_word_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    c = F.col("c").cast("double")
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_uniq"),
+        F.sum(c * F.log(c)).alias("c_lnc"),
+    )
+    n = F.col("n_tokens").cast("double")
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_uniq",
+        F.round(F.log(n) - F.col("c_lnc") / n, 6).alias("h_nats"),
+    )

@@ -394,3 +394,24 @@ def test_audio_energy_is_arrow_mapinpandas(spark):
     tree = tree_of(spark, "x_multimodal_audio_energy")
     assert "MapInPandas" in tree, tree
     assert "BatchEvalPython" not in tree, tree
+
+
+def test_bpe_pair_counts_reduces_to_vocab_before_pair_work(spark):
+    # the pair explode must run on the word-frequency table (vocab
+    # grain), never on raw tokens: plan order is explode(words) ->
+    # partial+final count agg -> pair generate -> partial+final sum agg,
+    # with top-30 as TakeOrdered. 4 HashAggregates (2 partial/final
+    # pairs), 2 exchanges, no sort of the full pair table.
+    tree = tree_of(spark, "x_bpe_pair_counts")
+    assert tree.count("HashAggregate") == 4, tree
+    assert tree.count("Exchange") == 2, tree
+    assert "TakeOrderedAndProject" in tree, tree
+
+
+def test_word_entropy_single_shuffle_then_doc_rollup(spark):
+    # one (doc_id, word) shuffle with map-side combine; the doc-grain
+    # rollup must NOT re-exchange (doc_id is a prefix of the first
+    # shuffle's key, so Spark reuses the partitioning)
+    tree = tree_of(spark, "x_word_entropy_quality")
+    assert tree.count("Exchange") <= 2, tree
+    assert "SortMergeJoin" not in tree and "BroadcastHashJoin" not in tree, tree
