@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from .text import words
 from ..query_scope import scoped_persist
+from ..tables import fan_out_small_scan
 
 
 # ---------------------------------------------------------------------------
@@ -127,7 +128,17 @@ def minhash_signatures(
     groupBy computes all seeds' mins in one pass with map-side partial
     aggregation, so the shuffle carries one (id × num_hashes) partial
     row per partition, not the shingles.
+
+    CPU-bound stage parallelism: hashing is num_hashes × |shingles| md5
+    calls — by far the dominant cost — and its parallelism is capped by
+    the SCAN's split count. A small input (one parquet file under the
+    128 MB split size → ONE task) would single-thread the whole hash
+    stage, so when the scan yields fewer partitions than cores the
+    input is fanned out first. At production split counts (100 TB =
+    thousands of splits ≥ cores) the condition is false and no extra
+    shuffle is ever added.
     """
+    df = fan_out_small_scan(df)
     ex = df.select(
         F.col(id_col), F.explode_outer(word_shingles(F.col(text_col), k)).alias("__s")
     )

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import text as T
-from ..tables import load_table
+from ..tables import fan_out_small_scan, load_table
 from .queries import register
 from .queries_ext import _LSH_PAIRS_CTES, _SHINGLES_SQL, _WORDS_SQL, _langid_oracle
 from ..query_scope import scoped_persist
@@ -319,8 +319,9 @@ def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot window partitions; their per-group state is a single counter,
     which is why this beats the count-then-join-back shape that had to
     skew-split the join. The novelty ratio is one IEEE division of
-    exact counts."""
-    docs = load_table(spark, sf_dir, "documents")
+    exact counts. The scan fans out to core count first (identity at
+    scale) so the shingle+hash stage is not bound to one split."""
+    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
     # shuffle 8-byte hashes, not ~20-char shingle strings: the exploded
     # (doc, shingle) grain is the dominant exchange, so hashing before
     # the explode cuts its width ~3x (and the df-count/join-back keys

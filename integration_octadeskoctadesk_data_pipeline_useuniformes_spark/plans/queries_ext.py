@@ -691,6 +691,9 @@ GROUP BY k.source
 
 @register("x_curation_pipeline", _curation_oracle())
 def x_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT fanned out: A/B at sf0.1 shows the one-pass gate expressions
+    # are too cheap to amortize a repartition (identity ~1.2 s warm vs
+    # ~1.4 s fanned); at scale the scan has real splits anyway
     docs = load_table(spark, sf_dir, "documents")
     # tokenize ONCE: the split/filter higher-order functions are
     # CodegenFallback, so quality and langid would each re-run

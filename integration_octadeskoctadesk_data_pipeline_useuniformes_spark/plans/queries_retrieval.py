@@ -165,6 +165,9 @@ def x_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # key (doc_id determines dl), so no dl join is needed at all.
     arr = F.split(F.lower(F.trim("text")), r"\s+")
     toks = F.filter(arr, lambda x: x != "")
+    # NOT fanned out: measured A/B at sf0.1 shows the term-filtered
+    # tokenize is too cheap to amortize a repartition (identity 0.6-0.7 s
+    # warm vs 1.1-1.6 s fanned); at scale the scan has real splits anyway
     pre = scoped_persist(
         d.select(
             "doc_id",

@@ -44,6 +44,23 @@ TABLE_NAMES = (
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def fan_out_small_scan(df: DataFrame) -> DataFrame:
+    """Fan a small scan out to full core count before CPU-bound work.
+
+    Stage parallelism is capped by the scan's split count; a table that
+    fits in one parquet split (< the 128 MB split size) runs any
+    downstream shingle/hash/tokenize stage on ONE core. When the scan
+    yields fewer partitions than cores, round-robin repartition first —
+    the shuffle moves only the small input. At production split counts
+    (100 TB = thousands of splits >= cores) the condition is false and
+    this is the identity: no shuffle is ever added at scale.
+    """
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing nano-timestamps to TIMESTAMP_NTZ."""
     configure(spark)

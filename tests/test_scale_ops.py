@@ -495,3 +495,20 @@ def test_exact_quantile_disc_ignores_nulls(spark):
         ).fetchall()
     }
     assert got == want, (got, want)
+
+
+def test_fan_out_small_scan_is_identity_at_scale(spark):
+    """The fan-out only fires when the scan yields fewer partitions than
+    cores — at production split counts (>= cores) it must be the exact
+    identity (no shuffle added at 100 TB)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.tables import (
+        fan_out_small_scan,
+    )
+
+    target = spark.sparkContext.defaultParallelism
+    small = spark.range(100, numPartitions=1)
+    assert fan_out_small_scan(small).rdd.getNumPartitions() == target
+    big = spark.range(1000, numPartitions=target)
+    assert fan_out_small_scan(big) is big
+    bigger = spark.range(1000, numPartitions=target + 4)
+    assert fan_out_small_scan(bigger) is bigger
