@@ -78,9 +78,14 @@ def exact_quantile_disc(
     ``quantile_disc`` semantics): they contribute neither to N nor to
     the pick position. Without the filter, Spark would count a NULL
     histogram row in ``__total`` and sort it first in the cumulative
-    window, shifting ceil(q·N) off DuckDB's answer.
+    window, shifting ceil(q·N) off DuckDB's answer. Groups whose values
+    are ALL NULL still emit a row (with NULL quantiles), exactly like
+    SQL GROUP BY: the group keys are captured before the NULL filter
+    and re-attached with a left join on the (small, by the histogram
+    assumption) distinct-key frame.
     """
     keys = list(group_by)
+    groups = df.select(*keys).distinct() if keys else None
     df = df.filter(F.col(col).isNotNull())
     hist = df.groupBy(*keys, col).agg(F.count(F.lit(1)).alias("__cnt"))
     w_cum = (
@@ -107,4 +112,7 @@ def exact_quantile_disc(
                 )
             ).alias(label)
         )
-    return cum.groupBy(*keys).agg(*picks)
+    result = cum.groupBy(*keys).agg(*picks)
+    if groups is not None:
+        result = groups.join(result, keys, "left")
+    return result

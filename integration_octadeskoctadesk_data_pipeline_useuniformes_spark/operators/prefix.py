@@ -64,7 +64,14 @@ def global_running_sum(
     # ReuseExchange dedupes the subtree today, but neither is a
     # contract — persist pins one materialization so a future plan
     # change (e.g. an AQE rule splitting the reused exchange) cannot
-    # give the two branches different partition ids.
+    # give the two branches different partition ids. Cost note: this IS
+    # a row-grain cache (unlike the avoidable bm25 one) — it is the
+    # price of pid-stability, read by both consumers, and comparable to
+    # one extra shuffle spill of the already-range-exchanged input; the
+    # only cheaper alternatives either re-derive __pid from data (a
+    # second range-partitioner implementation) or trust plan-identity
+    # across two evaluations, which is exactly the unprotected shape
+    # the round-2 review flagged.
     local = scoped_persist(
         part.withColumn("__run_local", F.sum("__val").over(w_local))
     )

@@ -257,8 +257,6 @@ def ivf_topk(
     approximate: neighbors outside the probed cells are missed (that is
     the IVF recall trade-off).
     """
-    from pyspark import StorageLevel
-
     # the corpus projection feeds SEVEN consumers (seeds, home-cell
     # assignment, query semi-join, probe ranking, both scoring sides);
     # without a persist each one re-runs the parquet scan — at 100 TB

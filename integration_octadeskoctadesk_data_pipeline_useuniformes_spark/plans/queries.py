@@ -51,7 +51,10 @@ def register(name: str, oracle: str | None):
         # (nested entry) never drops the outer scope mid-build.
         @functools.wraps(fn)
         def scoped(spark: SparkSession, sf_dir: str) -> DataFrame:
-            query_scope.enter(name)
+            # tag includes sf_dir: a re-run of the same query on a
+            # DIFFERENT dataset must release the old dataset's caches
+            # (their plans differ, nothing would ever hit them again)
+            query_scope.enter(f"{name}@{sf_dir}")
             try:
                 return fn(spark, sf_dir)
             finally:

@@ -660,8 +660,6 @@ GROUP BY p.label
 """,
 )
 def x_embedding_drift_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     emb = load_table(spark, sf_dir, "embeddings")
     per_dim = (
         emb.select("label", F.posexplode("embedding").alias("pos0", "val"))

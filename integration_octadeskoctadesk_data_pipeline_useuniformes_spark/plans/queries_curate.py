@@ -70,8 +70,6 @@ def x_outlier_mad_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     two broadcast joins of per-source scalars; the narrow projection is
     persisted once (exact MAD is inherently multi-pass — four consumers
     otherwise re-run the scan) and never shuffled on doc_id."""
-    from pyspark import StorageLevel
-
     docs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", "source", "n_chars")
@@ -521,8 +519,6 @@ def x_dedup_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersects; |A∪B| from sizes, no second set op) and joined to the
     (small) pair list — the pair side broadcasts, the doc-gram side is
     scanned once. Kept exact-only: the estimate is already in hand."""
-    from pyspark import StorageLevel
-
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.lsh_candidate_pairs(docs, min_jaccard_est=0.5)
     # hash the exact gram sets ONLY for docs that appear in a candidate
@@ -810,8 +806,6 @@ SELECT (SELECT count(*) FROM exact) AS n_true_pairs,
 """,
 )
 def x_dedup_lsh_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     sample = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     found = D.lsh_candidate_pairs(sample, min_jaccard_est=0.5).select("id_a", "id_b")
     g = (

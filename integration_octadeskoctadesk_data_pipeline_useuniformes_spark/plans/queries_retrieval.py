@@ -469,8 +469,6 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to the joined form: the 1e-4 centroid rounding absorbs
     summation-order differences (same contract as x_embedding_centroid).
     """
-    from pyspark import StorageLevel
-
     ev = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))

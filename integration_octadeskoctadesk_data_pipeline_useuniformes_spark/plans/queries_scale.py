@@ -321,8 +321,6 @@ GROUP BY 1, 2
 def x_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bloom import bloom_build, bloom_probe
 
-    from pyspark import StorageLevel
-
     orders = load_table(spark, sf_dir, "orders")
     # the key set feeds both the bloom build and the exact-membership
     # join; persist the (small, distinct) keys so the selective orders
@@ -748,8 +746,6 @@ FROM orphan, dup, nulls
 """,
 )
 def x_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     o = (
         load_table(spark, sf_dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderdate")
@@ -810,8 +806,6 @@ FROM ranked WHERE rnk IN (100, 500, 1000)
 """,
 )
 def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark import StorageLevel
-
     from ..operators.prefix import global_row_number, global_running_sum
 
     d = load_table(spark, sf_dir, "documents")

@@ -10,12 +10,22 @@ when to materialize it.
 The scope solves the lifecycle without requiring cooperation from the
 caller: every persist/conf-change registers here, and the registry is
 drained at the START of the next catalog-query call (``register`` in
-plans/queries.py wraps every query fn with ``release()``), plus
-explicitly in bench.py / tools/parity_check.py / test fixtures. Under a
-long driver session sweeping 50+ queries, at most ONE query's caches are
-live at a time — previously they accumulated for the whole session and
-even leaked between plans (a persisted subtree from query A being
-cache-substituted into query B's plan, changing B's measured shape).
+plans/queries.py wraps every query fn with ``enter``/``exit_scope``),
+plus explicitly at the end of a sweep in bench.py and
+tools/parity_check.py. Under a long driver session sweeping 50+
+queries, at most ONE query-and-dataset's caches are live at a time —
+previously they accumulated for the whole session and even leaked
+between plans (a persisted subtree from query A being cache-substituted
+into query B's plan, changing B's measured shape).
+
+CONTRACT for direct operator users (not via the catalog): a scoped
+persist or deferred conf restore (e.g. the Arrow batch-size override in
+operators/multimodal.py) stays live only until the next catalog-query
+build. Materialize your plan BEFORE invoking a catalog query, or
+re-apply the override — interleaving a catalog-query build between
+building and executing a direct plan releases this scope out from under
+it (the conf reverts; caches unpersist, which is a recompute, never a
+wrong answer).
 
 ``unpersist()`` on a DataFrame another plan still references is safe:
 Spark just recomputes the subtree — a perf effect, never a correctness

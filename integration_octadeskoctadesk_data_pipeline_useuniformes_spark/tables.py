@@ -50,13 +50,25 @@ def fan_out_small_scan(df: DataFrame) -> DataFrame:
     Stage parallelism is capped by the scan's split count; a table that
     fits in one parquet split (< the 128 MB split size) runs any
     downstream shingle/hash/tokenize stage on ONE core. When the scan
-    yields fewer partitions than cores, round-robin repartition first —
-    the shuffle moves only the small input. At production split counts
-    (100 TB = thousands of splits >= cores) the condition is false and
+    reads fewer FILES than cores, round-robin repartition first — the
+    shuffle moves only the small input. At production file counts
+    (100 TB = thousands of files >= cores) the condition is false and
     this is the identity: no shuffle is ever added at scale.
+
+    The width probe is ``df.inputFiles()`` — pure file-listing metadata.
+    Deliberately NOT ``df.rdd.getNumPartitions()``: forcing the RDD
+    materializes the physical plan, and under AQE a frame containing a
+    shuffle would EXECUTE its upstream stages at plan-build time. A
+    frame with no file inputs (in-memory ranges, post-shuffle frames)
+    returns no files and passes through unchanged — such frames already
+    carry shuffle-partition parallelism. File count lower-bounds the
+    interesting case exactly: Spark may pack many small files into few
+    partitions (then the repartition it triggers is still right) but
+    never splits one small file into many.
     """
     sc = df.sparkSession.sparkContext
-    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+    files = df.inputFiles()
+    if 0 < len(files) < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)
     return df
 

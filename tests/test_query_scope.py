@@ -29,7 +29,7 @@ def test_entering_different_query_releases_previous_caches(spark):
     # entering a DIFFERENT query drops the previous query's caches
     regs["f1_range_filter_events"](spark, SF).count()
     assert not any(df.storageLevel.useMemory for df in held)
-    assert query_scope._CURRENT_TAG == "f1_range_filter_events"
+    assert query_scope._CURRENT_TAG == f"f1_range_filter_events@{SF}"
 
 
 def test_reentering_same_query_keeps_its_caches(spark):
@@ -56,7 +56,7 @@ def test_nested_query_composition_never_drops_outer_scope(spark):
     query_scope.release()
     n = regs["x_hybrid_retrieval_rerank"](spark, SF).count()
     assert n > 0
-    assert query_scope._CURRENT_TAG == "x_hybrid_retrieval_rerank"
+    assert query_scope._CURRENT_TAG == f"x_hybrid_retrieval_rerank@{SF}"
     assert query_scope._DEPTH == 0
     query_scope.release()
 
@@ -83,3 +83,17 @@ def test_release_is_idempotent_and_clears_tag(spark):
     query_scope.release()
     assert query_scope._CURRENT_TAG is None
     assert not query_scope._ACTIVE_CACHES and not query_scope._DEFERRED
+
+
+def test_same_query_different_dataset_releases_old_caches(spark):
+    """Scope identity is (query, dataset): re-running the same query on
+    a different sf_dir must release the old dataset's caches — their
+    plans differ, nothing would ever hit them again."""
+    regs = catalog.queries()
+    query_scope.release()
+    regs["x_outlier_mad_by_source"](spark, SF).count()
+    held = _live_caches()
+    assert held
+    regs["x_outlier_mad_by_source"](spark, "/root/testdata/sf0.01").count()
+    assert not any(df.storageLevel.useMemory for df in held)
+    query_scope.release()

@@ -497,18 +497,56 @@ def test_exact_quantile_disc_ignores_nulls(spark):
     assert got == want, (got, want)
 
 
-def test_fan_out_small_scan_is_identity_at_scale(spark):
-    """The fan-out only fires when the scan yields fewer partitions than
-    cores — at production split counts (>= cores) it must be the exact
-    identity (no shuffle added at 100 TB)."""
+def test_fan_out_small_scan_is_identity_at_scale(spark, tmp_path):
+    """The fan-out only fires for file scans reading fewer files than
+    cores — at production file counts (>= cores) and for non-file frames
+    it must be the exact identity (no shuffle added at 100 TB, no .rdd
+    probe that would execute AQE stages at plan-build time)."""
     from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.tables import (
         fan_out_small_scan,
     )
 
     target = spark.sparkContext.defaultParallelism
-    small = spark.range(100, numPartitions=1)
+    one = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(one)
+    small = spark.read.parquet(one)
+    assert len(small.inputFiles()) < target
     assert fan_out_small_scan(small).rdd.getNumPartitions() == target
-    big = spark.range(1000, numPartitions=target)
+
+    many = str(tmp_path / "many")
+    spark.range(10_000).repartition(target + 4).write.parquet(many)
+    big = spark.read.parquet(many)
+    assert len(big.inputFiles()) >= target
     assert fan_out_small_scan(big) is big
-    bigger = spark.range(1000, numPartitions=target + 4)
-    assert fan_out_small_scan(bigger) is bigger
+
+    # non-file frames (in-memory ranges) pass through untouched —
+    # and the probe is pure metadata, so no AQE stage can execute here
+    mem = spark.range(100, numPartitions=1)
+    assert fan_out_small_scan(mem) is mem
+
+
+def test_exact_quantile_disc_all_null_group_emits_row(spark):
+    """A group whose values are ALL NULL must still emit a row with NULL
+    quantiles (SQL GROUP BY semantics, matching DuckDB quantile_disc) —
+    the NULL pre-filter must not drop the group itself."""
+    import duckdb
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.buckets import (
+        exact_quantile_disc,
+    )
+
+    data = [("a", 1), ("a", 9), ("b", None), ("b", None)]
+    df = spark.createDataFrame(data, "g string, v int").repartition(3)
+    rows = {
+        r["g"]: r["p50"]
+        for r in exact_quantile_disc(df, "v", {"p50": (1, 2)}, group_by=("g",)).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            "SELECT g, quantile_disc(v, 0.5) FROM (VALUES "
+            + ", ".join(f"('{g}', {'NULL' if v is None else v})" for g, v in data)
+            + ") t(g, v) GROUP BY g"
+        ).fetchall()
+    )
+    assert rows == want == {"a": 1, "b": None}

@@ -76,6 +76,8 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import query_scope
+
     qs = entry.queries()
     oracles = entry.oracle_sql()
     names = sys.argv[2:] or list(qs)
@@ -92,6 +94,8 @@ def main():
             print(f"FAIL {name}: {err}")
         else:
             print(f"ok   {name}")
+    # drain the last query's scoped caches / deferred conf restores
+    query_scope.release()
     print(f"\n{len(names) - n_fail}/{len(names)} pass")
     sys.exit(1 if n_fail else 0)
 
