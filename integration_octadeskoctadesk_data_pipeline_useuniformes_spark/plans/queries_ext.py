@@ -754,3 +754,94 @@ def x_multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return audio_windows(attach_payload(d), window=256)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation — recall@10 of the IVF index against the exact
+# brute-force truth on the SAME query set (the dedup tier has the
+# analogous LSH-recall query; this closes the loop for the vector
+# index). Truth and approximation each reuse the exact expression
+# shapes of their parity-proven source queries, and the comparison is
+# pure set intersection of (query, neighbor) pairs at rank <= k — the
+# output is all BIGINT (counts + integer-division percent), so no float
+# crosses the engine boundary. Scale: truth cost is the brute-force
+# scoring of |queries| x corpus with the query side broadcast — the
+# evaluation is run on a SAMPLE of queries by construction (5 here),
+# which is how recall is measured in production: never all-pairs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_ann_recall_at_k",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY round({_COS_SQL}, 6) DESC, a.vec_id ASC) AS rank
+    FROM e a JOIN e b ON b.vec_id BETWEEN 100 AND 104 AND a.vec_id <> b.vec_id
+  ) WHERE rank <= 10
+),
+s AS (SELECT vec_id AS seed_id, embedding AS semb FROM e WHERE vec_id < 8),
+ranked AS (
+  SELECT vec_id, seed_id,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, seed_id ASC) AS rn
+  FROM (
+    SELECT a.vec_id, s.seed_id, {_cos2_sql('a', 'embedding', 's', 'semb')} AS cs
+    FROM e a CROSS JOIN s
+  )
+),
+assign AS (SELECT vec_id AS neighbor_id, seed_id AS cell FROM ranked WHERE rn = 1),
+probes AS (SELECT vec_id AS query_id, seed_id AS cell FROM ranked
+           WHERE rn <= 2 AND vec_id BETWEEN 100 AND 104),
+cand AS (SELECT p.query_id, a.neighbor_id
+         FROM probes p JOIN assign a USING (cell)
+         WHERE a.neighbor_id <> p.query_id),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         round({_cos2_sql('qe', 'embedding', 'ne', 'embedding')}, 6) AS cos_sim
+  FROM cand c
+  JOIN e qe ON qe.vec_id = c.query_id
+  JOIN e ne ON ne.vec_id = c.neighbor_id
+),
+approx AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+)
+SELECT t.query_id,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_matched,
+       CAST(count(a.neighbor_id) * 100 AS BIGINT) // CAST(count(*) AS BIGINT)
+         AS recall_pct
+FROM truth t LEFT JOIN approx a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+""",
+)
+def x_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_full = emb.filter(F.col("vec_id").between(100, 104))
+    truth = S.cosine_topk(emb, queries_full, k=10).select("query_id", "neighbor_id")
+    approx = (
+        S.ivf_topk(emb, queries_full.select("vec_id"), n_seeds=8, k=10, nprobe=2)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("__hit").alias("n_matched"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            "n_matched",
+            F.expr("(n_matched * 100) div n_truth").alias("recall_pct"),
+        )
+    )

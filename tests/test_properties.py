@@ -199,3 +199,87 @@ def test_bloom_no_false_negatives_model(spark, members, probes):
     res = {r["k"]: r["bloom_maybe"] for r in bloom_probe(pdf, "k", bloom, m_bits=2048).collect()}
     for k in probes & members:
         assert res[k] is True, (k, members)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abXY.", min_size=1, max_size=6),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_bpe_pair_counts_matches_python_model(spark, docs, tmp_path_factory):
+    """x_bpe_pair_counts == a direct Counter model: per distinct
+    lowercased word weighted by corpus frequency, count adjacent char
+    pairs; top-30 by (count desc, pair asc)."""
+    from collections import Counter
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    tmp = tmp_path_factory.mktemp("bpe")
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    wf = Counter()
+    for _, text in rows:
+        for w in text.strip().split():
+            if w:
+                wf[w.lower()] += 1
+    pairs = Counter()
+    for w, n in wf.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += n
+    want = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+
+    got = [
+        (r["pair"], r["cnt"])
+        for r in catalog.queries()["x_bpe_pair_counts"](spark, str(tmp)).collect()
+    ]
+    assert got == want, (docs, got, want)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=3),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_SETTINGS
+def test_word_entropy_matches_python_model(spark, docs, tmp_path_factory):
+    """x_word_entropy_quality == ln(n) - sum(c ln c)/n computed directly,
+    to the 6-decimal rounding the query pins."""
+    from collections import Counter
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    tmp = tmp_path_factory.mktemp("entropy")
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_uniq"], r["h_nats"])
+        for r in catalog.queries()["x_word_entropy_quality"](spark, str(tmp)).collect()
+    }
+    for i, words in enumerate(docs):
+        cnt = Counter(w for w in " ".join(words).strip().split() if w)
+        n = sum(cnt.values())
+        h = round(math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n, 6)
+        assert got[i] == (n, len(cnt), h), (i, docs, got[i])
