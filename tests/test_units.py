@@ -191,3 +191,24 @@ def test_observe_quality_gate_single_pass(spark):
     empty.write.format("noop").mode("overwrite").save()
     with pytest.raises(QualityViolation, match="min_rows"):
         enforce_quality(obs3)
+
+
+def test_driver_window_leads_registry_order():
+    """The external driver checks the FIRST 50 registry entries; the
+    rotation mechanism must actually put DRIVER_WINDOW there, exactly
+    and in order, with every name resolving."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries import (
+        DRIVER_WINDOW,
+        _REGISTRY,
+        oracle_sql,
+        queries,
+    )
+
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+    missing = [n for n in DRIVER_WINDOW if n not in _REGISTRY]
+    assert not missing, missing
+    assert list(queries())[:50] == DRIVER_WINDOW
+    # every window query must have an oracle (it is there to be CHECKED)
+    oracles = oracle_sql()
+    assert [n for n in DRIVER_WINDOW if n not in oracles] == []
