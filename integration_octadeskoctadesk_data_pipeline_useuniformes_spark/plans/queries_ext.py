@@ -831,8 +831,11 @@ def x_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .withColumn("__hit", F.lit(1))
     )
+    # both sides are <= |queries| * k rows, but size estimation cannot
+    # see through the rank-window stacks — hint the broadcast explicitly
+    # or the 50-row comparison plans as a sort-merge shuffle
     return (
-        truth.join(approx, ["query_id", "neighbor_id"], "left")
+        truth.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).alias("n_truth"),

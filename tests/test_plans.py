@@ -415,3 +415,12 @@ def test_word_entropy_single_shuffle_then_doc_rollup(spark):
     tree = tree_of(spark, "x_word_entropy_quality")
     assert tree.count("Exchange") <= 2, tree
     assert "SortMergeJoin" not in tree and "BroadcastHashJoin" not in tree, tree
+
+
+def test_ann_recall_truth_and_probe_sides_broadcast(spark):
+    # both the 5-query truth side and the IVF probe/candidate sides are
+    # tiny relative to the corpus: every join must broadcast, and the
+    # corpus must never be sort-merge-shuffled for the evaluation
+    tree = tree_of(spark, "x_ann_recall_at_k")
+    assert "SortMergeJoin" not in tree, tree
+    assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree, tree
