@@ -377,3 +377,46 @@ def test_stream_writer_replays_epoch_after_mid_epoch_kill(tmp_path):
     assert sorted(f for f in _os.listdir(sink) if not f.startswith("_")) == [
         "batch-0-0.jsonl"
     ]
+
+
+def test_stream_reader_offset_range_replay_is_deterministic(tmp_path):
+    """Crash-recovery contract of the simple stream API: after a restart
+    Spark re-reads a COMMITTED offset range via readBetweenOffsets, so
+    the same (start, end) range must return the same rows every time —
+    even after new data lands beyond the range (the replay must not leak
+    the new horizon in), and even when the endpoint injects transient
+    failures (the retry path must not drop or duplicate rows)."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sources.rest_source import (
+        RestStreamReader,
+    )
+
+    root = tmp_path / "api"
+    root.mkdir()
+    _write_day(root, "2024-01-01", 7)
+    _write_day(root, "2024-01-02", 5)
+
+    schema = StructType(
+        [StructField("id", StringType()), StructField("status", StringType())]
+    )
+    r = RestStreamReader(schema, {"path": str(root), "start": "2024-01-01T00:00:00", "limit": "3"})
+    start = r.initialOffset()
+    batch, end = r.read(start)
+    first = sorted(batch)
+    assert len(first) == 12 and end["cursor"] == "2024-01-03T00:00:00"
+
+    # replay the committed range: identical rows
+    assert sorted(r.readBetweenOffsets(start, end)) == first
+
+    # new data lands beyond the committed range; replay must not see it
+    _write_day(root, "2024-01-03", 4)
+    assert sorted(r.readBetweenOffsets(start, end)) == first
+
+    # transient failures on the replay path: retried, not dropped
+    (root / "failures.json").write_text(json.dumps({"2024-01-01": 2}))
+    assert sorted(r.readBetweenOffsets(start, end)) == first
+
+    # a FRESH reader instance (post-restart process) replays identically
+    r2 = RestStreamReader(schema, {"path": str(root), "start": "2024-01-01T00:00:00", "limit": "3"})
+    assert sorted(r2.readBetweenOffsets(start, end)) == first
