@@ -407,3 +407,148 @@ def x_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("block_chars").cast("long").alias("min_block_chars"),
         F.max("block_chars").cast("long").alias("max_block_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication pairs — the Lee-et-al-style exact dedup
+# signal, distinct from set-overlap Jaccard: two documents are
+# substring-duplicates when they share at least one exact k-word WINDOW
+# (k=8 here). Scale shape:
+#   1. distinct window set per doc (windows ride the shingle machinery);
+#   2. join key is md5(window) — fixed 32-char width regardless of k,
+#      identical in both engines, so the oracle is exact without
+#      shipping raw window strings through the shuffle;
+#   3. ultra-common windows (corpus boilerplate, df > 20) are dropped
+#      BEFORE pairing — they are not duplication evidence and they are
+#      the quadratic skew key: a window in D docs makes D² pairs, so
+#      the df cap bounds per-key join fan-out at 20² regardless of
+#      corpus size (the standard trick in substring-dedup systems);
+#   4. aggregate to (id_a, id_b, n_shared) — the pair grain is narrow.
+# ---------------------------------------------------------------------------
+
+_SUBSTR_K = 8
+_SUBSTR_MAX_DF = 20
+
+
+@register(
+    "x_dedup_exact_substring",
+    f"""
+WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+win AS (
+  SELECT doc_id,
+         md5(unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - {_SUBSTR_K - 1}, 0)),
+           i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(_SUBSTR_K))})))) AS h
+  FROM toks
+),
+keep AS (
+  SELECT h FROM win GROUP BY h HAVING count(*) <= {_SUBSTR_MAX_DF}
+),
+w2 AS (SELECT doc_id, h FROM win WHERE h IN (SELECT h FROM keep)),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+  FROM w2 a JOIN w2 b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT id_a, id_b, n_shared FROM pairs
+ORDER BY n_shared DESC, id_a ASC, id_b ASC
+""",
+)
+def x_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    win = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col("text"), _SUBSTR_K), lambda s: F.md5(s)
+                )
+            )
+        ).alias("h"),
+    )
+    keep = win.groupBy("h").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") <= _SUBSTR_MAX_DF
+    )
+    w2 = win.join(keep.select("h"), "h")
+    a = w2.select(F.col("doc_id").alias("id_a"), "h")
+    b = w2.select(F.col("doc_id").alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .orderBy(F.col("n_shared").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality scoring — the fasttext-style classifier stage of a
+# curation pipeline, as a LINEAR model over interpretable features with
+# FROZEN illustrative weights (a real deployment exports trained
+# weights into the same literals; the plan does not change). The score
+# is the logit (monotone in the probability — no transcendental sigmoid
+# in the hashed output), computed by ONE IEEE expression tree identical
+# in both engines: a pure projection + broadcast-free single pass, no
+# shuffle at all, which is the entire point of classifier-based
+# filtering at 100 TB — it streams.
+# ---------------------------------------------------------------------------
+
+_QC_STOPWORDS = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS["en"])
+_QC_W = {"bias": -1.2, "stop": 3.0, "uniq": 1.6, "len_pen": -0.02}
+
+
+@register(
+    "x_quality_classifier_score",
+    f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(list_filter({_WORDS_SQL}, x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({_WORDS_SQL},
+              x -> list_contains([{_QC_STOPWORDS}], lower(x)))) AS BIGINT) AS n_stop,
+         CAST(len(list_distinct(list_filter({_WORDS_SQL}, x -> x <> ''))) AS BIGINT)
+           AS n_uniq,
+         CAST(length(trim(text)) AS BIGINT) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_tokens,
+       round({_QC_W['bias']}
+             + {_QC_W['stop']} * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1))
+             + {_QC_W['uniq']} * (CAST(n_uniq AS DOUBLE) / greatest(n_tokens, 1))
+             + {_QC_W['len_pen']} * abs(CAST(n_chars AS DOUBLE)
+                   / greatest(n_tokens, 1) - 6.0), 6) AS logit,
+       ({_QC_W['bias']}
+             + {_QC_W['stop']} * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1))
+             + {_QC_W['uniq']} * (CAST(n_uniq AS DOUBLE) / greatest(n_tokens, 1))
+             + {_QC_W['len_pen']} * abs(CAST(n_chars AS DOUBLE)
+                   / greatest(n_tokens, 1) - 6.0)) > 0 AS keep
+FROM f
+""",
+)
+def x_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = T.words(F.col("text"))
+    nonempty = F.filter(w, lambda x: x != "")
+    stops = list(T.LANG_STOPWORDS["en"])
+    f = d.select(
+        "doc_id",
+        F.size(nonempty).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(w, lambda x: F.lower(x).isin(*stops)))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.size(F.array_distinct(nonempty)).cast("bigint").alias("n_uniq"),
+        F.length(F.trim("text")).cast("bigint").alias("n_chars"),
+    )
+    nt = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    logit = (
+        F.lit(_QC_W["bias"])
+        + F.lit(_QC_W["stop"]) * (F.col("n_stop").cast("double") / nt)
+        + F.lit(_QC_W["uniq"]) * (F.col("n_uniq").cast("double") / nt)
+        + F.lit(_QC_W["len_pen"])
+        * F.abs(F.col("n_chars").cast("double") / nt - F.lit(6.0))
+    )
+    return f.select(
+        "doc_id",
+        "n_tokens",
+        F.round(logit, 6).alias("logit"),
+        (logit > 0).alias("keep"),
+    )

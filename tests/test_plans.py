@@ -424,3 +424,22 @@ def test_ann_recall_truth_and_probe_sides_broadcast(spark):
     tree = tree_of(spark, "x_ann_recall_at_k")
     assert "SortMergeJoin" not in tree, tree
     assert "BroadcastHashJoin" in tree or "BroadcastNestedLoopJoin" in tree, tree
+
+
+def test_quality_classifier_is_pure_streaming_projection(spark):
+    # classifier filtering must STREAM at 100 TB: one scan, zero
+    # exchanges, all features + logit inside codegen
+    tree = tree_of(spark, "x_quality_classifier_score")
+    assert "Exchange" not in tree, tree
+    assert tree.count("Scan parquet") == 1, tree
+    assert "BatchEvalPython" not in tree, tree
+
+
+def test_exact_substring_caps_window_df_before_pairing(spark):
+    # the df cap (HAVING count <= 20) must aggregate BEFORE the self
+    # join — it bounds the quadratic fan-out per window key; the pair
+    # join itself shuffles on the md5 window hash (uniform), never a
+    # cartesian
+    tree = tree_of(spark, "x_dedup_exact_substring")
+    assert "CartesianProduct" not in tree, tree
+    assert tree.count("HashAggregate") >= 4, tree  # df cap + pair agg, partial+final
