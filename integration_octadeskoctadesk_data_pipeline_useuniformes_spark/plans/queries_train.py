@@ -19,6 +19,8 @@ from pyspark.sql import functions as F
 
 from ..operators import text as T
 from ..operators.dedup import word_shingles
+from ..query_scope import scoped_persist
+from ..tables import fan_out_small_scan
 from ..operators.pack import pack_sequences
 from ..operators.sampling import proportional_resample
 from ..tables import load_table
@@ -455,16 +457,24 @@ ORDER BY n_shared DESC, id_a ASC, id_b ASC
 """,
 )
 def x_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    win = d.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.transform(
-                    word_shingles(F.col("text"), _SUBSTR_K), lambda s: F.md5(s)
+    d = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    # the window index feeds THREE consumers (df-cap aggregate + both
+    # pair-join sides): persist it once — unlike the bm25 full-vocab
+    # cache this grain is not avoidable statistics, it IS the dedup
+    # working set every consumer needs (same rationale as the minhash
+    # signature persist). Without it the corpus tokenize+shingle+md5
+    # runs four times per call (measured in the executed plan).
+    win = scoped_persist(
+        d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        word_shingles(F.col("text"), _SUBSTR_K), lambda s: F.md5(s)
+                    )
                 )
-            )
-        ).alias("h"),
+            ).alias("h"),
+        )
     )
     keep = win.groupBy("h").agg(F.count(F.lit(1)).alias("__df")).filter(
         F.col("__df") <= _SUBSTR_MAX_DF
@@ -510,18 +520,16 @@ WITH f AS (
          CAST(length(trim(text)) AS BIGINT) AS n_chars
   FROM documents
 )
-SELECT doc_id, n_tokens,
-       round({_QC_W['bias']}
-             + {_QC_W['stop']} * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1))
-             + {_QC_W['uniq']} * (CAST(n_uniq AS DOUBLE) / greatest(n_tokens, 1))
-             + {_QC_W['len_pen']} * abs(CAST(n_chars AS DOUBLE)
-                   / greatest(n_tokens, 1) - 6.0), 6) AS logit,
-       ({_QC_W['bias']}
-             + {_QC_W['stop']} * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1))
-             + {_QC_W['uniq']} * (CAST(n_uniq AS DOUBLE) / greatest(n_tokens, 1))
-             + {_QC_W['len_pen']} * abs(CAST(n_chars AS DOUBLE)
-                   / greatest(n_tokens, 1) - 6.0)) > 0 AS keep
-FROM f
+SELECT doc_id, n_tokens, round(raw_logit, 6) AS logit, raw_logit > 0 AS keep
+FROM (
+  SELECT doc_id, n_tokens,
+         {_QC_W['bias']}
+           + {_QC_W['stop']} * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1))
+           + {_QC_W['uniq']} * (CAST(n_uniq AS DOUBLE) / greatest(n_tokens, 1))
+           + {_QC_W['len_pen']} * abs(CAST(n_chars AS DOUBLE)
+                 / greatest(n_tokens, 1) - 6.0) AS raw_logit
+  FROM f
+)
 """,
 )
 def x_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:

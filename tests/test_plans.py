@@ -437,9 +437,19 @@ def test_quality_classifier_is_pure_streaming_projection(spark):
 
 def test_exact_substring_caps_window_df_before_pairing(spark):
     # the df cap (HAVING count <= 20) must aggregate BEFORE the self
-    # join — it bounds the quadratic fan-out per window key; the pair
-    # join itself shuffles on the md5 window hash (uniform), never a
-    # cartesian
+    # join — it bounds the quadratic fan-out per window key. A plan
+    # that capped AFTER pairing would have exactly ONE join; the
+    # cap-before shape has three (each pair side semi-joins the
+    # aggregated keep set, then the pair join) — so >= 3 joins pins the
+    # ordering, not just the presence of the aggregates. The window
+    # index must be persisted (one tokenize+shingle+md5 pass, not four).
     tree = tree_of(spark, "x_dedup_exact_substring")
     assert "CartesianProduct" not in tree, tree
-    assert tree.count("HashAggregate") >= 4, tree  # df cap + pair agg, partial+final
+    n_joins = sum(
+        tree.count(j)
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins >= 3, tree
+    assert "InMemoryTableScan" in tree, tree
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scan_ids) == 1, tree
