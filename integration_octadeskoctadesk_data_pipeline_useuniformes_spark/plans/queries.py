@@ -138,16 +138,17 @@ DRIVER_WINDOW: list[str] = [
     "x_session_conversion",
     "x_dedup_lsh_recall_sample",
 ]
-# Round-4 rotation backlog (13 queries with no green driver row after
+# Round-4 rotation backlog (14 queries with no green driver row after
 # r3, all strict-parity green locally at sf0.01): 8 deferred unchanged
 # implementations from the lowest-risk tier —
 # x_corpus_datacard, x_langid_mismatch_by_source, x_text_sentiment,
 # x_fuzzy_name_match, x_sample_by_quality, x_profile_documents,
 # x_length_histogram, x_packing_efficiency —
-# plus the 5 queries added this round (registered after the window so
+# plus the 6 queries added this round (registered after the window so
 # they do not displace re-verification slots):
 # x_bpe_pair_counts, x_word_entropy_quality, x_ann_recall_at_k,
-# x_dedup_exact_substring, x_quality_classifier_score
+# x_dedup_exact_substring, x_quality_classifier_score,
+# x_dedup_simhash_hamming_pairs
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:

@@ -856,3 +856,94 @@ def x_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(n_matched * 100) div n_truth").alias("recall_pct"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate pairs via the pigeonhole block trick — the
+# scale path the fingerprint query needs (analogous to LSH banding for
+# MinHash): split the 60-bit fingerprint into 4 blocks of 15 bits; any
+# pair within Hamming distance <= 3 differs in at most 3 blocks, so it
+# MUST share at least one block exactly (no false negatives, by
+# pigeonhole). Candidates = pairs sharing a (block_idx, block_val) key —
+# a uniform join key — then the exact Hamming check runs only on
+# candidates (47x pruning measured at sf0.01: 2 635 candidates vs
+# 124 750 all-pairs). The fingerprint frame feeds three consumers
+# (blocks + both verify sides): persisted once, doc-grain.
+# ---------------------------------------------------------------------------
+
+_SH_BLOCKS, _SH_BLOCK_BITS, _SH_MAX_HAMMING = 4, 15, 3
+
+
+@register(
+    "x_dedup_simhash_hamming_pairs",
+    f"""
+WITH fp AS ({_simhash_oracle().replace("documents", "documents", 1)}),
+blk AS (
+  SELECT doc_id, b.i AS block_idx,
+         (simhash >> ({_SH_BLOCK_BITS} * b.i)) & {(1 << _SH_BLOCK_BITS) - 1} AS block_val
+  FROM fp, (SELECT unnest([0, 1, 2, 3]) AS i) b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM blk a JOIN blk c
+    ON a.block_idx = c.block_idx AND a.block_val = c.block_val
+   AND a.doc_id < c.doc_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(CAST(xor(fa.simhash, fb.simhash) AS BIGINT)) AS BIGINT)
+         AS hamming
+FROM cand
+JOIN fp fa ON fa.doc_id = id_a
+JOIN fp fb ON fb.doc_id = id_b
+WHERE bit_count(CAST(xor(fa.simhash, fb.simhash) AS BIGINT)) <= {_SH_MAX_HAMMING}
+ORDER BY hamming ASC, id_a ASC, id_b ASC
+""",
+)
+def x_dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = scoped_persist(D.simhash_fingerprints(docs))
+    mask = (1 << _SH_BLOCK_BITS) - 1
+    blk = fp.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_idx"),
+                        (
+                            F.shiftright(F.col("simhash"), _SH_BLOCK_BITS * i)
+                            .bitwiseAND(mask)
+                        ).alias("block_val"),
+                    )
+                    for i in range(_SH_BLOCKS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.block_idx", "b.block_val")
+    cand = (
+        blk.alias("a")
+        .join(
+            blk.alias("c"),
+            (F.col("a.block_idx") == F.col("c.block_idx"))
+            & (F.col("a.block_val") == F.col("c.block_val"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("c.doc_id").alias("id_b"))
+        .distinct()
+    )
+    fa = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("__fa"))
+    fb = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("__fb"))
+    hamming = F.bit_count(F.col("__fa").bitwiseXOR(F.col("__fb"))).cast("bigint")
+    # broadcast the PAIR-grain side, never the doc-grain fingerprints:
+    # at scale fp is corpus-sized while candidates are the pruned pair
+    # set — fp streams (from its cache) against the broadcast pair list
+    # in both verify joins (drop to plain hash joins if a corpus ever
+    # yields a candidate set too large to broadcast)
+    with_a = fa.join(F.broadcast(cand), "id_a")
+    return (
+        fb.join(F.broadcast(with_a), "id_b")
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= _SH_MAX_HAMMING)
+        .select("id_a", "id_b", "hamming")
+        .orderBy(F.col("hamming").asc(), F.col("id_a").asc(), F.col("id_b").asc())
+    )

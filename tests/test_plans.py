@@ -453,3 +453,15 @@ def test_exact_substring_caps_window_df_before_pairing(spark):
     assert "InMemoryTableScan" in tree, tree
     scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
     assert len(scan_ids) == 1, tree
+
+
+def test_simhash_hamming_pairs_broadcasts_pair_grain_only(spark):
+    # the pigeonhole verify joins must broadcast the PAIR-grain
+    # candidate side; the doc-grain fingerprint frame streams from its
+    # cache — broadcasting fp would ship the corpus at scale
+    tree = tree_of(spark, "x_dedup_simhash_hamming_pairs")
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+    assert "InMemoryTableScan" in tree, tree
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scan_ids) == 1, tree
