@@ -283,3 +283,57 @@ def test_word_entropy_matches_python_model(spark, docs, tmp_path_factory):
         n = sum(cnt.values())
         h = round(math.log(n) - sum(c * math.log(c) for c in cnt.values()) / n, 6)
         assert got[i] == (n, len(cnt), h), (i, docs, got[i])
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=30),
+        min_size=2,
+        max_size=8,
+    ),
+    data=st.data(),
+)
+@_SETTINGS
+def test_exact_substring_pairs_match_python_model(spark, docs, data, tmp_path_factory):
+    """x_dedup_exact_substring == a direct model: pairs sharing >=1
+    distinct 8-word window whose corpus df <= 20, with shared-window
+    counts — including PLANTED duplication (one doc's window copied
+    into another), which the random tail alone would almost never hit."""
+    from collections import Counter, defaultdict
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    K = 8
+    words_per_doc = [list(d) for d in docs]
+    # plant: copy an 8-word run from doc 0 into doc 1 when doc 0 is long enough
+    if len(words_per_doc[0]) >= K:
+        start = data.draw(st.integers(0, len(words_per_doc[0]) - K))
+        words_per_doc[1] = words_per_doc[1] + words_per_doc[0][start : start + K]
+
+    tmp = tmp_path_factory.mktemp("substr")
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(words_per_doc)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    windows = {
+        i: {" ".join(ws[j : j + K]) for j in range(len(ws) - K + 1)}
+        for i, ws in enumerate(words_per_doc)
+    }
+    df_ct = Counter(w for wins in windows.values() for w in wins)
+    kept = {w for w, c in df_ct.items() if c <= 20}
+    model = defaultdict(int)
+    ids = sorted(windows)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            shared = (windows[ids[ai]] & windows[ids[bi]]) & kept
+            if shared:
+                model[(ids[ai], ids[bi])] = len(shared)
+
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in catalog.queries()["x_dedup_exact_substring"](spark, str(tmp)).collect()
+    }
+    assert got == dict(model), (words_per_doc, got, dict(model))
