@@ -1,0 +1,122 @@
+"""Iterative byte-pair-encoding merge mining on the vocabulary grain.
+
+``x_bpe_pair_counts`` (plans/queries_tokenizer.py) mines the FIRST
+round of merge candidates; a real BPE trainer (Sennrich et al. 2016)
+iterates: pick the most frequent adjacent symbol pair, fuse it into a
+new symbol everywhere, re-count, repeat. This operator runs that loop
+the way a 100 TB trainer must:
+
+- the corpus is scanned ONCE, reduced to the word-frequency table
+  (vocab grain: O(|vocab|) rows regardless of corpus size, map-side
+  combined) and persisted;
+- every iteration runs entirely on that persisted vocab-grain frame —
+  pair re-count (one tiny shuffle, map-side combined), top-1 pick
+  (TakeOrdered, never a global sort), merge application (a literal
+  ``replace`` projection);
+- the only driver-side data is the winning (pair, count) per step —
+  k rows of tokenizer metadata, the same legitimate-collect class as
+  k-means centroids (queries_retrieval.py:492).
+
+Symbol sequences are encoded as a separator-wrapped string — each
+symbol ``s`` contributes ``SEP + s + SEP`` — so applying a merge
+``(a, b) -> ab`` is the literal replacement ``SEP a SEP SEP b SEP →
+SEP ab SEP``. Both Spark's ``replace`` and DuckDB's ``replace`` scan
+left-to-right over non-overlapping occurrences, which is exactly BPE's
+greedy application order ("aaa" + merge (a,a) → ["aa", "a"]), and the
+double separator between adjacent symbols means a pattern can only
+match FULL symbols (the tail of "xa" can never match "·a·"). The
+engines therefore agree bit-for-bit, which is what makes the unrolled
+DuckDB oracle possible.
+
+Reference parity note: the reference (pandas/BigQuery ETL) has no
+tokenizer surface — LLM-pipeline extension tier (SURVEY §6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import query_scope
+
+__all__ = ["SEP", "bpe_merge_steps", "wrap_words"]
+
+#: Symbol separator for the wrapped-string encoding. Words containing
+#: it are excluded from training (see wrap_words) so it can never be
+#: confused with symbol content.
+SEP = "\x01"
+
+
+def wrap_words(word_freq: DataFrame, word: str = "word", n: str = "n") -> DataFrame:
+    """(word, n) -> (str, n) with each character wrapped ``SEP c SEP``."""
+    return word_freq.select(
+        F.regexp_replace(F.col(word), "(.)", SEP + "$1" + SEP).alias("str"),
+        F.col(n).alias("n"),
+    )
+
+
+def _pair_counts(wrapped: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts, weighted by word frequency. Runs on
+    the vocab grain: explode is over per-word symbol lists (bounded by
+    word length), the groupBy is map-side combined."""
+    syms = F.filter(F.split(F.col("str"), SEP), lambda x: x != F.lit(""))
+    pairs = F.when(
+        F.size("syms") > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("syms"), i),
+                F.lit(SEP),
+                F.element_at(F.col("syms"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        wrapped.select(syms.alias("syms"), "n")
+        .select(F.explode(pairs).alias("pr"), "n")
+        .groupBy("pr")
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+    )
+
+
+def bpe_merge_steps(
+    word_freq: DataFrame, n_steps: int, *, debug_frames: list | None = None
+) -> list[tuple[int, str, str, str, int]]:
+    """Run ``n_steps`` BPE merge rounds over a (word, n) frequency table.
+
+    Returns ``[(step, left_sym, right_sym, merged, cnt), ...]`` —
+    deterministic tie-break: highest count, then lexicographically
+    smallest pair (binary collation in both engines).
+
+    ``debug_frames`` (tests only) receives the wrapped base frame and
+    each iteration's pair-count frame so plan tests can pin "corpus
+    scanned once, iterations read the vocab-grain cache".
+    """
+    cur = query_scope.scoped_persist(wrap_words(word_freq))
+    if debug_frames is not None:
+        debug_frames.append(cur)
+    steps: list[tuple[int, str, str, str, int]] = []
+    for k in range(1, n_steps + 1):
+        counts = _pair_counts(cur)
+        if debug_frames is not None:
+            debug_frames.append(counts)
+        top = counts.orderBy(F.col("cnt").desc(), F.col("pr").asc()).limit(1).collect()
+        if not top:
+            break
+        left, right = top[0]["pr"].split(SEP)
+        merged = left + right
+        steps.append((k, left, right, merged, int(top[0]["cnt"])))
+        # literal replace == greedy left-to-right merge application;
+        # each iteration's frame is scoped-persisted so the next
+        # round's re-count reads it, not the whole chain
+        cur = query_scope.scoped_persist(
+            cur.select(
+                F.replace(
+                    F.col("str"),
+                    F.lit(SEP + left + SEP + SEP + right + SEP),
+                    F.lit(SEP + merged + SEP),
+                ).alias("str"),
+                "n",
+            )
+        )
+    return steps

@@ -26,6 +26,8 @@ bucketing operator at all (§2.5 "no group-by" — extension tier).
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -114,5 +116,16 @@ def exact_quantile_disc(
         )
     result = cum.groupBy(*keys).agg(*picks)
     if groups is not None:
-        result = groups.join(result, keys, "left")
+        # Null-safe re-attach: a NULL group KEY is a legitimate group
+        # under both Spark groupBy and SQL GROUP BY (only NULL *values*
+        # of ``col`` are excluded above), so the join back onto the
+        # distinct-key frame must use <=> — plain equality would drop
+        # the NULL-keyed group's computed quantiles and emit NULLs for
+        # a group that has real values.
+        cond = functools.reduce(
+            lambda a, b: a & b, [groups[k].eqNullSafe(result[k]) for k in keys]
+        )
+        result = groups.join(result, cond, "left").select(
+            *[groups[k] for k in keys], *[result[label] for label in quantiles]
+        )
     return result

@@ -70,85 +70,75 @@ def register(name: str, oracle: str | None):
 #: registry entries per round (observed: CORRECTNESS_r01/r02 == the
 #: first 50 names in registration order), so each round the window
 #: rotates to the queries that most need a fresh driver row. Earlier
-#: rounds' rows persist in CORRECTNESS_r{N}.json. Round-3 window
-#: (VERDICT r2 items 1+5, ADVICE r2 "include changed queries"):
-#: x_bm25_search was materially rewritten this round (the full-vocab
-#: persist regression fix) so it re-enters for a fresh driver row, plus
-#: 49 of the 57-query backlog — prioritizing every query whose
-#: underlying operator changed this round (exact_quantile_disc NULL
-#: handling, global_running_sum persist, scoped-persist conversion,
-#: Arrow batch-size scoping) and the scale/temporal tiers the r2
-#: verdict called out.
+#: rounds' rows persist in CORRECTNESS_r{N}.json. Round-4 window
+#: (VERDICT r3 item 1): changed/new queries lead (ADVICE r2 standing
+#: rule) — x_bpe_merge_steps is new this round, the SimHash pair
+#: verify got its size-gated broadcast, and exact_quantile_disc's
+#: group re-attach went null-safe — then the FULL 14-query backlog
+#: (after which every one of the 160 registered queries has at least
+#: one green driver row), then the 19 bench headliners and the scale/
+#: cache-heavy tier for second hard rows in the spare slots.
 DRIVER_WINDOW: list[str] = [
-    # re-verify: materially rewritten this round (full-vocab persist removed)
+    # changed or new this round (re-verify first)
+    "x_bpe_merge_steps",
+    "x_dedup_simhash_hamming_pairs",
+    "x_exact_quantiles_chars",
+    # round-3 backlog: the 5 remaining r3 additions
+    "x_bpe_pair_counts",
+    "x_word_entropy_quality",
+    "x_ann_recall_at_k",
+    "x_dedup_exact_substring",
+    "x_quality_classifier_score",
+    # round-3 backlog: the 8 deferred low-risk queries
+    "x_corpus_datacard",
+    "x_langid_mismatch_by_source",
+    "x_text_sentiment",
+    "x_fuzzy_name_match",
+    "x_sample_by_quality",
+    "x_profile_documents",
+    "x_length_histogram",
+    "x_packing_efficiency",
+    # bench headliners — every timed query gets a fresh driver row
+    "flagship_unresolved_distinct",
+    "f1_range_filter_events",
+    "f5_first_match_per_chat",
+    "c13_pivot_event_types",
+    "j1_full_outer_integrate",
+    "j3_anti_dedup",
+    "agg_pricing_summary",
+    "x_dedup_minhash_lsh_pairs",
+    "x_ann_cosine_topk",
+    "x_text_quality",
+    "x_curation_pipeline",
+    "agg_regional_revenue",
+    "x_pack_sequences",
+    "x_ann_ivf_topk",
+    "x_ngram_novelty",
+    "x_kmeans_semantic_clusters",
     "x_bm25_search",
-    # D2 mapInPandas fan-out (VERDICT item 5) + temporal tier
-    "x_multimodal_audio_energy",
-    "x_asof_click_before_purchase",
-    "x_range_join_error_window",
-    "x_sessionize_batch",
-    "x_split_train_val",
-    "x_token_topk",
-    "x_embedding_centroid",
-    "x_resample_daily_gapfill",
-    # scale tier (VERDICT item 1 priority) + sampling/SCD
-    "x_skyline_price_size",
-    "x_value_iqr_outliers",
-    "x_doc_length_buckets",
-    "x_sample_stratified",
-    "x_sample_cap_per_source",
-    "x_scd2_user_state",
-    "x_bloom_prune_join",
-    "x_global_running_revenue",
-    "x_approx_distinct_users",
-    "x_cms_heavy_hitters",
+    "x_outlier_mad_by_source",
+    "agg_funnel_view_click_purchase",
+    # scale tier + cache-heavy queries (query_scope dedupe touched the
+    # persist path every one of these exercises)
     "x_skew_salted_agg",
+    "x_global_running_revenue",
+    "x_bloom_prune_join",
+    "x_cms_heavy_hitters",
     "x_table_checksum",
+    "x_approx_distinct_users",
     "x_approx_percentile_value",
     "x_global_row_number",
-    # training-pipeline + text-quality tier
-    "x_mixture_resample",
-    "x_pii_redact",
-    "x_quality_repetition",
-    "x_contamination_3gram",
-    "x_train_pipeline",
-    "x_mixture_temperature",
-    # fn_* battery remainder
-    "fn_window_range_frame",
-    "fn_set_bag_ops",
-    "fn_window_ratio_to_report",
-    "fn_date_parse_battery",
-    "fn_nullsafe_join",
-    # retrieval tier (incl. x_tfidf_top_terms, previously plan-polluted by the bm25 cache leak; x_dedup_estimate_error per ADVICE r2)
-    "x_tfidf_top_terms",
-    "x_chunk_documents",
-    "x_ann_quantized_topk",
-    "x_semdedup_within_clusters",
-    "x_hybrid_retrieval_rerank",
-    "x_dedup_cluster_sizes",
-    "x_dedup_containment",
-    "x_dedup_incremental_batch",
-    "x_dedup_estimate_error",
-    "x_category_drift",
-    # drift/integrity tier (exact_quantile_disc + prefix-sum + persist lifecycle all changed this round)
-    "x_exact_quantiles_chars",
     "x_constraint_audit",
-    "x_embedding_drift_by_source",
     "x_vocab_coverage",
-    "x_session_conversion",
-    "x_dedup_lsh_recall_sample",
+    "x_multimodal_audio_energy",
+    "x_dedup_clusters",
+    "x_tfidf_top_terms",
+    "x_hybrid_retrieval_rerank",
+    "x_semdedup_within_clusters",
 ]
-# Round-4 rotation backlog (14 queries with no green driver row after
-# r3, all strict-parity green locally at sf0.01): 8 deferred unchanged
-# implementations from the lowest-risk tier —
-# x_corpus_datacard, x_langid_mismatch_by_source, x_text_sentiment,
-# x_fuzzy_name_match, x_sample_by_quality, x_profile_documents,
-# x_length_histogram, x_packing_efficiency —
-# plus the 6 queries added this round (registered after the window so
-# they do not displace re-verification slots):
-# x_bpe_pair_counts, x_word_entropy_quality, x_ann_recall_at_k,
-# x_dedup_exact_substring, x_quality_classifier_score,
-# x_dedup_simhash_hamming_pairs
+# No rotation backlog after round 4: the r3 backlog (8 deferred +
+# 6 r3 additions) is fully inside this window, so every registered
+# query has a green driver row once CORRECTNESS_r04 lands.
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:

@@ -872,6 +872,14 @@ def x_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SH_BLOCKS, _SH_BLOCK_BITS, _SH_MAX_HAMMING = 4, 15, 3
+#: Candidate-pair rows above which the verify joins stop hinting
+#: F.broadcast on the pair side and fall back to plain hash joins
+#: (VERDICT r3: an unconditional hint OOMs the driver on a skewed
+#: corpus where one hot 15-bit block makes the candidate set huge).
+#: 2M pairs × ~100 B/row ≈ 200 MB broadcast — the comfortable ceiling
+#: for a driver sized like the bench one; tests monkeypatch this to
+#: pin both regimes.
+_SH_BROADCAST_CAP = 2_000_000
 
 
 @register(
@@ -937,11 +945,18 @@ def x_dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     # broadcast the PAIR-grain side, never the doc-grain fingerprints:
     # at scale fp is corpus-sized while candidates are the pruned pair
     # set — fp streams (from its cache) against the broadcast pair list
-    # in both verify joins (drop to plain hash joins if a corpus ever
-    # yields a candidate set too large to broadcast)
-    with_a = fa.join(F.broadcast(cand), "id_a")
+    # in both verify joins. The hint is SIZE-GATED (VERDICT r3): unlike
+    # x_ann_recall_at_k's broadcast side (≤|queries|·k by construction)
+    # the candidate count has no a-priori bound — a skewed corpus with
+    # one hot 15-bit block can make it quadratic in that block's
+    # population, and a hard hint would then OOM the driver. Counting
+    # cand costs one job over the pruned pair grain and doubles as the
+    # cache materialization both verify joins then hit.
+    cand = scoped_persist(cand)
+    maybe_bc = F.broadcast if cand.count() <= _SH_BROADCAST_CAP else (lambda d: d)
+    with_a = fa.join(maybe_bc(cand), "id_a")
     return (
-        fb.join(F.broadcast(with_a), "id_b")
+        fb.join(maybe_bc(with_a), "id_b")
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= _SH_MAX_HAMMING)
         .select("id_a", "id_b", "hamming")

@@ -128,3 +128,91 @@ def x_word_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_uniq",
         F.round(F.log(n) - F.col("c_lnc") / n, 6).alias("h_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge mining (VERDICT r3 item 2) — the full trainer
+# loop over operators/bpe.py: pick the top adjacent-symbol pair, fuse
+# it everywhere, re-count, repeat. The corpus is scanned ONCE (reduced
+# to the persisted word-frequency table); all N iterations run on that
+# vocab grain — pair re-count is a tiny map-side-combined shuffle, the
+# merge application a literal-replace projection, and the only driver
+# data is N (pair, count) winners (tokenizer metadata, the k-means-
+# centroid collect class). The DuckDB oracle unrolls the same N rounds
+# as a CTE chain over the identical wrapped-string encoding — replace()
+# is greedy left-to-right non-overlapping in both engines, so merges
+# apply bit-identically.
+# ---------------------------------------------------------------------------
+
+_BPE_STEPS = 6
+
+
+def _bpe_merge_oracle(n_steps: int) -> str:
+    ctes = [
+        f"""w AS (
+  SELECT unnest({_WORDS_SQL}) AS word FROM documents
+), wf AS (
+  SELECT lower(word) AS word, count(*) AS n FROM w
+  WHERE word <> '' AND NOT contains(word, chr(1)) GROUP BY lower(word)
+), s0 AS (
+  SELECT regexp_replace(word, '(.)', chr(1)||'\\1'||chr(1), 'g') AS str, n FROM wf
+)"""
+    ]
+    for k in range(1, n_steps + 1):
+        ctes.append(
+            f"""p{k} AS (
+  SELECT pr, CAST(sum(n) AS BIGINT) AS cnt FROM (
+    SELECT unnest(list_transform(generate_series(1, len(syms) - 1),
+                                 i -> syms[i] || chr(1) || syms[i + 1])) AS pr, n
+    FROM (SELECT list_filter(string_split(str, chr(1)), x -> x <> '') AS syms, n
+          FROM s{k - 1})
+  ) GROUP BY pr
+), t{k} AS (
+  SELECT pr, cnt FROM p{k} ORDER BY cnt DESC, pr ASC LIMIT 1
+), s{k} AS (
+  SELECT replace(str,
+                 chr(1)||string_split(pr, chr(1))[1]||chr(1)
+                   ||chr(1)||string_split(pr, chr(1))[2]||chr(1),
+                 chr(1)||replace(pr, chr(1), '')||chr(1)) AS str, n
+  FROM s{k - 1}, t{k}
+)"""
+        )
+    finals = [
+        f"""SELECT CAST({k} AS INTEGER) AS step,
+       string_split(pr, chr(1))[1] AS left_sym,
+       string_split(pr, chr(1))[2] AS right_sym,
+       replace(pr, chr(1), '') AS merged, cnt
+FROM t{k}"""
+        for k in range(1, n_steps + 1)
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + "\n"
+        + "\nUNION ALL\n".join(finals)
+        + "\nORDER BY step"
+    )
+
+
+def _bpe_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus -> (word, n) vocabulary-grain frequency table: the single
+    corpus scan every BPE iteration then reuses (shared with tests)."""
+    from ..operators.bpe import SEP
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .filter((F.col("word") != "") & (~F.col("word").contains(SEP)))
+        .groupBy(F.lower("word").alias("word"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("x_bpe_merge_steps", _bpe_merge_oracle(_BPE_STEPS))
+def x_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_merge_steps
+
+    steps = bpe_merge_steps(_bpe_word_freq(spark, sf_dir), _BPE_STEPS)
+    return spark.createDataFrame(
+        steps, "step int, left_sym string, right_sym string, merged string, cnt bigint"
+    ).orderBy("step")

@@ -30,6 +30,17 @@ wrong answer).
 ``unpersist()`` on a DataFrame another plan still references is safe:
 Spark just recomputes the subtree — a perf effect, never a correctness
 one.
+
+THREADING: the scope is module-level state with no locking, which
+matches Spark's own cache manager granularity — caches are
+session-global, so two threads building catalog queries concurrently
+would fight over the ONE cache namespace regardless of how this module
+synchronized (thread-local scopes cannot exist when the resource being
+scoped is global). The supported pattern is the one every consumer in
+this repo uses: a single driver thread builds catalog queries
+sequentially (the driver sweep, bench.py, parity_check.py, pytest). A
+multi-threaded driver must serialize catalog-query BUILDS (actions on
+already-built DataFrames are fine to run concurrently).
 """
 
 from __future__ import annotations
@@ -77,7 +88,20 @@ def exit_scope() -> None:
 def scoped_persist(
     df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
 ) -> DataFrame:
-    """``df.persist(level)`` + registration for release at next query start."""
+    """``df.persist(level)`` + registration for release at next query start.
+
+    Already-cached plans are returned as-is without re-registering: a
+    warm re-run of the same query rebuilds an identical DataFrame whose
+    analyzed plan the session cache manager already holds
+    (``df.storageLevel`` consults that manager, not the local handle),
+    so persisting again would only log ``already cached`` warnings and
+    grow ``_ACTIVE_CACHES`` unboundedly under a repeat-one-query
+    profiling loop (ADVICE r3). The first run's registered handle keeps
+    ownership; release() through it unpersists the shared cache entry.
+    """
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
+        return df
     out = df.persist(level)
     _ACTIVE_CACHES.append(out)
     return out

@@ -456,12 +456,95 @@ def test_exact_substring_caps_window_df_before_pairing(spark):
 
 
 def test_simhash_hamming_pairs_broadcasts_pair_grain_only(spark):
-    # the pigeonhole verify joins must broadcast the PAIR-grain
-    # candidate side; the doc-grain fingerprint frame streams from its
-    # cache — broadcasting fp would ship the corpus at scale
+    # small regime (candidate count under _SH_BROADCAST_CAP): the
+    # pigeonhole verify joins broadcast the PAIR-grain candidate side;
+    # the doc-grain fingerprint frame streams from its cache —
+    # broadcasting fp would ship the corpus at scale
     tree = tree_of(spark, "x_dedup_simhash_hamming_pairs")
     assert "CartesianProduct" not in tree, tree
     assert "BroadcastHashJoin" in tree, tree
     assert "InMemoryTableScan" in tree, tree
     scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
     assert len(scan_ids) == 1, tree
+
+
+def test_simhash_hamming_pairs_drops_hint_above_broadcast_cap(
+    spark, monkeypatch
+):
+    # large regime (VERDICT r3 item 5): above the size gate the HARD
+    # F.broadcast hint must be gone — a hint forces a driver-side
+    # broadcast regardless of spark.sql.autoBroadcastJoinThreshold,
+    # which is exactly the OOM a skewed hot block causes at scale. With
+    # the cap forced to -1 and auto-broadcast disabled, the verify
+    # joins must plan as non-broadcast joins (size-driven choice
+    # restored to the conf/AQE), while correctness is unchanged.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries_ext,
+    )
+
+    # start cold: a prior same-tag build (the small-regime test) leaves
+    # its caches live, and cache substitution would splice the candidate
+    # InMemoryRelation over the block self-join, hiding the join shape
+    query_scope.release()
+    monkeypatch.setattr(queries_ext, "_SH_BROADCAST_CAP", -1)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tree = tree_of(spark, "x_dedup_simhash_hamming_pairs")
+        assert "BroadcastHashJoin" not in tree, tree
+        assert "CartesianProduct" not in tree, tree
+        n_joins = sum(
+            tree.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin")
+        )
+        assert n_joins >= 3, tree  # block self-join + 2 verify joins
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        query_scope.release()
+
+
+def test_bpe_merge_steps_scans_corpus_once_iterates_on_vocab(spark):
+    # VERDICT r3 item 2's scale contract: the corpus is scanned ONCE
+    # (the persisted word-frequency base frame) and every merge
+    # iteration's pair re-count reads the vocab-grain CACHE, never the
+    # parquet again. debug_frames exposes the base + per-iteration
+    # count frames for exactly this assertion.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.bpe import (
+        bpe_merge_steps,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_tokenizer import (
+        _bpe_word_freq,
+    )
+
+    def tree_of_df(df):
+        return spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        ).split("\n\n", 1)[0]
+
+    query_scope.release()
+    try:
+        frames = []
+        steps = bpe_merge_steps(_bpe_word_freq(spark, SF), 3, debug_frames=frames)
+        assert len(steps) == 3 and len(frames) == 4
+        base = tree_of_df(frames[0])
+        # one distinct parquet scan node (the explain expands the
+        # materialized cache with AQE initial+final plans, repeating
+        # the SAME node id)
+        assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", base))) == 1, base
+        for it in frames[1:]:
+            tree = tree_of_df(it)
+            assert "InMemoryTableScan" in tree, tree
+            # any parquet scan in the explain lives INSIDE the cached
+            # vocab relation — nothing re-reads the corpus
+            first_scan = tree.find("Scan parquet")
+            assert first_scan == -1 or tree.find("InMemoryRelation") < first_scan, tree
+            # pair re-count is a single map-side-combined shuffle on
+            # the vocab grain — no joins anywhere in the loop
+            assert "Join" not in tree, tree
+    finally:
+        query_scope.release()

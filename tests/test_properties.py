@@ -337,3 +337,79 @@ def test_exact_substring_pairs_match_python_model(spark, docs, data, tmp_path_fa
         for r in catalog.queries()["x_dedup_exact_substring"](spark, str(tmp)).collect()
     }
     assert got == dict(model), (words_per_doc, got, dict(model))
+
+
+def _py_bpe_model(wf: dict, n_steps: int):
+    """Direct BPE trainer model: greedy left-to-right merge application,
+    tie-break (count desc, left+SEP+right asc) — the engine contract."""
+    from collections import Counter
+
+    SEP = "\x01"
+    seqs = {w: list(w) for w in wf}
+    steps = []
+    for k in range(1, n_steps + 1):
+        pc = Counter()
+        for w, n in wf.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += n
+        if not pc:
+            break
+        (a, b), cnt = min(
+            pc.items(), key=lambda kv: (-kv[1], kv[0][0] + SEP + kv[0][1])
+        )
+        steps.append((k, a, b, a + b, cnt))
+        for w, s in seqs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return steps
+
+
+def test_bpe_merge_steps_overlap_semantics(spark):
+    """The greedy-overlap contract, pinned on the classic case: 'aaaa'
+    merges to [aa, aa] in round 1 (pair count 3, but application is
+    left-to-right non-overlapping), then to [aaaa] in round 2, then the
+    loop stops early — replace()'s scan order IS BPE's."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.bpe import (
+        bpe_merge_steps,
+    )
+
+    wf = spark.createDataFrame([("aaaa", 1)], "word string, n bigint")
+    got = bpe_merge_steps(wf, 5)
+    assert got == [(1, "a", "a", "aa", 3), (2, "aa", "aa", "aaaa", 1)], got
+
+
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="ab", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=9),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_bpe_merge_steps_matches_python_model(spark, words):
+    """bpe_merge_steps == the direct trainer model for every corpus:
+    same winners, same counts, same greedy application, same early
+    stop."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.bpe import (
+        bpe_merge_steps,
+    )
+
+    query_scope.release()
+    try:
+        wf = spark.createDataFrame(list(words.items()), "word string, n bigint")
+        got = bpe_merge_steps(wf, 4)
+        assert got == _py_bpe_model(words, 4), (words, got)
+    finally:
+        query_scope.release()

@@ -97,3 +97,23 @@ def test_same_query_different_dataset_releases_old_caches(spark):
     regs["x_outlier_mad_by_source"](spark, "/root/testdata/sf0.01").count()
     assert not any(df.storageLevel.useMemory for df in held)
     query_scope.release()
+
+
+def test_warm_rerun_does_not_grow_cache_registry(spark):
+    """ADVICE r3: same-tag re-entry (a profiling loop re-running ONE
+    query) must not append a fresh handle per pass — scoped_persist
+    skips registration when the analyzed plan is already live in the
+    session cache manager. Registry stays at one handle per distinct
+    persisted subtree, and release still clears the shared entry."""
+    regs = catalog.queries()
+    query_scope.release()
+    regs["x_outlier_mad_by_source"](spark, SF).count()
+    n_first = len(query_scope._ACTIVE_CACHES)
+    assert n_first >= 1
+    for _ in range(3):
+        regs["x_outlier_mad_by_source"](spark, SF).count()
+    assert len(query_scope._ACTIVE_CACHES) == n_first
+    held = _live_caches()
+    assert held
+    query_scope.release()
+    assert not any(df.storageLevel.useMemory for df in held)

@@ -550,3 +550,49 @@ def test_exact_quantile_disc_all_null_group_emits_row(spark):
         ).fetchall()
     )
     assert rows == want == {"a": 1, "b": None}
+
+
+def test_exact_quantile_disc_null_group_key_keeps_values(spark):
+    """A NULL group KEY is a legitimate group (GROUP BY groups NULLs
+    together in both engines); only NULL *values* are excluded from the
+    quantile. The r3 ADVICE flagged that re-attaching groups with plain
+    equality dropped the NULL-keyed group's computed row — this pins the
+    null-safe join against DuckDB, multi-key included."""
+    import duckdb
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.buckets import (
+        exact_quantile_disc,
+    )
+
+    data = [
+        (None, "x", 1),
+        (None, "x", 9),
+        (None, None, 5),
+        ("a", "x", 4),
+        ("a", None, None),
+        ("a", None, 7),
+    ]
+    df = spark.createDataFrame(data, "g string, h string, v int").repartition(3)
+    got = {
+        (r["g"], r["h"]): r["p50"]
+        for r in exact_quantile_disc(
+            df, "v", {"p50": (1, 2)}, group_by=("g", "h")
+        ).collect()
+    }
+    con = duckdb.connect()
+    want = {
+        (g, h): p50
+        for g, h, p50 in con.execute(
+            "SELECT g, h, quantile_disc(v, 0.5) FROM (VALUES "
+            + ", ".join(
+                "("
+                + ", ".join("NULL" if x is None else repr(x) for x in (g, h, v))
+                + ")"
+                for g, h, v in data
+            )
+            + ") t(g, h, v) GROUP BY g, h"
+        ).fetchall()
+    }
+    assert got == want, (got, want)
+    # the NULL-keyed groups carry their REAL quantiles, not NULL
+    assert got[(None, "x")] == 1 and got[(None, None)] == 5 and got[("a", None)] == 7

@@ -7,6 +7,11 @@ divergence (Decimal vs float64, array cells) that a tolerant comparison
 would miss.
 
 Usage: python tools/parity_check.py [sf_dir] [query ...]
+
+Gate recipe per round (COVERAGE.md "Driver correctness window"):
+full catalog at sf0.01, then the SENSITIVE set at sf0.1 —
+``python tools/parity_check.py /root/testdata/sf0.1 $(python -c
+"from tools.parity_check import SENSITIVE; print(' '.join(SENSITIVE))")``.
 """
 import sys
 
@@ -15,6 +20,36 @@ import numpy as np
 import pandas as pd
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+#: Permanent sf0.1 strict-value set: queries whose semantics are most
+#: sensitive to data volume (float accumulation order, sketch
+#: saturation, window/prefix grain, cache scope) — every round re-runs
+#: these at sf0.1, not just sf0.01. Includes the round-3 additions
+#: (VERDICT r3 item 6) and round 4's iterative BPE.
+SENSITIVE = [
+    # scale tier (sketches, prefix sums, checksums, quantiles)
+    "x_bloom_prune_join",
+    "x_cms_heavy_hitters",
+    "x_approx_distinct_users",
+    "x_global_running_revenue",
+    "x_global_row_number",
+    "x_table_checksum",
+    "x_exact_quantiles_chars",
+    "x_vocab_coverage",
+    # float/iteration-sensitive retrieval
+    "x_kmeans_semantic_clusters",
+    "x_bm25_search",
+    "x_tfidf_top_terms",
+    # round-3 additions
+    "x_bpe_pair_counts",
+    "x_word_entropy_quality",
+    "x_ann_recall_at_k",
+    "x_dedup_exact_substring",
+    "x_quality_classifier_score",
+    "x_dedup_simhash_hamming_pairs",
+    # round-4 additions
+    "x_bpe_merge_steps",
+]
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
