@@ -420,3 +420,69 @@ def test_stream_reader_offset_range_replay_is_deterministic(tmp_path):
     # a FRESH reader instance (post-restart process) replays identically
     r2 = RestStreamReader(schema, {"path": str(root), "start": "2024-01-01T00:00:00", "limit": "3"})
     assert sorted(r2.readBetweenOffsets(start, end)) == first
+
+
+def test_writer_duplicate_task_attempt_publishes_once(tmp_path, monkeypatch):
+    """Adversarial two-phase-commit case (VERDICT r3 item 8): Spark may
+    run TWO attempts of the same task (speculation, or a zombie first
+    attempt that keeps executing after its retry started). Both stage
+    files, but the driver hands commit() exactly ONE commit message per
+    successful task — so exactly one attempt's rows publish, the zombie
+    attempt's staged file never becomes visible, and teardown removes it."""
+    import pyspark
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sources.rest_source import (
+        RestWriter,
+    )
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    root = tmp_path / "sink"
+    root.mkdir()
+    schema = StructType([StructField("id", StringType())])
+    writer = RestWriter(schema, {"path": str(root), "limit": 2, "writeid": "w1"}, False)
+
+    class _Ctx:
+        def __init__(self, pid, att):
+            self._p, self._a = pid, att
+
+        def partitionId(self):
+            return self._p
+
+        def attemptNumber(self):
+            return self._a
+
+    class _TC:
+        _cur = None
+
+        @classmethod
+        def get(cls):
+            return cls._cur
+
+    monkeypatch.setattr(pyspark, "TaskContext", _TC)
+    rows = [{"id": str(i)} for i in range(5)]
+
+    _TC._cur = _Ctx(0, 0)
+    msg_zombie = writer.write(iter(rows))  # first attempt: stages, then "hangs"
+    _TC._cur = _Ctx(0, 1)
+    msg_retry = writer.write(iter(rows))  # retry of the SAME partition
+
+    staged = sorted(p.name for p in (root / ".staging-w1").iterdir())
+    assert staged == ["task-0-0.jsonl", "task-0-1.jsonl"]
+    assert msg_zombie.staged != msg_retry.staged
+
+    writer.commit([msg_retry])  # driver saw only the retry succeed
+
+    manifest = json.loads((root / "_manifest.json").read_text())
+    assert manifest["rows"] == 5
+    published = [
+        r["id"]
+        for fn in manifest["files"]
+        for line in (root / fn).read_text().splitlines()
+        for r in json.loads(line)
+    ]
+    assert sorted(published, key=int) == [str(i) for i in range(5)]  # once, not twice
+    # the zombie's staged file is gone with the staging dir — it can
+    # never be published by a later commit or leak into a re-listing
+    assert not (root / ".staging-w1").exists()
+    batch_files = [p.name for p in root.iterdir() if p.name.startswith("batch-")]
+    assert batch_files == manifest["files"]
