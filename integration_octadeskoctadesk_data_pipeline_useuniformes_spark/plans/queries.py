@@ -75,12 +75,13 @@ def register(name: str, oracle: str | None):
 #: rule) — x_bpe_merge_steps is new this round, the SimHash pair
 #: verify got its size-gated broadcast, and exact_quantile_disc's
 #: group re-attach went null-safe — then the FULL 14-query backlog
-#: (after which every one of the 160 registered queries has at least
+#: (after which every one of the 161 registered queries has at least
 #: one green driver row), then the 19 bench headliners and the scale/
 #: cache-heavy tier for second hard rows in the spare slots.
 DRIVER_WINDOW: list[str] = [
     # changed or new this round (re-verify first)
     "x_bpe_merge_steps",
+    "x_bpe_encode_docs",
     "x_dedup_simhash_hamming_pairs",
     "x_exact_quantiles_chars",
     # round-3 backlog: the 5 remaining r3 additions
@@ -134,7 +135,6 @@ DRIVER_WINDOW: list[str] = [
     "x_dedup_clusters",
     "x_tfidf_top_terms",
     "x_hybrid_retrieval_rerank",
-    "x_semdedup_within_clusters",
 ]
 # No rotation backlog after round 4: the r3 backlog (8 deferred +
 # 6 r3 additions) is fully inside this window, so every registered

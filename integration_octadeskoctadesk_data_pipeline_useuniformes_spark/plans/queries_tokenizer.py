@@ -216,3 +216,83 @@ def x_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         steps, "step int, left_sym string, right_sym string, merged string, cnt bigint"
     ).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+# BPE encoding — applying the learned merge list to the corpus (the
+# other half of a tokenizer: train = x_bpe_merge_steps, encode = this).
+# Scale shape: training runs on the vocab grain as above; ENCODING is a
+# pure codegen projection — each document's words are wrapped and run
+# through the 6 literal replaces (the collected merge list is tokenizer
+# metadata, baked into the plan as literals), and the per-doc BPE token
+# count is an in-row aggregate over the word list. ZERO shuffles, one
+# corpus scan for the encode pass — it streams at any corpus size; the
+# training pass is amortized exactly like a real tokenizer (train once,
+# encode everywhere). The DuckDB oracle re-derives the same merges
+# (shared CTE chain) and applies them via the identical replace chain,
+# cross-joined against the six single-row winner CTEs.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_encode_oracle(n_steps: int) -> str:
+    train = _bpe_merge_oracle(n_steps)
+    ctes = train[len("WITH ") : train.index("\nSELECT CAST(1 AS INTEGER)")]
+    expr = "regexp_replace(word, '(.)', chr(1)||'\\1'||chr(1), 'g')"
+    for k in range(1, n_steps + 1):
+        expr = (
+            f"replace({expr},\n"
+            f"  chr(1)||string_split(t{k}.pr, chr(1))[1]||chr(1)"
+            f"||chr(1)||string_split(t{k}.pr, chr(1))[2]||chr(1),\n"
+            f"  chr(1)||replace(t{k}.pr, chr(1), '')||chr(1))"
+        )
+    froms = ", ".join(f"t{k}" for k in range(1, n_steps + 1))
+    return f"""WITH {ctes},
+dw AS (
+  SELECT doc_id, lower(word) AS word
+  FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents)
+  WHERE word <> '' AND NOT contains(word, chr(1))
+), enc AS (
+  SELECT doc_id,
+         len(list_filter(string_split({expr}, chr(1)), x -> x <> ''))
+           AS n_syms
+  FROM dw, {froms}
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+FROM enc GROUP BY doc_id
+"""
+
+
+@register("x_bpe_encode_docs", _bpe_encode_oracle(_BPE_STEPS))
+def x_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import SEP, bpe_merge_steps
+
+    steps = bpe_merge_steps(_bpe_word_freq(spark, sf_dir), _BPE_STEPS)
+
+    # the merge list is plan metadata: bake the replace chain into one
+    # codegen expression word -> symbol count
+    def n_syms(word):
+        expr = F.regexp_replace(word, "(.)", SEP + "$1" + SEP)
+        for _, left, right, merged, _ in steps:
+            expr = F.replace(
+                expr,
+                F.lit(SEP + left + SEP + SEP + right + SEP),
+                F.lit(SEP + merged + SEP),
+            )
+        return F.size(F.filter(F.split(expr, SEP), lambda x: x != F.lit("")))
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"),
+        lambda w: (w != F.lit("")) & ~w.contains(SEP),
+    )
+    return d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(words, n_syms),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint"),
+        ).alias("n_bpe_tokens"),
+    )

@@ -548,3 +548,22 @@ def test_bpe_merge_steps_scans_corpus_once_iterates_on_vocab(spark):
             assert "Join" not in tree, tree
     finally:
         query_scope.release()
+
+
+def test_bpe_encode_docs_is_pure_projection(spark):
+    # encode-time contract: the learned merge list is baked into the
+    # plan as literals, so encoding the corpus is ONE scan + a codegen
+    # projection — zero exchanges, zero Python, no joins. (The training
+    # pass runs at build time on the vocab grain; its shape is pinned by
+    # test_bpe_merge_steps_scans_corpus_once_iterates_on_vocab.)
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_bpe_encode_docs")
+        assert "Exchange" not in tree, tree
+        assert "BatchEvalPython" not in tree and "Join" not in tree, tree
+        assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1, tree
+    finally:
+        query_scope.release()

@@ -212,3 +212,25 @@ def test_driver_window_leads_registry_order():
     # every window query must have an oracle (it is there to be CHECKED)
     oracles = oracle_sql()
     assert [n for n in DRIVER_WINDOW if n not in oracles] == []
+
+
+def test_sensitive_sf01_set_resolves_and_is_oracle_backed():
+    """The permanent sf0.1 strict-value set (tools/parity_check.py::
+    SENSITIVE) must stay in sync with the registry: every name
+    registered and oracle-backed, so the per-round sf0.1 gate can run
+    it verbatim."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.parity_check import SENSITIVE
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries import (
+        _REGISTRY,
+        oracle_sql,
+    )
+
+    assert len(SENSITIVE) == len(set(SENSITIVE))
+    missing = [n for n in SENSITIVE if n not in _REGISTRY]
+    assert not missing, missing
+    oracles = oracle_sql()
+    assert [n for n in SENSITIVE if n not in oracles] == []

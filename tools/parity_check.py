@@ -49,6 +49,7 @@ SENSITIVE = [
     "x_dedup_simhash_hamming_pairs",
     # round-4 additions
     "x_bpe_merge_steps",
+    "x_bpe_encode_docs",
 ]
 
 
