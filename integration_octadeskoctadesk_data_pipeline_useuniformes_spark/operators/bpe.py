@@ -41,16 +41,21 @@ from .. import query_scope
 
 __all__ = ["SEP", "bpe_merge_steps", "wrap_words"]
 
-#: Symbol separator for the wrapped-string encoding. Words containing
-#: it are excluded from training (see wrap_words) so it can never be
-#: confused with symbol content.
+#: Symbol separator for the wrapped-string encoding. wrap_words drops
+#: words containing it so it can never be confused with symbol content.
 SEP = "\x01"
 
 
 def wrap_words(word_freq: DataFrame, word: str = "word", n: str = "n") -> DataFrame:
-    """(word, n) -> (str, n) with each character wrapped ``SEP c SEP``."""
-    return word_freq.select(
-        F.regexp_replace(F.col(word), "(.)", SEP + "$1" + SEP).alias("str"),
+    """(word, n) -> (str, n) with each character wrapped ``SEP c SEP``.
+
+    Words containing SEP are dropped HERE (not only in the catalog
+    query's word extraction) so the operator is safe standalone; the
+    regex runs in DOTALL mode so every character — newlines included —
+    gets wrapped (an unwrapped char would sit between single separators
+    and silently no-op every merge that wins on it)."""
+    return word_freq.filter(~F.col(word).contains(SEP)).select(
+        F.regexp_replace(F.col(word), "(?s)(.)", SEP + "$1" + SEP).alias("str"),
         F.col(n).alias("n"),
     )
 

@@ -147,7 +147,11 @@ def x_word_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_STEPS = 6
 
 
-def _bpe_merge_oracle(n_steps: int) -> str:
+def _bpe_train_ctes(n_steps: int) -> str:
+    """The shared training CTE chain (word freq -> wrapped strings ->
+    per-round pair counts p{k} / winners t{k} / merged strings s{k}) —
+    assembled by BOTH oracles below, so neither needs to slice the
+    other's generated SQL."""
     ctes = [
         f"""w AS (
   SELECT unnest({_WORDS_SQL}) AS word FROM documents
@@ -177,6 +181,10 @@ def _bpe_merge_oracle(n_steps: int) -> str:
   FROM s{k - 1}, t{k}
 )"""
         )
+    return ",\n".join(ctes)
+
+
+def _bpe_merge_oracle(n_steps: int) -> str:
     finals = [
         f"""SELECT CAST({k} AS INTEGER) AS step,
        string_split(pr, chr(1))[1] AS left_sym,
@@ -187,7 +195,7 @@ FROM t{k}"""
     ]
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + _bpe_train_ctes(n_steps)
         + "\n"
         + "\nUNION ALL\n".join(finals)
         + "\nORDER BY step"
@@ -229,24 +237,32 @@ def x_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus scan for the encode pass — it streams at any corpus size; the
 # training pass is amortized exactly like a real tokenizer (train once,
 # encode everywhere). The DuckDB oracle re-derives the same merges
-# (shared CTE chain) and applies them via the identical replace chain,
-# cross-joined against the six single-row winner CTEs.
+# (shared CTE chain) and applies them via the identical replace chain.
+# Degenerate corpora are mirrored exactly (self-review findings): a
+# winner CTE that ran dry (corpus supports fewer than N merges) becomes
+# a no-op replace via a coalesce fallback whose pattern (four adjacent
+# separators) can never occur in a wrapped string — matching the Spark
+# side's early loop stop — and documents with no qualifying words still
+# emit (doc_id, 0, 0) via the left join back onto documents.
 # ---------------------------------------------------------------------------
 
 
 def _bpe_encode_oracle(n_steps: int) -> str:
-    train = _bpe_merge_oracle(n_steps)
-    ctes = train[len("WITH ") : train.index("\nSELECT CAST(1 AS INTEGER)")]
+    fallbacks = ",\n".join(
+        f"m{k} AS (SELECT coalesce(min(pr), chr(1)) AS pr FROM t{k})"
+        for k in range(1, n_steps + 1)
+    )
     expr = "regexp_replace(word, '(.)', chr(1)||'\\1'||chr(1), 'g')"
     for k in range(1, n_steps + 1):
         expr = (
             f"replace({expr},\n"
-            f"  chr(1)||string_split(t{k}.pr, chr(1))[1]||chr(1)"
-            f"||chr(1)||string_split(t{k}.pr, chr(1))[2]||chr(1),\n"
-            f"  chr(1)||replace(t{k}.pr, chr(1), '')||chr(1))"
+            f"  chr(1)||string_split(m{k}.pr, chr(1))[1]||chr(1)"
+            f"||chr(1)||string_split(m{k}.pr, chr(1))[2]||chr(1),\n"
+            f"  chr(1)||replace(m{k}.pr, chr(1), '')||chr(1))"
         )
-    froms = ", ".join(f"t{k}" for k in range(1, n_steps + 1))
-    return f"""WITH {ctes},
+    froms = ", ".join(f"m{k}" for k in range(1, n_steps + 1))
+    return f"""WITH {_bpe_train_ctes(n_steps)},
+{fallbacks},
 dw AS (
   SELECT doc_id, lower(word) AS word
   FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents)
@@ -256,11 +272,16 @@ dw AS (
          len(list_filter(string_split({expr}, chr(1)), x -> x <> ''))
            AS n_syms
   FROM dw, {froms}
+), agg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
+  FROM enc GROUP BY doc_id
 )
-SELECT doc_id,
-       CAST(count(*) AS BIGINT) AS n_words,
-       CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens
-FROM enc GROUP BY doc_id
+SELECT d.doc_id,
+       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 """
 
 

@@ -54,6 +54,11 @@ from pyspark.storagelevel import StorageLevel
 __all__ = ["scoped_persist", "defer", "release", "enter", "exit_scope"]
 
 _ACTIVE_CACHES: list[DataFrame] = []
+#: semanticHash of every plan WE persisted — the skip-if-cached fast
+#: path must only fire for caches this scope owns, never adopt a cache
+#: a direct operator user created outside the scope (which release()
+#: must still clear, per the module contract above).
+_ACTIVE_HASHES: set[int] = set()
 _DEFERRED: list[Callable[[], Any]] = []
 _DEPTH: int = 0
 _CURRENT_TAG: str | None = None
@@ -90,20 +95,30 @@ def scoped_persist(
 ) -> DataFrame:
     """``df.persist(level)`` + registration for release at next query start.
 
-    Already-cached plans are returned as-is without re-registering: a
-    warm re-run of the same query rebuilds an identical DataFrame whose
-    analyzed plan the session cache manager already holds
-    (``df.storageLevel`` consults that manager, not the local handle),
-    so persisting again would only log ``already cached`` warnings and
-    grow ``_ACTIVE_CACHES`` unboundedly under a repeat-one-query
-    profiling loop (ADVICE r3). The first run's registered handle keeps
-    ownership; release() through it unpersists the shared cache entry.
+    Plans already cached BY THIS SCOPE are returned as-is without
+    re-registering: a warm re-run of the same query rebuilds an
+    identical DataFrame whose analyzed plan the session cache manager
+    already holds (``df.storageLevel`` consults that manager, not the
+    local handle), so persisting again would only log ``already
+    cached`` warnings and grow ``_ACTIVE_CACHES`` unboundedly under a
+    repeat-one-query profiling loop (ADVICE r3). The first run's
+    registered handle keeps ownership; release() through it unpersists
+    the shared cache entry. The ownership check (semanticHash against
+    the registered set) matters: a cache a direct operator user created
+    OUTSIDE the scope must still be registered here so release() clears
+    it — skipping it would leave an unbounded-lifetime cache that
+    substitutes into later queries' plans, the exact leak this module
+    exists to stop.
     """
     lvl = df.storageLevel
-    if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
+    if (
+        (lvl.useMemory or lvl.useDisk or lvl.useOffHeap)
+        and df.semanticHash() in _ACTIVE_HASHES
+    ):
         return df
     out = df.persist(level)
     _ACTIVE_CACHES.append(out)
+    _ACTIVE_HASHES.add(out.semanticHash())
     return out
 
 
@@ -120,6 +135,7 @@ def release() -> None:
     teardown must not mask the test/bench result)."""
     global _CURRENT_TAG
     _CURRENT_TAG = None
+    _ACTIVE_HASHES.clear()
     while _ACTIVE_CACHES:
         df = _ACTIVE_CACHES.pop()
         try:

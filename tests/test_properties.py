@@ -413,3 +413,62 @@ def test_bpe_merge_steps_matches_python_model(spark, words):
         assert got == _py_bpe_model(words, 4), (words, got)
     finally:
         query_scope.release()
+
+
+def test_bpe_encode_docs_degenerate_corpus_matches_oracle(spark, tmp_path_factory):
+    """Self-review regressions: (a) a corpus supporting FEWER than
+    _BPE_STEPS merges must not empty the oracle (dried-up winner CTEs
+    become no-op replaces), and (b) a document with no qualifying words
+    must still emit (doc_id, 0, 0) in both engines."""
+    import duckdb
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    tmp = tmp_path_factory.mktemp("bpe_enc_degen")
+    # 'ab ab' + 'ab' supports exactly ONE merge (a,b); doc 2 is blank
+    rows = [(0, "ab ab"), (1, "ab"), (2, "   ")]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    got = sorted(
+        tuple(r)
+        for r in catalog.queries()["x_bpe_encode_docs"](spark, str(tmp)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp}/documents.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(w)
+        for w in con.execute(catalog.oracle_sql()["x_bpe_encode_docs"]).fetchall()
+    )
+    assert got == want == [(0, 2, 2), (1, 1, 1), (2, 0, 0)], (got, want)
+
+
+def test_wrap_words_handles_newlines_and_drops_sep_words(spark):
+    """Standalone-operator contract: every character (newlines included)
+    is separator-wrapped — an unwrapped char would silently no-op every
+    merge that wins on it — and SEP-containing words are dropped inside
+    the operator, not just by the catalog query's word extraction."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.bpe import (
+        SEP,
+        bpe_merge_steps,
+        wrap_words,
+    )
+
+    wf = spark.createDataFrame(
+        [("a\nb", 3), ("x" + SEP + "y", 9)], "word string, n bigint"
+    )
+    wrapped = [r["str"] for r in wrap_words(wf).collect()]
+    assert wrapped == [SEP + "a" + SEP + SEP + "\n" + SEP + SEP + "b" + SEP]
+    # and the trainer merges THROUGH the newline symbol like any other
+    # (tie on count 3: pair string '\n<SEP>b' sorts before 'a<SEP>\n')
+    steps = bpe_merge_steps(wf, 2)
+    assert steps == [
+        (1, "\n", "b", "\nb", 3),
+        (2, "a", "\nb", "a\nb", 3),
+    ], steps

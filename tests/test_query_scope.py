@@ -117,3 +117,31 @@ def test_warm_rerun_does_not_grow_cache_registry(spark):
     assert held
     query_scope.release()
     assert not any(df.storageLevel.useMemory for df in held)
+
+
+def test_scoped_persist_registers_foreign_caches(spark):
+    """Ownership check (self-review): a cache created OUTSIDE the scope
+    (direct df.persist() by an operator user) must still be registered
+    when scoped_persist sees the same plan — skipping it would leave an
+    unbounded-lifetime cache substituting into later queries' plans.
+    Only caches THIS scope created take the skip-if-cached fast path."""
+    query_scope.release()
+    base = spark.range(100).selectExpr("id", "id * 2 AS v")
+    foreign = base.persist()
+    try:
+        foreign.count()
+        same_plan = spark.range(100).selectExpr("id", "id * 2 AS v")
+        assert same_plan.storageLevel.useMemory  # cache-manager hit
+        out = query_scope.scoped_persist(same_plan)
+        assert len(query_scope._ACTIVE_CACHES) == 1  # registered, not skipped
+        # re-running the SAME scoped persist now takes the fast path
+        again = query_scope.scoped_persist(
+            spark.range(100).selectExpr("id", "id * 2 AS v")
+        )
+        assert len(query_scope._ACTIVE_CACHES) == 1
+        query_scope.release()
+        assert not out.storageLevel.useMemory  # release cleared the entry
+        assert not again.storageLevel.useMemory
+    finally:
+        foreign.unpersist()
+        query_scope.release()
