@@ -72,16 +72,18 @@ def register(name: str, oracle: str | None):
 #: rotates to the queries that most need a fresh driver row. Earlier
 #: rounds' rows persist in CORRECTNESS_r{N}.json. Round-4 window
 #: (VERDICT r3 item 1): changed/new queries lead (ADVICE r2 standing
-#: rule) — x_bpe_merge_steps is new this round, the SimHash pair
-#: verify got its size-gated broadcast, and exact_quantile_disc's
-#: group re-attach went null-safe — then the FULL 14-query backlog
-#: (after which every one of the 161 registered queries has at least
+#: rule) — the BPE train/encode pair and the bigram-LM predictability
+#: filter are new this round, the SimHash pair verify got its
+#: size-gated broadcast, and exact_quantile_disc's group re-attach
+#: went null-safe — then the FULL 14-query backlog
+#: (after which every one of the 162 registered queries has at least
 #: one green driver row), then the 19 bench headliners and the scale/
 #: cache-heavy tier for second hard rows in the spare slots.
 DRIVER_WINDOW: list[str] = [
     # changed or new this round (re-verify first)
     "x_bpe_merge_steps",
     "x_bpe_encode_docs",
+    "x_lm_bigram_predictability",
     "x_dedup_simhash_hamming_pairs",
     "x_exact_quantiles_chars",
     # round-3 backlog: the 5 remaining r3 additions
@@ -134,7 +136,6 @@ DRIVER_WINDOW: list[str] = [
     "x_multimodal_audio_energy",
     "x_dedup_clusters",
     "x_tfidf_top_terms",
-    "x_hybrid_retrieval_rerank",
 ]
 # No rotation backlog after round 4: the r3 backlog (8 deferred +
 # 6 r3 additions) is fully inside this window, so every registered

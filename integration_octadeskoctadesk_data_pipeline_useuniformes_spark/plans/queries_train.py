@@ -560,3 +560,154 @@ def x_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(logit, 6).alias("logit"),
         (logit > 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM predictability filter — the CCNet/Gopher-style "perplexity
+# filtering" stage with an integer-exact surrogate. A Laplace-smoothed
+# bigram LM is trained on a DETERMINISTIC held-out half of the corpus
+# (the hash-split predicate of x_split_train_val, prefix 'lmtrain:',
+# threshold '80' ≈ 50%) and every document is scored by its mean
+# smoothed bigram probability in ppm:
+#
+#   seen bigram:   term = 1e6 · (c12 + 1) div (c1 + V)
+#   unseen bigram: term = 1e6 div V   (unknown-context Laplace floor;
+#                  the unseen COUNT is also emitted so downstream
+#                  filters can weigh novelty separately)
+#
+# All arithmetic is BIGINT (the repo-wide no-transcendentals-in-hashed-
+# output rule: a true log-likelihood sums floats in join-shuffled order,
+# which no cross-engine comparison can pin) — log-domain scoring swaps
+# in trivially for production use, same plan.
+#
+# Scale shape: the LM is built on the vocab/bigram grain (two map-side-
+# combined shuffles over the TRAIN half) and c1 is folded into the
+# bigram table at TRAIN time (an LM-grain join, corpus-size
+# independent), so SCORING is a single co-partitioned shuffle-hash join
+# of the doc-bigram stream against the unique-keyed LM — AQE handles
+# hot stopword-bigram probe skew — followed by the doc rollup. V rides
+# along as a broadcast scalar. Docs with <2 words still emit a row
+# (zeros, NULL mean) via the left join back onto documents.
+# ---------------------------------------------------------------------------
+
+_LM_WORDS = (
+    "list_filter(list_transform(string_split_regex(trim(text), '\\s+'),"
+    " w -> lower(w)), w -> w <> '' AND NOT contains(w, chr(1)))"
+)
+
+
+@register(
+    "x_lm_bigram_predictability",
+    f"""
+WITH ws AS (
+  SELECT doc_id, {_LM_WORDS} AS ws,
+         substr(md5('lmtrain:' || CAST(doc_id AS VARCHAR)), 1, 2) < '80' AS is_train
+  FROM documents
+), bg AS (
+  SELECT doc_id, is_train,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || chr(1) || ws[i + 1])) AS bg
+  FROM ws
+), uni AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(ws) AS word FROM ws WHERE is_train) GROUP BY word
+), vv AS (
+  SELECT CAST(count(*) AS BIGINT) AS v FROM uni
+), lm AS (
+  SELECT b.bg, CAST(count(*) AS BIGINT) AS c12, min(u.c1) AS c1
+  FROM bg b JOIN uni u ON string_split(b.bg, chr(1))[1] = u.word
+  WHERE b.is_train GROUP BY b.bg
+), sc AS (
+  SELECT d.doc_id,
+         CAST(count(*) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN lm.c12 IS NOT NULL
+                       THEN (1000000 * (lm.c12 + 1)) // (lm.c1 + vv.v)
+                       ELSE 1000000 // vv.v END) AS BIGINT) AS pred_ppm_total,
+         CAST(sum(CASE WHEN lm.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unseen
+  FROM bg d LEFT JOIN lm ON d.bg = lm.bg, vv
+  GROUP BY d.doc_id
+)
+SELECT doc.doc_id,
+       CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(coalesce(sc.pred_ppm_total, 0) AS BIGINT) AS pred_ppm_total,
+       CASE WHEN sc.n_bigrams > 0
+            THEN CAST(sc.pred_ppm_total // sc.n_bigrams AS BIGINT)
+            ELSE NULL END AS pred_ppm_mean,
+       CAST(coalesce(sc.n_unseen, 0) AS BIGINT) AS n_unseen
+FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id
+""",
+)
+def x_lm_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    SEP = "\x01"
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"),
+        lambda w: (w != F.lit("")) & ~w.contains(SEP),
+    )
+    bigrams = F.when(
+        F.size("ws") > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.concat(
+                F.element_at(F.col("ws"), i),
+                F.lit(SEP),
+                F.element_at(F.col("ws"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    is_train = (
+        F.substring(
+            F.md5(F.concat(F.lit("lmtrain:"), F.col("doc_id").cast("string"))), 1, 2
+        )
+        < "80"
+    )
+    base = d.select("doc_id", words.alias("ws"), is_train.alias("is_train"))
+
+    train_words = base.filter("is_train").select(F.explode("ws").alias("word"))
+    uni = train_words.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    # V broadcast as a 1-row scalar (the established broadcast-scalar
+    # pattern); uni is folded into the LM below, never joined at score
+    # time
+    vv = uni.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    train_bg = base.filter("is_train").select(F.explode(bigrams).alias("bg"))
+    # fold c1 into the bigram LM at TRAIN time (LM-grain join, corpus-
+    # size independent): scoring then needs exactly ONE join on bg
+    lm = (
+        train_bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .join(uni, F.substring_index(F.col("bg"), SEP, 1) == F.col("word"))
+        .select("bg", "c12", "c1")
+    )
+
+    doc_bg = base.select("doc_id", F.explode(bigrams).alias("bg"))
+    scored = (
+        doc_bg.join(lm, "bg", "left")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("c12").isNotNull(),
+                F.expr("(1000000 * (c12 + 1)) div (c1 + v)"),
+            )
+            .otherwise(F.expr("1000000 div v"))
+            .cast("bigint")
+            .alias("term"),
+            F.col("c12").isNull().cast("bigint").alias("unseen"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("term").cast("bigint").alias("pred_ppm_total"),
+            F.sum("unseen").cast("bigint").alias("n_unseen"),
+        )
+    )
+    return d.select("doc_id").join(scored, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+        F.coalesce("pred_ppm_total", F.lit(0)).cast("bigint").alias("pred_ppm_total"),
+        F.when(
+            F.col("n_bigrams") > 0, F.expr("pred_ppm_total div n_bigrams")
+        ).cast("bigint").alias("pred_ppm_mean"),
+        F.coalesce("n_unseen", F.lit(0)).cast("bigint").alias("n_unseen"),
+    )

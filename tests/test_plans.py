@@ -567,3 +567,29 @@ def test_bpe_encode_docs_is_pure_projection(spark):
         assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1, tree
     finally:
         query_scope.release()
+
+
+def test_lm_predictability_folds_unigrams_and_joins_lm_once(spark):
+    # scale contract: c1 folds into the bigram LM at TRAIN time (an
+    # LM-grain join), so the corpus-sized score stream joins exactly
+    # ONCE (on bg); V rides as a 1-row broadcast scalar (BNLJ), never a
+    # cartesian. Equi-joins in the whole lazy plan: lm fold + score +
+    # the final doc left join = 3. Scans of documents stay
+    # column-pruned re-reads (the documented mixture-resample pattern —
+    # cheaper at 100 TB than caching corpus-grain word arrays).
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_lm_bigram_predictability")
+        assert "CartesianProduct" not in tree, tree
+        n_equi = sum(
+            tree.count(j)
+            for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        )
+        assert n_equi == 3, tree
+        assert tree.count("BroadcastNestedLoopJoin") == 1, tree
+        assert "BatchEvalPython" not in tree, tree
+    finally:
+        query_scope.release()

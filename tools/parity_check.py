@@ -50,6 +50,7 @@ SENSITIVE = [
     # round-4 additions
     "x_bpe_merge_steps",
     "x_bpe_encode_docs",
+    "x_lm_bigram_predictability",
 ]
 
 
