@@ -472,3 +472,76 @@ def test_wrap_words_handles_newlines_and_drops_sep_words(spark):
         (1, "\n", "b", "\nb", 3),
         (2, "a", "\nb", "a\nb", 3),
     ], steps
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=3),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_lm_bigram_predictability_matches_python_model(
+    spark, docs, tmp_path_factory
+):
+    """x_lm_bigram_predictability == a direct model: Laplace bigram LM
+    over the hash-split train half, integer-ppm terms, unseen floor
+    1e6//V, per-doc rollup, zero rows for <2-word docs."""
+    import hashlib
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    tmp = tmp_path_factory.mktemp("lm")
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    def words_of(text):
+        return [w.lower() for w in text.strip().split() if w]
+
+    def is_train(doc_id):
+        return hashlib.md5(f"lmtrain:{doc_id}".encode()).hexdigest()[:2] < "80"
+
+    from collections import Counter
+
+    uni, big = Counter(), Counter()
+    for i, text in rows:
+        if is_train(i):
+            ws = words_of(text)
+            uni.update(ws)
+            big.update(zip(ws, ws[1:]))
+    v = len(uni)
+    want = {}
+    for i, text in rows:
+        ws = words_of(text)
+        bgs = list(zip(ws, ws[1:]))
+        total = unseen = 0
+        for bg in bgs:
+            if bg in big:
+                total += (1000000 * (big[bg] + 1)) // (uni[bg[0]] + v)
+            else:
+                total += 1000000 // v
+                unseen += 1
+        n = len(bgs)
+        want[i] = (n, total, total // n if n else None, unseen)
+
+    got = {
+        r["doc_id"]: (
+            r["n_bigrams"],
+            r["pred_ppm_total"],
+            r["pred_ppm_mean"],
+            r["n_unseen"],
+        )
+        for r in catalog.queries()["x_lm_bigram_predictability"](
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == want, (docs, got, want)
