@@ -76,7 +76,7 @@ def register(name: str, oracle: str | None):
 #: filter are new this round, the SimHash pair verify got its
 #: size-gated broadcast, and exact_quantile_disc's group re-attach
 #: went null-safe — then the FULL 14-query backlog
-#: (after which every one of the 162 registered queries has at least
+#: (after which every one of the 164 registered queries has at least
 #: one green driver row), then the 19 bench headliners and the scale/
 #: cache-heavy tier for second hard rows in the spare slots.
 DRIVER_WINDOW: list[str] = [
@@ -84,6 +84,8 @@ DRIVER_WINDOW: list[str] = [
     "x_bpe_merge_steps",
     "x_bpe_encode_docs",
     "x_lm_bigram_predictability",
+    "x_budget_select_topquality",
+    "x_ann_hard_negatives",
     "x_dedup_simhash_hamming_pairs",
     "x_exact_quantiles_chars",
     # round-3 backlog: the 5 remaining r3 additions
@@ -134,8 +136,6 @@ DRIVER_WINDOW: list[str] = [
     "x_constraint_audit",
     "x_vocab_coverage",
     "x_multimodal_audio_energy",
-    "x_dedup_clusters",
-    "x_tfidf_top_terms",
 ]
 # No rotation backlog after round 4: the r3 backlog (8 deferred +
 # 6 r3 additions) is fully inside this window, so every registered

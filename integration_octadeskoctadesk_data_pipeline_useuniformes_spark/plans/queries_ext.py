@@ -962,3 +962,71 @@ def x_dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("id_a", "id_b", "hamming")
         .orderBy(F.col("hamming").asc(), F.col("id_a").asc(), F.col("id_b").asc())
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — the contrastive-training data op: for each
+# query vector, the top-k most similar corpus vectors with a DIFFERENT
+# label (same-label hits are positives; the high-similarity
+# cross-label ones are the "hard" negatives an embedding trainer
+# wants). Same scale shape as x_ann_cosine_topk: the query side is tiny
+# and broadcast, the corpus streams once with no shuffle, the label
+# filter rides the broadcast join, and ranking shuffles only
+# (queries × survivors) rows with TakeOrdered-per-key semantics via the
+# row_number window on the pruned candidate set.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_ann_hard_negatives",
+    f"""
+WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+scored AS (
+  SELECT b.vec_id AS query_id, b.label AS query_label,
+         a.vec_id AS negative_id, a.label AS negative_label,
+         round({_COS_SQL}, 6) AS cos_sim
+  FROM e a JOIN e b ON b.vec_id < 5 AND a.label <> b.label
+)
+SELECT query_id, query_label, negative_id, negative_label, cos_sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY cos_sim DESC, negative_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 10
+""",
+)
+def x_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("__qvec"),
+        S.norm(F.col("embedding")).alias("__qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        F.col("embedding").alias("__cvec"),
+        S.norm(F.col("embedding")).alias("__cn"),
+    )
+    sim = F.round(
+        S.dot(F.col("__qvec"), F.col("__cvec")) / (F.col("__qn") * F.col("__cn")), 6
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("negative_label") != F.col("query_label"))
+        .select(
+            "query_id", "query_label", "negative_id", "negative_label",
+            sim.alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("negative_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "query_id", "query_label", "negative_id", "negative_label",
+            "cos_sim", "rank",
+        )
+    )

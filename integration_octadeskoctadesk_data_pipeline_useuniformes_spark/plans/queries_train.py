@@ -711,3 +711,89 @@ def x_lm_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("pred_ppm_mean"),
         F.coalesce("n_unseen", F.lit(0)).cast("bigint").alias("n_unseen"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Budget-constrained quality selection — "give me the best docs that
+# fit a token budget": rank by the frozen classifier logit (the same
+# IEEE expression tree as x_quality_classifier_score — fixed evaluation
+# order, so the full-precision sort keys are bit-identical across
+# engines), then keep the prefix whose cumulative token count fits the
+# budget. The running total is operators/prefix.global_running_sum —
+# the two-level prefix sum — because the naive sum() OVER (ORDER BY)
+# forces every row into ONE window task and cannot scale; ordering by
+# (-logit, doc_id) makes the order total, and the BIGINT token sum is
+# order-independent, so the result equals the single-window form
+# bit-for-bit (property-tested on the operator).
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 10_000
+
+
+@register(
+    "x_budget_select_topquality",
+    f"""
+WITH f AS (
+  SELECT doc_id,
+         CAST(len(list_filter({_WORDS_SQL}, x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({_WORDS_SQL},
+              x -> list_contains([{_QC_STOPWORDS}], lower(x)))) AS BIGINT) AS n_stop,
+         CAST(len(list_distinct(list_filter({_WORDS_SQL}, x -> x <> ''))) AS BIGINT)
+           AS n_uniq,
+         CAST(length(trim(text)) AS BIGINT) AS n_chars
+  FROM documents
+), s AS (
+  SELECT doc_id, n_tokens,
+         {_QC_W['bias']}
+           + {_QC_W['stop']} * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1))
+           + {_QC_W['uniq']} * (CAST(n_uniq AS DOUBLE) / greatest(n_tokens, 1))
+           + {_QC_W['len_pen']} * abs(CAST(n_chars AS DOUBLE)
+                 / greatest(n_tokens, 1) - 6.0) AS raw_logit
+  FROM f
+), r AS (
+  SELECT doc_id, n_tokens, raw_logit,
+         sum(n_tokens) OVER (ORDER BY raw_logit DESC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+  FROM s
+)
+SELECT doc_id, n_tokens, round(raw_logit, 6) AS logit,
+       CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM r WHERE cum_tokens <= {_BUDGET_TOKENS}
+""",
+)
+def x_budget_select_topquality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_running_sum
+
+    d = load_table(spark, sf_dir, "documents")
+    w = T.words(F.col("text"))
+    nonempty = F.filter(w, lambda x: x != "")
+    stops = list(T.LANG_STOPWORDS["en"])
+    f = d.select(
+        "doc_id",
+        F.size(nonempty).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(w, lambda x: F.lower(x).isin(*stops)))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.size(F.array_distinct(nonempty)).cast("bigint").alias("n_uniq"),
+        F.length(F.trim("text")).cast("bigint").alias("n_chars"),
+    )
+    nt = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    logit = (
+        F.lit(_QC_W["bias"])
+        + F.lit(_QC_W["stop"]) * (F.col("n_stop").cast("double") / nt)
+        + F.lit(_QC_W["uniq"]) * (F.col("n_uniq").cast("double") / nt)
+        + F.lit(_QC_W["len_pen"])
+        * F.abs(F.col("n_chars").cast("double") / nt - F.lit(6.0))
+    )
+    s = f.select("doc_id", "n_tokens", logit.alias("__logit")).withColumn(
+        "__neg", -F.col("__logit")
+    )
+    r = global_running_sum(
+        s, ["__neg", "doc_id"], F.col("n_tokens"), out_col="cum_tokens"
+    )
+    return r.filter(F.col("cum_tokens") <= _BUDGET_TOKENS).select(
+        "doc_id",
+        "n_tokens",
+        F.round("__logit", 6).alias("logit"),
+        F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+    )

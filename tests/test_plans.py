@@ -593,3 +593,40 @@ def test_lm_predictability_folds_unigrams_and_joins_lm_once(spark):
         assert "BatchEvalPython" not in tree, tree
     finally:
         query_scope.release()
+
+
+def test_budget_select_uses_distributed_prefix_sum(spark):
+    # the budget cut must come from the two-level prefix sum: local
+    # windows keyed by __pid, NEVER a single-partition global window
+    # over the corpus (the naive sum() OVER (ORDER BY logit) shape that
+    # cannot scale). The tiny P-row offsets window IS SinglePartition
+    # by design (post-reduction), so assert the data-grain window is
+    # pid-keyed rather than asserting SinglePartition's absence.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        plan = plan_of(spark, "x_budget_select_topquality")
+        # the data-grain window keys on the partition id (the detail
+        # section names the window spec columns)
+        assert "__pid" in plan, plan
+        tree = plan.split("\n\n", 1)[0]
+        # distinct Window nodes: local pid window + P-row offsets window
+        # (the cached relation's expansion repeats the same node id)
+        assert len(set(re.findall(r"Window\s+\((\d+)\)", tree))) == 2, tree
+        assert "CartesianProduct" not in tree, tree
+        assert "InMemoryTableScan" in tree, tree  # pid-stability persist
+        assert "BroadcastHashJoin" in tree, tree  # offsets broadcast back
+    finally:
+        query_scope.release()
+
+
+def test_hard_negatives_broadcasts_queries_corpus_streams(spark):
+    # the query side (vec_id < 5) broadcasts; the corpus side must not
+    # be exchanged for the scoring — only the pruned candidate rows
+    # shuffle for the per-query ranking window
+    tree = tree_of(spark, "x_ann_hard_negatives")
+    assert "CartesianProduct" not in tree, tree
+    assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree
+    assert "SortMergeJoin" not in tree, tree

@@ -51,6 +51,7 @@ SENSITIVE = [
     "x_bpe_merge_steps",
     "x_bpe_encode_docs",
     "x_lm_bigram_predictability",
+    "x_budget_select_topquality",
 ]
 
 
