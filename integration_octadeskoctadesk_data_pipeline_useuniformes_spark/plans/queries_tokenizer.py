@@ -294,7 +294,11 @@ def x_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the merge list is plan metadata: bake the replace chain into one
     # codegen expression word -> symbol count
     def n_syms(word):
-        expr = F.regexp_replace(word, "(.)", SEP + "$1" + SEP)
+        # DOTALL, like wrap_words: a Unicode line terminator (U+2028
+        # etc.) survives the \s+ split, and an unwrapped char would
+        # silently no-op every merge trained through it (the train side
+        # wraps it, so encode must too)
+        expr = F.regexp_replace(word, "(?s)(.)", SEP + "$1" + SEP)
         for _, left, right, merged, _ in steps:
             expr = F.replace(
                 expr,

@@ -639,7 +639,8 @@ FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id
 """,
 )
 def x_lm_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    SEP = "\x01"
+    from ..operators.bpe import SEP  # one source of truth for chr(1)
+
     d = load_table(spark, sf_dir, "documents")
     words = F.filter(
         F.split(F.trim(F.lower("text")), r"\s+"),
@@ -688,9 +689,15 @@ def x_lm_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.when(
                 F.col("c12").isNotNull(),
+                # matched rows carry c1 >= 1, so the divisor is nonzero
+                # even for an empty vocabulary
                 F.expr("(1000000 * (c12 + 1)) div (c1 + v)"),
             )
-            .otherwise(F.expr("1000000 div v"))
+            # v = 0 (wordless train half) must yield NULL like DuckDB's
+            # `//`: under Spark's default ANSI mode a bare `div 0`
+            # THROWS, so the guard is correctness, not style — sum()
+            # then skips the NULLs and the totals coalesce to 0
+            .when(F.col("v") > 0, F.expr("1000000 div v"))
             .cast("bigint")
             .alias("term"),
             F.col("c12").isNull().cast("bigint").alias("unseen"),

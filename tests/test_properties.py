@@ -528,10 +528,14 @@ def test_lm_bigram_predictability_matches_python_model(
             if bg in big:
                 total += (1000000 * (big[bg] + 1)) // (uni[bg[0]] + v)
             else:
-                total += 1000000 // v
+                # v == 0 (wordless train half): 1e6 div 0 is NULL in
+                # both engines, sum() skips NULLs -> total stays 0 and
+                # the mean (NULL div n) is NULL; mirror that here
+                total += 1000000 // v if v else 0
                 unseen += 1
         n = len(bgs)
-        want[i] = (n, total, total // n if n else None, unseen)
+        mean = (total // n) if (n and v) else None
+        want[i] = (n, total, mean, unseen)
 
     got = {
         r["doc_id"]: (
@@ -545,3 +549,78 @@ def test_lm_bigram_predictability_matches_python_model(
         ).collect()
     }
     assert got == want, (docs, got, want)
+
+
+def test_lm_bigram_predictability_empty_train_half(spark, tmp_path_factory):
+    """v = 0 edge (second-review finding): a wordless train half makes
+    the unseen term 1e6/0 — DuckDB's // yields NULL, but Spark's ANSI
+    `div` THROWS unless guarded, so the term is gated on v > 0. Pinned
+    here because the fixtures can never reach it: scoring totals
+    coalesce to 0, means stay NULL, unseen counts survive."""
+    import duckdb
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    tmp = tmp_path_factory.mktemp("lm_v0")
+    rows = [(0, ""), (1, " "), (2, ""), (3, "a a")]  # train docs wordless
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+    got = sorted(
+        tuple(r)
+        for r in catalog.queries()["x_lm_bigram_predictability"](
+            spark, str(tmp)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp}/documents.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(w)
+        for w in con.execute(
+            catalog.oracle_sql()["x_lm_bigram_predictability"]
+        ).fetchall()
+    )
+    assert got == want, (got, want)
+    assert got[3] == (3, 1, 0, None, 1)  # bigram counted unseen, NULL mean
+
+
+def test_bpe_encode_docs_wraps_unicode_line_separators(spark, tmp_path_factory):
+    """Second-review finding: Java's '.' without DOTALL skips Unicode
+    line terminators (U+2028 etc.) that survive the \\s+ split, leaving
+    them unwrapped at ENCODE time while the train side and the DuckDB
+    oracle wrap them — merges trained through such a char would
+    silently no-op and n_bpe_tokens diverge. Pinned with a corpus whose
+    hottest pair spans U+2028."""
+    import duckdb
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    tmp = tmp_path_factory.mktemp("bpe_u2028")
+    w = "a\u2028b"
+    rows = [(0, f"{w} {w} {w}"), (1, w)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+    got = sorted(
+        tuple(r)
+        for r in catalog.queries()["x_bpe_encode_docs"](spark, str(tmp)).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp}/documents.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.execute(catalog.oracle_sql()["x_bpe_encode_docs"]).fetchall()
+    )
+    assert got == want, (got, want)
+    # with 6 merge rounds the 3-char word fully fuses: 1 symbol per word
+    assert got == [(0, 3, 3), (1, 1, 1)], got
