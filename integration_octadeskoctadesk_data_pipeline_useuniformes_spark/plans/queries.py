@@ -72,15 +72,19 @@ def register(name: str, oracle: str | None):
 #: rotates to the queries that most need a fresh driver row. Earlier
 #: rounds' rows persist in CORRECTNESS_r{N}.json. Round-4 window
 #: (VERDICT r3 item 1): changed/new queries lead (ADVICE r2 standing
-#: rule) — the BPE train/encode pair and the bigram-LM predictability
-#: filter are new this round, the SimHash pair verify got its
-#: size-gated broadcast, and exact_quantile_disc's group re-attach
-#: went null-safe — then the FULL 14-query backlog
-#: (after which every one of the 164 registered queries has at least
+#: rule) — the weighting tier (DSIR importance, per-source quality
+#: threshold, budget apportionment), the BPE train/encode pair and the
+#: bigram-LM predictability filter are new this round, the SimHash pair
+#: verify got its size-gated broadcast, and exact_quantile_disc's group
+#: re-attach went null-safe — then the FULL 14-query backlog
+#: (after which every one of the 167 registered queries has at least
 #: one green driver row), then the 19 bench headliners and the scale/
 #: cache-heavy tier for second hard rows in the spare slots.
 DRIVER_WINDOW: list[str] = [
     # changed or new this round (re-verify first)
+    "x_dsir_hashed_importance",
+    "x_quality_threshold_by_source",
+    "x_mixture_apportion_budget",
     "x_bpe_merge_steps",
     "x_bpe_encode_docs",
     "x_lm_bigram_predictability",
@@ -129,14 +133,17 @@ DRIVER_WINDOW: list[str] = [
     "x_global_running_revenue",
     "x_bloom_prune_join",
     "x_cms_heavy_hitters",
-    "x_table_checksum",
-    "x_approx_distinct_users",
-    "x_approx_percentile_value",
     "x_global_row_number",
     "x_constraint_audit",
     "x_vocab_coverage",
     "x_multimodal_audio_energy",
 ]
+# The weighting tier (x_dsir_hashed_importance,
+# x_quality_threshold_by_source, x_mixture_apportion_budget) took the
+# slots of three second-hard-row re-verifications (table_checksum and
+# the two approx sketches — unchanged since their r3 green rows and
+# still covered by the full-catalog strict gate), so the window stays
+# at 50 with every NEW query inside it.
 # No rotation backlog after round 4: the r3 backlog (8 deferred +
 # 6 r3 additions) is fully inside this window, so every registered
 # query has a green driver row once CORRECTNESS_r04 lands.
@@ -671,3 +678,4 @@ from . import queries_fn  # noqa: E402,F401  (import side effect)
 from . import queries_retrieval  # noqa: E402,F401  (import side effect)
 from . import queries_curate  # noqa: E402,F401  (import side effect)
 from . import queries_tokenizer  # noqa: E402,F401  (import side effect)
+from . import queries_weighting  # noqa: E402,F401  (import side effect)

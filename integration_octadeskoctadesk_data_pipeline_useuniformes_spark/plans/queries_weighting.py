@@ -1,0 +1,351 @@
+"""Data-selection weighting tier — DSIR-style hashed importance
+weights, per-source quality-threshold selection, and exact token-budget
+apportionment across mixture sources.
+
+These are the *selection-policy* operators that sit between scoring
+(x_quality_classifier_score, x_lm_bigram_predictability) and sampling
+(x_mixture_resample, x_sample_cap_per_source) in a pretraining data
+pipeline (extension tier per BASELINE.json; the reference has no
+training-data surface, SURVEY §2.5).
+
+Same oracle contract as every tier: identical column aliases in Spark
+and DuckDB, exact BIGINT math wherever a threshold decides membership
+(the repo-wide no-transcendentals-in-hashed-output rule), round(·, 6)
+doubles only in reported score columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..tables import load_table
+from .queries import register
+from .queries_train import _QC_STOPWORDS, _QC_W, _WORDS_SQL
+
+# ---------------------------------------------------------------------------
+# DSIR-style hashed-n-gram importance weights (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling"): score every
+# raw document by how much its hashed unigram profile looks like the
+# TARGET distribution (here: the corpus's English slice) relative to the
+# raw distribution. Integer-exact surrogate: per hash bucket b,
+#
+#   r_b = (1e6 · (c_target[b] + 1)) div (c_raw[b] + 1)      [Laplace]
+#
+# and a document scores sum / mean of r_b over its tokens. This is the
+# likelihood RATIO per token in ppm with the token-independent global
+# factor (n_raw + B)/(n_target + B) dropped — rank-equivalent to DSIR's
+# per-token weight, and BIGINT-exact where the true log-domain weight
+# sums floats in shuffle order that no cross-engine comparison can pin
+# (production swaps log(r_b) into the same 256-row table; plan
+# unchanged). Headroom: 1e6·(c+1) needs c ≲ 9.2e12 target tokens (≈9 TB
+# of English text); past that, drop the scale to per-mille or move the
+# bucket table to DECIMAL(38,0) — the plan shape is identical.
+#
+# Scale shape: the bucket table is ONE map-side-combined shuffle of the
+# token stream onto 256 keys (both distributions counted in the same
+# pass via a conditional sum); scoring re-derives the token stream (a
+# pruned corpus re-scan — the documented mixture-resample pattern;
+# persisting the token grain is the r2 bm25 anti-pattern) and joins the
+# 256-row ratio table BROADCAST, then rolls up per doc. No corpus-sized
+# state, no skew (bucket keys are md5-uniform), streams at any scale.
+# ---------------------------------------------------------------------------
+
+_DSIR_BUCKETS = 256
+_DSIR_TARGET_LANG = "en"
+
+_DSIR_TOK = (
+    "list_filter(list_transform(string_split_regex(trim(text), '\\s+'),"
+    " w -> lower(w)), w -> w <> '')"
+)
+
+
+@register(
+    "x_dsir_hashed_importance",
+    f"""
+WITH tok AS (
+  SELECT doc_id, lang = '{_DSIR_TARGET_LANG}' AS is_t,
+         ('0x' || substr(md5(unnest({_DSIR_TOK})), 1, 15))::BIGINT
+           % {_DSIR_BUCKETS} AS b
+  FROM documents
+), rt AS (
+  SELECT b,
+         (1000000 * (CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) + 1))
+           // (CAST(count(*) AS BIGINT) + 1) AS r
+  FROM tok GROUP BY b
+), sc AS (
+  SELECT tok.doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(rt.r) AS BIGINT) AS lr_ppm_total
+  FROM tok JOIN rt ON tok.b = rt.b
+  GROUP BY tok.doc_id
+)
+SELECT d.doc_id, d.lang = '{_DSIR_TARGET_LANG}' AS is_target,
+       CAST(coalesce(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(sc.lr_ppm_total, 0) AS BIGINT) AS lr_ppm_total,
+       CASE WHEN sc.n_tokens > 0
+            THEN CAST(sc.lr_ppm_total // sc.n_tokens AS BIGINT)
+            ELSE NULL END AS lr_ppm_mean
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+""",
+)
+def x_dsir_hashed_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint")
+        % F.lit(_DSIR_BUCKETS)
+    ).alias("b")
+    tok = d.select(
+        "doc_id",
+        (F.col("lang") == _DSIR_TARGET_LANG).alias("is_t"),
+        F.explode(words).alias("w"),
+    ).select("doc_id", "is_t", bucket)
+    # both distributions in ONE pass: target count is a conditional sum;
+    # integer `div`, never float `/` (a double quotient can round across
+    # an integer boundary before the cast)
+    ratios = tok.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint")
+        .alias("ct"),
+        F.count(F.lit(1)).cast("bigint").alias("cr"),
+    ).select(
+        "b", F.expr("(1000000 * (ct + 1)) div (cr + 1)").cast("bigint").alias("r")
+    )
+    # scoring: every scored token exists in the raw distribution by
+    # construction (raw = all docs), so the bucket join is INNER
+    scored = (
+        tok.select("doc_id", "b")
+        .join(F.broadcast(ratios), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("r").cast("bigint").alias("lr_ppm_total"),
+        )
+    )
+    return (
+        d.select("doc_id", (F.col("lang") == _DSIR_TARGET_LANG).alias("is_target"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "is_target",
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("lr_ppm_total", F.lit(0))
+            .cast("bigint")
+            .alias("lr_ppm_total"),
+            F.when(
+                F.col("n_tokens") > 0, F.expr("lr_ppm_total div n_tokens")
+            )
+            .cast("bigint")
+            .alias("lr_ppm_mean"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality-threshold selection — the DCLM/FineWeb-Edu-style
+# "keep the top quartile of each domain" policy: a global cutoff lets
+# one high-scoring source crowd out every other domain, so the cutoff
+# is computed PER SOURCE. The score is the frozen classifier logit
+# (identical IEEE expression tree to x_quality_classifier_score, so the
+# full-precision values are bit-identical cross-engine) quantized to
+# integer ten-thousandths — quantization bounds the histogram that
+# makes the quantile exact WITHOUT sorting the corpus:
+# operators/buckets.exact_quantile_disc reduces to (source, bucket)
+# counts (one map-side-combined shuffle), picks ceil(0.75·N) per source
+# on that tiny grain, and the per-source thresholds broadcast back onto
+# the doc stream. Ties at the threshold bucket are all kept (identical
+# inputs get identical treatment). The single corpus-grain shuffle in
+# the whole plan is the histogram reduction; a window PARTITION BY
+# source over raw docs (the naive form) would put entire domains into
+# single tasks — at 100 TB one domain can be most of the corpus.
+# ---------------------------------------------------------------------------
+
+_QSEL_SCALE = 10000  # logit -> integer ten-thousandths
+
+_QSEL_FEATURES_SQL = f"""
+  SELECT doc_id, source,
+         CAST(len(list_filter({_WORDS_SQL}, x -> x <> '')) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter({_WORDS_SQL},
+              x -> list_contains([{_QC_STOPWORDS}], lower(x)))) AS BIGINT) AS n_stop,
+         CAST(len(list_distinct(list_filter({_WORDS_SQL}, x -> x <> ''))) AS BIGINT)
+           AS n_uniq,
+         CAST(length(trim(text)) AS BIGINT) AS n_chars
+  FROM documents
+"""
+
+
+@register(
+    "x_quality_threshold_by_source",
+    f"""
+WITH f AS ({_QSEL_FEATURES_SQL}),
+s AS (
+  SELECT doc_id, source,
+         CAST(floor(({_QC_W['bias']}
+           + {_QC_W['stop']} * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1))
+           + {_QC_W['uniq']} * (CAST(n_uniq AS DOUBLE) / greatest(n_tokens, 1))
+           + {_QC_W['len_pen']} * abs(CAST(n_chars AS DOUBLE)
+                 / greatest(n_tokens, 1) - 6.0)) * {_QSEL_SCALE}) AS BIGINT)
+           AS quality_bucket
+  FROM f
+),
+thr AS (
+  SELECT source, quantile_disc(quality_bucket, 0.75) AS p75_bucket
+  FROM s GROUP BY source
+)
+SELECT s.doc_id, s.source, s.quality_bucket, thr.p75_bucket,
+       s.quality_bucket >= thr.p75_bucket AS selected
+FROM s JOIN thr ON s.source = thr.source
+""",
+)
+def x_quality_threshold_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import text as T
+    from ..operators.buckets import exact_quantile_disc
+
+    d = load_table(spark, sf_dir, "documents")
+    w = T.words(F.col("text"))
+    nonempty = F.filter(w, lambda x: x != "")
+    stops = list(T.LANG_STOPWORDS["en"])
+    f = d.select(
+        "doc_id",
+        "source",
+        F.size(nonempty).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(w, lambda x: F.lower(x).isin(*stops)))
+        .cast("bigint")
+        .alias("n_stop"),
+        F.size(F.array_distinct(nonempty)).cast("bigint").alias("n_uniq"),
+        F.length(F.trim("text")).cast("bigint").alias("n_chars"),
+    )
+    nt = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+    logit = (
+        F.lit(_QC_W["bias"])
+        + F.lit(_QC_W["stop"]) * (F.col("n_stop").cast("double") / nt)
+        + F.lit(_QC_W["uniq"]) * (F.col("n_uniq").cast("double") / nt)
+        + F.lit(_QC_W["len_pen"])
+        * F.abs(F.col("n_chars").cast("double") / nt - F.lit(6.0))
+    )
+    s = f.select(
+        "doc_id",
+        "source",
+        F.floor(logit * _QSEL_SCALE).cast("bigint").alias("quality_bucket"),
+    )
+    thr = exact_quantile_disc(
+        s.select("source", "quality_bucket"),
+        "quality_bucket",
+        {"p75_bucket": (3, 4)},
+        group_by=("source",),
+    )
+    return s.join(F.broadcast(thr), "source").select(
+        "doc_id",
+        "source",
+        "quality_bucket",
+        "p75_bucket",
+        (F.col("quality_bucket") >= F.col("p75_bucket")).alias("selected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget apportionment — Hamilton's largest-remainder method:
+# turn per-source mixture weights (here: total characters, the repo's
+# token proxy) into integer per-source quotas that sum EXACTLY to the
+# budget. floor(T·w_s / W) first, then the T − Σfloor leftover units go
+# to the largest remainders (ties broken by source name) — the step
+# between x_mixture_temperature (weights) and the samplers, and the
+# only way per-source shard targets add up to the global token budget
+# without float drift.
+#
+# Scale shape: one map-side-combined corpus reduction to the SOURCE
+# grain; everything after (scalar total, remainder ranking window, the
+# +1 top-up) runs on that tiny grain — the ranking window is
+# deliberately single-partition BECAUSE it is post-reduction (the
+# documented offsets-window precedent). BIGINT headroom: T·w_s needs
+# Σ n_chars ≲ 9.2e12 (≈9 TB of text); production swaps DECIMAL(38,0)
+# into the same plan.
+# ---------------------------------------------------------------------------
+
+_APPORTION_T = 1_000_000  # budget units to distribute
+
+
+@register(
+    "x_mixture_apportion_budget",
+    f"""
+WITH w AS (
+  SELECT source, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS weight_chars
+  FROM documents GROUP BY source
+), tot AS (SELECT CAST(sum(weight_chars) AS BIGINT) AS n FROM w),
+q AS (
+  SELECT source, weight_chars,
+         CASE WHEN n > 0 THEN ({_APPORTION_T} * weight_chars) // n
+              ELSE 0 END AS base_quota,
+         CASE WHEN n > 0 THEN ({_APPORTION_T} * weight_chars) % n
+              ELSE 0 END AS rem,
+         n
+  FROM w, tot
+), l AS (
+  SELECT CAST({_APPORTION_T} - sum(base_quota) AS BIGINT) AS leftover FROM q
+), r AS (
+  SELECT source, weight_chars, base_quota, n,
+         row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM q
+)
+SELECT source, weight_chars,
+       CAST(base_quota AS BIGINT) AS base_quota,
+       CAST(CASE WHEN n > 0 AND rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS extra,
+       CAST(base_quota + CASE WHEN n > 0 AND rk <= l.leftover THEN 1 ELSE 0 END
+         AS BIGINT) AS final_quota
+FROM r, l
+""",
+)
+def x_mixture_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..query_scope import scoped_persist
+
+    d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    # the source-grain weight table feeds FOUR consumers (total, base
+    # quotas, leftover, ranking) — without the persist each branch
+    # re-reduces the corpus (4 scans observed); with it the corpus is
+    # scanned ONCE and everything downstream runs on the tiny grain
+    w = scoped_persist(
+        d.groupBy("source").agg(
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("weight_chars")
+        )
+    )
+    tot = w.agg(F.sum("weight_chars").cast("bigint").alias("n"))
+    q = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "weight_chars",
+        # n = 0 (zero total weight) must yield 0, and Spark's ANSI
+        # `div`/`%` THROW on a zero divisor where DuckDB's yield NULL —
+        # the CASE guard is correctness, not style
+        F.when(F.col("n") > 0, F.expr(f"({_APPORTION_T} * weight_chars) div n"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("base_quota"),
+        F.when(F.col("n") > 0, F.expr(f"({_APPORTION_T} * weight_chars) % n"))
+        .otherwise(F.lit(0))
+        .alias("__rem"),
+        "n",
+    )
+    leftover = q.agg(
+        (F.lit(_APPORTION_T) - F.sum("base_quota")).cast("bigint").alias("leftover")
+    )
+    # source-grain ranking: single-partition by design, post-reduction
+    rk = F.row_number().over(
+        Window.orderBy(F.col("__rem").desc(), F.col("source").asc())
+    )
+    extra = ((F.col("__rk") <= F.col("leftover")) & (F.col("n") > 0)).cast("bigint")
+    return (
+        q.withColumn("__rk", rk)
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "source",
+            "weight_chars",
+            "base_quota",
+            extra.alias("extra"),
+            (F.col("base_quota") + extra).cast("bigint").alias("final_quota"),
+        )
+    )

@@ -630,3 +630,64 @@ def test_hard_negatives_broadcasts_queries_corpus_streams(spark):
     assert "CartesianProduct" not in tree, tree
     assert "BroadcastNestedLoopJoin" in tree or "BroadcastHashJoin" in tree, tree
     assert "SortMergeJoin" not in tree, tree
+
+
+def test_dsir_ratio_table_broadcasts_no_token_grain_persist(spark):
+    # the 256-bucket ratio table must BROADCAST onto the token stream
+    # (an exchange-keyed join on bucket would shuffle the whole token
+    # stream onto 256 keys); the token grain is never persisted (the r2
+    # bm25 anti-pattern) — the documented cost is 3 pruned corpus
+    # re-scans (bucket count, scoring, final doc join). The final
+    # doc-grain left join carries NO hint: its build side is corpus-
+    # sized, so the size-driven planner must stay free to pick SMJ at
+    # scale (the SimHash size-gate lesson).
+    tree = tree_of(spark, "x_dsir_hashed_importance")
+    assert "BroadcastHashJoin Inner BuildRight" in tree, tree
+    assert "InMemoryTableScan" not in tree, tree
+    assert "BatchEvalPython" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 3, tree
+
+
+def test_quality_threshold_quantile_runs_on_histogram_grain(spark):
+    # the per-source p75 must come from the (source, bucket) HISTOGRAM,
+    # never a window over raw docs (PARTITION BY source puts whole
+    # domains into single tasks): the Sort feeding the quantile windows
+    # sorts a post-aggregation exchange, and the thresholds broadcast
+    # back onto the doc stream.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_quality_threshold_by_source")
+        assert re.search(
+            r"Sort \(\d+\)\n\s*\+- Exchange \(\d+\)\n\s*\+- HashAggregate", tree
+        ), tree
+        assert "BroadcastHashJoin" in tree, tree
+        assert "SortMergeJoin" not in tree, tree
+        assert "CartesianProduct" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+    finally:
+        query_scope.release()
+
+
+def test_mixture_apportion_single_scan_tiny_grain_windows(spark):
+    # the corpus reduces ONCE to the persisted source-grain weight
+    # table; total/leftover/ranking all read that cache (4 scans
+    # without it — measured), the ranking window is single-partition by
+    # design because it is post-reduction, and the scalar joins are
+    # broadcast BNLJs, never a cartesian.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_mixture_apportion_budget")
+        assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1, tree
+        assert "InMemoryTableScan" in tree, tree
+        assert len(set(re.findall(r"Window\s+\((\d+)\)", tree))) == 1, tree
+        assert "CartesianProduct" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+    finally:
+        query_scope.release()

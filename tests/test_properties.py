@@ -624,3 +624,120 @@ def test_bpe_encode_docs_wraps_unicode_line_separators(spark, tmp_path_factory):
     assert got == want, (got, want)
     # with 6 merge rounds the 3-char word fully fuses: 1 symbol per word
     assert got == [(0, 3, 3), (1, 1, 1)], got
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(
+                st.text(alphabet="abcd", min_size=1, max_size=3),
+                min_size=0,
+                max_size=8,
+            ),
+            st.sampled_from(["en", "de", "zh"]),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_dsir_hashed_importance_matches_python_model(
+    spark, docs, tmp_path_factory
+):
+    """x_dsir_hashed_importance == a direct model: md5-hashed unigram
+    buckets, Laplace ppm likelihood ratio per bucket (target = 'en'
+    docs, raw = all docs), per-doc sum/mean, zero-token docs emit
+    (0, 0, NULL)."""
+    from collections import Counter
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    tmp = tmp_path_factory.mktemp("dsir")
+    rows = [(i, " ".join(ws), lang) for i, (ws, lang) in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    def bucket(w):
+        return int(hashlib.md5(w.encode()).hexdigest()[:15], 16) % 256
+
+    ct, cr = Counter(), Counter()
+    for _, text, lang in rows:
+        for w in text.strip().lower().split():
+            if not w:
+                continue
+            b = bucket(w)
+            cr[b] += 1
+            if lang == "en":
+                ct[b] += 1
+    r = {b: (1000000 * (ct[b] + 1)) // (cr[b] + 1) for b in cr}
+    want = {}
+    for i, text, lang in rows:
+        ws = [w for w in text.strip().lower().split() if w]
+        total = sum(r[bucket(w)] for w in ws)
+        n = len(ws)
+        want[i] = (lang == "en", n, total, total // n if n else None)
+
+    got = {
+        row["doc_id"]: (
+            row["is_target"],
+            row["n_tokens"],
+            row["lr_ppm_total"],
+            row["lr_ppm_mean"],
+        )
+        for row in catalog.queries()["x_dsir_hashed_importance"](
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == want, (docs, got, want)
+
+
+@given(
+    weights=st.lists(
+        st.integers(min_value=0, max_value=5000), min_size=1, max_size=12
+    )
+)
+@_SETTINGS
+def test_mixture_apportion_matches_hamilton_model(
+    spark, weights, tmp_path_factory
+):
+    """x_mixture_apportion_budget == the largest-remainder method: base
+    floor quotas, +1 to the top remainders (ties by source name), and
+    the final quotas sum EXACTLY to the budget whenever total weight is
+    positive (all-zero weights apportion nothing)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    T = 1_000_000
+    tmp = tmp_path_factory.mktemp("apportion")
+    # one doc per (source, weight); sources named so string order is
+    # deterministic across engines
+    rows = [(i, f"s{i:02d}", w) for i, w in enumerate(weights)]
+    spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    n = sum(weights)
+    if n > 0:
+        base = {f"s{i:02d}": (T * w) // n for i, w in enumerate(weights)}
+        rem = {f"s{i:02d}": (T * w) % n for i, w in enumerate(weights)}
+        leftover = T - sum(base.values())
+        order = sorted(base, key=lambda s: (-rem[s], s))
+        extra = {s: (1 if k < leftover else 0) for k, s in enumerate(order)}
+    else:
+        base = {f"s{i:02d}": 0 for i in range(len(weights))}
+        extra = {s: 0 for s in base}
+    want = {s: (base[s], extra[s], base[s] + extra[s]) for s in base}
+
+    got = {
+        r["source"]: (r["base_quota"], r["extra"], r["final_quota"])
+        for r in catalog.queries()["x_mixture_apportion_budget"](
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == want, (weights, got, want)
+    if n > 0:
+        assert sum(q for _, _, q in got.values()) == T
