@@ -90,6 +90,13 @@ FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """,
 )
 def x_dsir_hashed_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fan_out_small_scan DECLINED with measured numbers: a naive A/B
+    # (variant second in an already-warm session) showed a "5.5× cold
+    # win" that a fair protocol — separate fresh sessions, neutral
+    # warmup job first — disproved: as-is [0.77, 0.88, 0.48, 0.45] s
+    # vs fan-out [1.02, 0.81, 0.72, 0.57] at sf0.1. The 6k-doc token
+    # work is too light to amortize the repartition (the bm25/curation
+    # class, not the minhash class).
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     words = F.filter(
         F.split(F.trim(F.lower("text")), r"\s+"), lambda w: w != F.lit("")
@@ -204,6 +211,10 @@ def x_quality_threshold_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..operators import text as T
     from ..operators.buckets import exact_quantile_disc
 
+    # fan_out_small_scan DECLINED: fair fresh-session A/B at sf0.1
+    # (neutral warmup first) is a wash — as-is [4.63, 1.38, 1.85,
+    # 1.29] s vs fan-out [4.08, 1.36, 1.11, 1.26] — within run noise,
+    # so the extra exchange isn't bought by anything.
     d = load_table(spark, sf_dir, "documents")
     w = T.words(F.col("text"))
     nonempty = F.filter(w, lambda x: x != "")
@@ -302,6 +313,10 @@ FROM r, l
 def x_mixture_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..query_scope import scoped_persist
 
+    # no fan_out here: the corpus work is ONE map-side-combined sum
+    # (no per-row CPU), so a repartition buys nothing — measured at
+    # sf0.1: 1.32 cold / 0.58 warm as-is (the declined-fan-out class
+    # bm25/curation established)
     d = load_table(spark, sf_dir, "documents").select("source", "n_chars")
     # the source-grain weight table feeds FOUR consumers (total, base
     # quotas, leftover, ranking) — without the persist each branch
