@@ -34,12 +34,12 @@ tokenizer surface — LLM-pipeline extension tier (SURVEY §6).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .. import query_scope
 
-__all__ = ["SEP", "bpe_merge_steps", "wrap_words"]
+__all__ = ["SEP", "bpe_merge_steps", "symbol_count_expr", "wrap_words"]
 
 #: Symbol separator for the wrapped-string encoding. wrap_words drops
 #: words containing it so it can never be confused with symbol content.
@@ -58,6 +58,29 @@ def wrap_words(word_freq: DataFrame, word: str = "word", n: str = "n") -> DataFr
         F.regexp_replace(F.col(word), "(?s)(.)", SEP + "$1" + SEP).alias("str"),
         F.col(n).alias("n"),
     )
+
+
+def symbol_count_expr(
+    steps: list[tuple[int, str, str, str, int]], word: Column
+) -> Column:
+    """Column: how many BPE symbols ``word`` encodes to under the
+    learned ``steps`` (the `bpe_merge_steps` return value, baked into
+    the plan as literals — tokenizer metadata, not data).
+
+    Pure codegen: wrap every char (DOTALL — a Unicode line terminator
+    like U+2028 survives \\s+ splits in both engines, and an unwrapped
+    char would silently no-op every merge trained through it), apply
+    the merges as literal replaces in training order, count the
+    non-empty symbols. Shared by the encode and fertility queries so
+    the encode semantics have exactly one implementation."""
+    expr = F.regexp_replace(word, "(?s)(.)", SEP + "$1" + SEP)
+    for _, left, right, merged, _ in steps:
+        expr = F.replace(
+            expr,
+            F.lit(SEP + left + SEP + SEP + right + SEP),
+            F.lit(SEP + merged + SEP),
+        )
+    return F.size(F.filter(F.split(expr, SEP), lambda x: x != F.lit("")))
 
 
 def _pair_counts(wrapped: DataFrame) -> DataFrame:

@@ -77,7 +77,7 @@ def register(name: str, oracle: str | None):
 #: bigram-LM predictability filter are new this round, the SimHash pair
 #: verify got its size-gated broadcast, and exact_quantile_disc's group
 #: re-attach went null-safe — then the FULL 14-query backlog
-#: (after which every one of the 167 registered queries has at least
+#: (after which every one of the 168 registered queries has at least
 #: one green driver row), then the 19 bench headliners and the scale/
 #: cache-heavy tier for second hard rows in the spare slots.
 DRIVER_WINDOW: list[str] = [
@@ -87,6 +87,7 @@ DRIVER_WINDOW: list[str] = [
     "x_mixture_apportion_budget",
     "x_bpe_merge_steps",
     "x_bpe_encode_docs",
+    "x_bpe_fertility_by_lang",
     "x_lm_bigram_predictability",
     "x_budget_select_topquality",
     "x_ann_hard_negatives",
@@ -133,17 +134,19 @@ DRIVER_WINDOW: list[str] = [
     "x_global_running_revenue",
     "x_bloom_prune_join",
     "x_cms_heavy_hitters",
-    "x_global_row_number",
     "x_constraint_audit",
     "x_vocab_coverage",
     "x_multimodal_audio_energy",
 ]
 # The weighting tier (x_dsir_hashed_importance,
-# x_quality_threshold_by_source, x_mixture_apportion_budget) took the
-# slots of three second-hard-row re-verifications (table_checksum and
-# the two approx sketches — unchanged since their r3 green rows and
-# still covered by the full-catalog strict gate), so the window stays
-# at 50 with every NEW query inside it.
+# x_quality_threshold_by_source, x_mixture_apportion_budget) and
+# x_bpe_fertility_by_lang took the slots of four second-hard-row
+# re-verifications (table_checksum, the two approx sketches, and
+# global_row_number — unchanged since their r3 green rows and still
+# covered by the full-catalog strict gate; the prefix-sum machinery
+# behind global_row_number is exercised in-window by
+# x_budget_select_topquality and x_global_running_revenue), so the
+# window stays at 50 with every NEW query inside it.
 # No rotation backlog after round 4: the r3 backlog (8 deferred +
 # 6 r3 additions) is fully inside this window, so every registered
 # query has a green driver row once CORRECTNESS_r04 lands.

@@ -287,25 +287,15 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 
 @register("x_bpe_encode_docs", _bpe_encode_oracle(_BPE_STEPS))
 def x_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.bpe import SEP, bpe_merge_steps
+    from ..operators.bpe import SEP, bpe_merge_steps, symbol_count_expr
 
     steps = bpe_merge_steps(_bpe_word_freq(spark, sf_dir), _BPE_STEPS)
 
-    # the merge list is plan metadata: bake the replace chain into one
-    # codegen expression word -> symbol count
+    # the merge list is plan metadata: symbol_count_expr bakes the
+    # replace chain into one codegen expression word -> symbol count
+    # (DOTALL wrapping and merge order owned by operators/bpe.py)
     def n_syms(word):
-        # DOTALL, like wrap_words: a Unicode line terminator (U+2028
-        # etc.) survives the \s+ split, and an unwrapped char would
-        # silently no-op every merge trained through it (the train side
-        # wraps it, so encode must too)
-        expr = F.regexp_replace(word, "(?s)(.)", SEP + "$1" + SEP)
-        for _, left, right, merged, _ in steps:
-            expr = F.replace(
-                expr,
-                F.lit(SEP + left + SEP + SEP + right + SEP),
-                F.lit(SEP + merged + SEP),
-            )
-        return F.size(F.filter(F.split(expr, SEP), lambda x: x != F.lit("")))
+        return symbol_count_expr(steps, word)
 
     d = load_table(spark, sf_dir, "documents")
     words = F.filter(
@@ -320,4 +310,102 @@ def x_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x.cast("bigint"),
         ).alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language — the standard tokenizer-quality
+# report: tokens-per-word and chars-per-token for the trained merge
+# list, split by language (a tokenizer trained on an English-heavy
+# corpus compresses English best; this query is how that bias is
+# measured and tracked). Scale shape: the corpus reduces to the
+# (lang, lowered-word) VOCABULARY grain first (one map-side-combined
+# shuffle — the same reduce-before-work move as the trainer), the
+# baked-in replace chain runs once per distinct (lang, word) instead
+# of once per word occurrence, and the per-lang rollup weights by the
+# occurrence count. Ratios are integer ppm; divisors are structurally
+# >= 1 (a lang group exists only via at least one word, and every
+# qualifying word encodes to at least one symbol), so the ANSI `div`
+# needs no guard.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_fertility_oracle(n_steps: int) -> str:
+    fallbacks = ",\n".join(
+        f"m{k} AS (SELECT coalesce(min(pr), chr(1)) AS pr FROM t{k})"
+        for k in range(1, n_steps + 1)
+    )
+    expr = "regexp_replace(word, '(.)', chr(1)||'\\1'||chr(1), 'g')"
+    for k in range(1, n_steps + 1):
+        expr = (
+            f"replace({expr},\n"
+            f"  chr(1)||string_split(m{k}.pr, chr(1))[1]||chr(1)"
+            f"||chr(1)||string_split(m{k}.pr, chr(1))[2]||chr(1),\n"
+            f"  chr(1)||replace(m{k}.pr, chr(1), '')||chr(1))"
+        )
+    froms = ", ".join(f"m{k}" for k in range(1, n_steps + 1))
+    return f"""WITH {_bpe_train_ctes(n_steps)},
+{fallbacks},
+wg AS (
+  SELECT lang, lower(word) AS word, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT lang, unnest({_WORDS_SQL}) AS word FROM documents)
+  WHERE word <> '' AND NOT contains(word, chr(1))
+  GROUP BY lang, lower(word)
+), enc AS (
+  SELECT lang, cnt, len(word) AS nc,
+         len(list_filter(string_split({expr}, chr(1)), x -> x <> '')) AS ns
+  FROM wg, {froms}
+)
+SELECT lang,
+       CAST(sum(cnt) AS BIGINT) AS n_words,
+       CAST(sum(cnt * nc) AS BIGINT) AS n_word_chars,
+       CAST(sum(cnt * ns) AS BIGINT) AS n_bpe_tokens,
+       CAST((1000000 * sum(cnt * ns)) // sum(cnt) AS BIGINT)
+         AS tokens_per_word_ppm,
+       CAST((1000000 * sum(cnt * nc)) // sum(cnt * ns) AS BIGINT)
+         AS chars_per_token_ppm
+FROM enc GROUP BY lang
+"""
+
+
+@register("x_bpe_fertility_by_lang", _bpe_fertility_oracle(_BPE_STEPS))
+def x_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import SEP, bpe_merge_steps, symbol_count_expr
+
+    steps = bpe_merge_steps(_bpe_word_freq(spark, sf_dir), _BPE_STEPS)
+    d = load_table(spark, sf_dir, "documents")
+    wg = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"),
+        )
+        .filter((F.col("word") != "") & (~F.col("word").contains(SEP)))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    enc = wg.select(
+        "lang",
+        "cnt",
+        F.length("word").cast("bigint").alias("nc"),
+        symbol_count_expr(steps, F.col("word")).cast("bigint").alias("ns"),
+    )
+    return (
+        enc.groupBy("lang")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("nc")).cast("bigint").alias("n_word_chars"),
+            F.sum(F.col("cnt") * F.col("ns")).cast("bigint").alias("n_bpe_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_word_chars",
+            "n_bpe_tokens",
+            F.expr("(1000000 * n_bpe_tokens) div n_words")
+            .cast("bigint")
+            .alias("tokens_per_word_ppm"),
+            F.expr("(1000000 * n_word_chars) div n_bpe_tokens")
+            .cast("bigint")
+            .alias("chars_per_token_ppm"),
+        )
     )

@@ -24,8 +24,10 @@ from .queries import register
 from .queries_train import _QC_STOPWORDS, _QC_W, _WORDS_SQL
 
 # ---------------------------------------------------------------------------
-# DSIR-style hashed-n-gram importance weights (Xie et al. 2023, "Data
-# Selection for Language Models via Importance Resampling"): score every
+# DSIR-style hashed importance weights (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling"; unigram
+# features here — higher-order n-grams drop into the same plan by
+# swapping the token expression for a shingle expression): score every
 # raw document by how much its hashed unigram profile looks like the
 # TARGET distribution (here: the corpus's English slice) relative to the
 # raw distribution. Integer-exact surrogate: per hash bucket b,

@@ -691,3 +691,23 @@ def test_mixture_apportion_single_scan_tiny_grain_windows(spark):
         assert "BatchEvalPython" not in tree, tree
     finally:
         query_scope.release()
+
+
+def test_bpe_fertility_reduces_to_lang_vocab_grain(spark):
+    # the replace chain must run on the (lang, word) VOCABULARY grain,
+    # not per word occurrence: one corpus scan, two map-side-combined
+    # aggregates ((lang, word) count then the lang rollup), zero joins,
+    # zero Python — the whole query is scan -> reduce -> reduce.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_bpe_fertility_by_lang")
+        assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1, tree
+        assert len(set(re.findall(r"Exchange\s+\((\d+)\)", tree))) == 2, tree
+        assert "Join" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+        assert "Window" not in tree, tree
+    finally:
+        query_scope.release()

@@ -52,6 +52,7 @@ SENSITIVE = [
     "x_bpe_encode_docs",
     "x_lm_bigram_predictability",
     "x_budget_select_topquality",
+    "x_bpe_fertility_by_lang",
     "x_dsir_hashed_importance",
     "x_quality_threshold_by_source",
     "x_mixture_apportion_budget",
