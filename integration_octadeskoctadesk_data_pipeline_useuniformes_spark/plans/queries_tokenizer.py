@@ -9,6 +9,20 @@ Reference parity note: the reference (pandas/BigQuery ETL) has no
 tokenizer surface at all — this is the LLM-pipeline extension tier
 (SURVEY §6), same contract as the other x_* queries: Spark fn + DuckDB
 oracle over the shared parquet fixtures.
+
+Unicode case-mapping contract (applies to every lowercasing query in
+this tier and in queries_weighting/queries_train): Spark's ``lower``
+uses full Unicode case mapping while DuckDB's uses simple 1:1 mapping,
+so the engines DIVERGE on the handful of codepoints whose lowercase
+expands (e.g. U+0130 LATIN CAPITAL LETTER I WITH DOT ABOVE →
+'i'+U+0307 in Spark, 'i' in DuckDB). Exact cross-engine parity is
+therefore guaranteed for inputs whose lowercase is 1:1 — which covers
+the fixtures and every hypothesis alphabet — and the boundary is
+pinned by tests/test_tokenizer_ops.py::
+test_unicode_lower_divergence_boundary_is_known so a silent engine
+change resurfaces the caveat. A production deployment standardizing on
+one engine has no divergence to manage; a cross-engine one should
+pre-normalize (NFKC + ASCII fold) upstream of these queries.
 """
 
 from __future__ import annotations
@@ -247,7 +261,12 @@ def x_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _bpe_encode_oracle(n_steps: int) -> str:
+def _bpe_apply_sql(n_steps: int) -> tuple[str, str, str]:
+    """(fallback CTEs, unrolled replace expression over ``word``, FROM
+    list) — the oracle-side twin of ``operators/bpe.symbol_count_expr``,
+    assembled by BOTH the encode and fertility oracles so the DuckDB
+    encode semantics (dried-winner fallbacks included) have exactly one
+    implementation, mirroring the Spark side's single owner."""
     fallbacks = ",\n".join(
         f"m{k} AS (SELECT coalesce(min(pr), chr(1)) AS pr FROM t{k})"
         for k in range(1, n_steps + 1)
@@ -261,6 +280,11 @@ def _bpe_encode_oracle(n_steps: int) -> str:
             f"  chr(1)||replace(m{k}.pr, chr(1), '')||chr(1))"
         )
     froms = ", ".join(f"m{k}" for k in range(1, n_steps + 1))
+    return fallbacks, expr, froms
+
+
+def _bpe_encode_oracle(n_steps: int) -> str:
+    fallbacks, expr, froms = _bpe_apply_sql(n_steps)
     return f"""WITH {_bpe_train_ctes(n_steps)},
 {fallbacks},
 dw AS (
@@ -290,13 +314,6 @@ def x_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import SEP, bpe_merge_steps, symbol_count_expr
 
     steps = bpe_merge_steps(_bpe_word_freq(spark, sf_dir), _BPE_STEPS)
-
-    # the merge list is plan metadata: symbol_count_expr bakes the
-    # replace chain into one codegen expression word -> symbol count
-    # (DOTALL wrapping and merge order owned by operators/bpe.py)
-    def n_syms(word):
-        return symbol_count_expr(steps, word)
-
     d = load_table(spark, sf_dir, "documents")
     words = F.filter(
         F.split(F.trim(F.lower("text")), r"\s+"),
@@ -305,8 +322,11 @@ def x_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.size(words).cast("bigint").alias("n_words"),
+        # the merge list is plan metadata: symbol_count_expr bakes the
+        # replace chain into one codegen expression word -> symbol
+        # count (DOTALL wrapping and merge order owned by operators/bpe)
         F.aggregate(
-            F.transform(words, n_syms),
+            F.transform(words, lambda w: symbol_count_expr(steps, w)),
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x.cast("bigint"),
         ).alias("n_bpe_tokens"),
@@ -331,19 +351,7 @@ def x_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_fertility_oracle(n_steps: int) -> str:
-    fallbacks = ",\n".join(
-        f"m{k} AS (SELECT coalesce(min(pr), chr(1)) AS pr FROM t{k})"
-        for k in range(1, n_steps + 1)
-    )
-    expr = "regexp_replace(word, '(.)', chr(1)||'\\1'||chr(1), 'g')"
-    for k in range(1, n_steps + 1):
-        expr = (
-            f"replace({expr},\n"
-            f"  chr(1)||string_split(m{k}.pr, chr(1))[1]||chr(1)"
-            f"||chr(1)||string_split(m{k}.pr, chr(1))[2]||chr(1),\n"
-            f"  chr(1)||replace(m{k}.pr, chr(1), '')||chr(1))"
-        )
-    froms = ", ".join(f"m{k}" for k in range(1, n_steps + 1))
+    fallbacks, expr, froms = _bpe_apply_sql(n_steps)
     return f"""WITH {_bpe_train_ctes(n_steps)},
 {fallbacks},
 wg AS (

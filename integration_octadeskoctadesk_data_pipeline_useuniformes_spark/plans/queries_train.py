@@ -507,11 +507,16 @@ _QC_STOPWORDS = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS["en"])
 _QC_W = {"bias": -1.2, "stop": 3.0, "uniq": 1.6, "len_pen": -0.02}
 
 
-@register(
-    "x_quality_classifier_score",
-    f"""
-WITH f AS (
-  SELECT doc_id,
+def _qc_features_sql(extra_cols: str = "") -> str:
+    """The classifier feature CTE body (DuckDB) — the ONE owner of the
+    feature definitions. ``extra_cols`` carries additional document
+    columns through (e.g. ``", source"``). Every query that claims its
+    logit is bit-identical to x_quality_classifier_score's MUST
+    assemble from this builder and ``_QC_LOGIT_SQL`` — hand-copied
+    feature blocks drift silently, because each copy still passes its
+    own Spark-vs-DuckDB parity after an edit."""
+    return f"""
+  SELECT doc_id{extra_cols},
          CAST(len(list_filter({_WORDS_SQL}, x -> x <> '')) AS BIGINT) AS n_tokens,
          CAST(len(list_filter({_WORDS_SQL},
               x -> list_contains([{_QC_STOPWORDS}], lower(x)))) AS BIGINT) AS n_stop,
@@ -519,26 +524,26 @@ WITH f AS (
            AS n_uniq,
          CAST(length(trim(text)) AS BIGINT) AS n_chars
   FROM documents
-)
-SELECT doc_id, n_tokens, round(raw_logit, 6) AS logit, raw_logit > 0 AS keep
-FROM (
-  SELECT doc_id, n_tokens,
-         {_QC_W['bias']}
+"""
+
+
+#: The frozen-weight logit over the feature columns (DuckDB) — single
+#: owner; pairs with ``_qc_logit_col`` below.
+_QC_LOGIT_SQL = f"""{_QC_W['bias']}
            + {_QC_W['stop']} * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1))
            + {_QC_W['uniq']} * (CAST(n_uniq AS DOUBLE) / greatest(n_tokens, 1))
            + {_QC_W['len_pen']} * abs(CAST(n_chars AS DOUBLE)
-                 / greatest(n_tokens, 1) - 6.0) AS raw_logit
-  FROM f
-)
-""",
-)
-def x_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+                 / greatest(n_tokens, 1) - 6.0)"""
+
+
+def _qc_feature_frame(d: DataFrame, *extra_cols: str) -> DataFrame:
+    """Spark twin of ``_qc_features_sql`` — the one feature extractor."""
     w = T.words(F.col("text"))
     nonempty = F.filter(w, lambda x: x != "")
     stops = list(T.LANG_STOPWORDS["en"])
-    f = d.select(
+    return d.select(
         "doc_id",
+        *extra_cols,
         F.size(nonempty).cast("bigint").alias("n_tokens"),
         F.size(F.filter(w, lambda x: F.lower(x).isin(*stops)))
         .cast("bigint")
@@ -546,14 +551,39 @@ def x_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(nonempty)).cast("bigint").alias("n_uniq"),
         F.length(F.trim("text")).cast("bigint").alias("n_chars"),
     )
+
+
+def _qc_logit_col() -> F.Column:
+    """Spark twin of ``_QC_LOGIT_SQL``: the SAME IEEE expression tree
+    (fixed evaluation order) in every consumer, so full-precision logit
+    values — including the sort keys downstream selections rank by —
+    are bit-identical across queries AND engines."""
     nt = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
-    logit = (
+    return (
         F.lit(_QC_W["bias"])
         + F.lit(_QC_W["stop"]) * (F.col("n_stop").cast("double") / nt)
         + F.lit(_QC_W["uniq"]) * (F.col("n_uniq").cast("double") / nt)
         + F.lit(_QC_W["len_pen"])
         * F.abs(F.col("n_chars").cast("double") / nt - F.lit(6.0))
     )
+
+
+@register(
+    "x_quality_classifier_score",
+    f"""
+WITH f AS ({_qc_features_sql()})
+SELECT doc_id, n_tokens, round(raw_logit, 6) AS logit, raw_logit > 0 AS keep
+FROM (
+  SELECT doc_id, n_tokens,
+         {_QC_LOGIT_SQL} AS raw_logit
+  FROM f
+)
+""",
+)
+def x_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    f = _qc_feature_frame(d)
+    logit = _qc_logit_col()
     return f.select(
         "doc_id",
         "n_tokens",
@@ -740,22 +770,9 @@ _BUDGET_TOKENS = 10_000
 @register(
     "x_budget_select_topquality",
     f"""
-WITH f AS (
-  SELECT doc_id,
-         CAST(len(list_filter({_WORDS_SQL}, x -> x <> '')) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter({_WORDS_SQL},
-              x -> list_contains([{_QC_STOPWORDS}], lower(x)))) AS BIGINT) AS n_stop,
-         CAST(len(list_distinct(list_filter({_WORDS_SQL}, x -> x <> ''))) AS BIGINT)
-           AS n_uniq,
-         CAST(length(trim(text)) AS BIGINT) AS n_chars
-  FROM documents
-), s AS (
+WITH f AS ({_qc_features_sql()}), s AS (
   SELECT doc_id, n_tokens,
-         {_QC_W['bias']}
-           + {_QC_W['stop']} * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1))
-           + {_QC_W['uniq']} * (CAST(n_uniq AS DOUBLE) / greatest(n_tokens, 1))
-           + {_QC_W['len_pen']} * abs(CAST(n_chars AS DOUBLE)
-                 / greatest(n_tokens, 1) - 6.0) AS raw_logit
+         {_QC_LOGIT_SQL} AS raw_logit
   FROM f
 ), r AS (
   SELECT doc_id, n_tokens, raw_logit,
@@ -772,26 +789,8 @@ def x_budget_select_topquality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import global_running_sum
 
     d = load_table(spark, sf_dir, "documents")
-    w = T.words(F.col("text"))
-    nonempty = F.filter(w, lambda x: x != "")
-    stops = list(T.LANG_STOPWORDS["en"])
-    f = d.select(
-        "doc_id",
-        F.size(nonempty).cast("bigint").alias("n_tokens"),
-        F.size(F.filter(w, lambda x: F.lower(x).isin(*stops)))
-        .cast("bigint")
-        .alias("n_stop"),
-        F.size(F.array_distinct(nonempty)).cast("bigint").alias("n_uniq"),
-        F.length(F.trim("text")).cast("bigint").alias("n_chars"),
-    )
-    nt = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
-    logit = (
-        F.lit(_QC_W["bias"])
-        + F.lit(_QC_W["stop"]) * (F.col("n_stop").cast("double") / nt)
-        + F.lit(_QC_W["uniq"]) * (F.col("n_uniq").cast("double") / nt)
-        + F.lit(_QC_W["len_pen"])
-        * F.abs(F.col("n_chars").cast("double") / nt - F.lit(6.0))
-    )
+    f = _qc_feature_frame(d)
+    logit = _qc_logit_col()
     s = f.select("doc_id", "n_tokens", logit.alias("__logit")).withColumn(
         "__neg", -F.col("__logit")
     )

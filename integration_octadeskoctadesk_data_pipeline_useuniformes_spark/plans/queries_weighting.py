@@ -11,7 +11,10 @@ training-data surface, SURVEY §2.5).
 Same oracle contract as every tier: identical column aliases in Spark
 and DuckDB, exact BIGINT math wherever a threshold decides membership
 (the repo-wide no-transcendentals-in-hashed-output rule), round(·, 6)
-doubles only in reported score columns.
+doubles only in reported score columns. Lowercasing queries inherit
+the tier-wide Unicode case-mapping contract documented in
+queries_tokenizer.py (full vs simple mapping divergence on expanding
+codepoints like U+0130; 1:1-lowercase inputs are exactly portable).
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..tables import load_table
 from .queries import register
-from .queries_train import _QC_STOPWORDS, _QC_W, _WORDS_SQL
+from .queries_train import _QC_LOGIT_SQL, _qc_feature_frame, _qc_features_sql, _qc_logit_col
 
 # ---------------------------------------------------------------------------
 # DSIR-style hashed importance weights (Xie et al. 2023, "Data
@@ -174,29 +177,14 @@ def x_dsir_hashed_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QSEL_SCALE = 10000  # logit -> integer ten-thousandths
 
-_QSEL_FEATURES_SQL = f"""
-  SELECT doc_id, source,
-         CAST(len(list_filter({_WORDS_SQL}, x -> x <> '')) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter({_WORDS_SQL},
-              x -> list_contains([{_QC_STOPWORDS}], lower(x)))) AS BIGINT) AS n_stop,
-         CAST(len(list_distinct(list_filter({_WORDS_SQL}, x -> x <> ''))) AS BIGINT)
-           AS n_uniq,
-         CAST(length(trim(text)) AS BIGINT) AS n_chars
-  FROM documents
-"""
-
 
 @register(
     "x_quality_threshold_by_source",
     f"""
-WITH f AS ({_QSEL_FEATURES_SQL}),
+WITH f AS ({_qc_features_sql(", source")}),
 s AS (
   SELECT doc_id, source,
-         CAST(floor(({_QC_W['bias']}
-           + {_QC_W['stop']} * (CAST(n_stop AS DOUBLE) / greatest(n_tokens, 1))
-           + {_QC_W['uniq']} * (CAST(n_uniq AS DOUBLE) / greatest(n_tokens, 1))
-           + {_QC_W['len_pen']} * abs(CAST(n_chars AS DOUBLE)
-                 / greatest(n_tokens, 1) - 6.0)) * {_QSEL_SCALE}) AS BIGINT)
+         CAST(floor(({_QC_LOGIT_SQL}) * {_QSEL_SCALE}) AS BIGINT)
            AS quality_bucket
   FROM f
 ),
@@ -210,7 +198,6 @@ FROM s JOIN thr ON s.source = thr.source
 """,
 )
 def x_quality_threshold_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators import text as T
     from ..operators.buckets import exact_quantile_disc
 
     # fan_out_small_scan DECLINED: fair fresh-session A/B at sf0.1
@@ -218,27 +205,12 @@ def x_quality_threshold_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
     # 1.29] s vs fan-out [4.08, 1.36, 1.11, 1.26] — within run noise,
     # so the extra exchange isn't bought by anything.
     d = load_table(spark, sf_dir, "documents")
-    w = T.words(F.col("text"))
-    nonempty = F.filter(w, lambda x: x != "")
-    stops = list(T.LANG_STOPWORDS["en"])
-    f = d.select(
-        "doc_id",
-        "source",
-        F.size(nonempty).cast("bigint").alias("n_tokens"),
-        F.size(F.filter(w, lambda x: F.lower(x).isin(*stops)))
-        .cast("bigint")
-        .alias("n_stop"),
-        F.size(F.array_distinct(nonempty)).cast("bigint").alias("n_uniq"),
-        F.length(F.trim("text")).cast("bigint").alias("n_chars"),
-    )
-    nt = F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
-    logit = (
-        F.lit(_QC_W["bias"])
-        + F.lit(_QC_W["stop"]) * (F.col("n_stop").cast("double") / nt)
-        + F.lit(_QC_W["uniq"]) * (F.col("n_uniq").cast("double") / nt)
-        + F.lit(_QC_W["len_pen"])
-        * F.abs(F.col("n_chars").cast("double") / nt - F.lit(6.0))
-    )
+    # features + logit come from the single owner in queries_train —
+    # the bit-identity claim (same IEEE tree as
+    # x_quality_classifier_score) holds by construction, not by
+    # hand-synchronized copies
+    f = _qc_feature_frame(d, "source")
+    logit = _qc_logit_col()
     s = f.select(
         "doc_id",
         "source",
