@@ -741,3 +741,81 @@ def test_mixture_apportion_matches_hamilton_model(
     assert got == want, (weights, got, want)
     if n > 0:
         assert sum(q for _, _, q in got.values()) == T
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.lists(
+                st.text(alphabet="abct ", min_size=1, max_size=4).map(str.strip),
+                min_size=0,
+                max_size=6,
+            ),
+            st.sampled_from(["s0", "s1"]),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@_SETTINGS
+def test_quality_threshold_by_source_matches_python_model(
+    spark, docs, tmp_path_factory
+):
+    """x_quality_threshold_by_source == a direct model: the frozen
+    logit (same IEEE op order as the query, so Python doubles match
+    Spark doubles bit-for-bit), floor-quantized to ten-thousandths,
+    per-source p75 = value at ceil(0.75*N) ascending, ties at the
+    threshold all selected."""
+    import math
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.text import (
+        LANG_STOPWORDS,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    tmp = tmp_path_factory.mktemp("qthr")
+    rows = [(i, " ".join(ws), src) for i, (ws, src) in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    stops = set(LANG_STOPWORDS["en"])
+
+    def bucket(text):
+        ws = [w for w in text.strip().split() if w]
+        nt = len(ws)
+        ns = sum(1 for w in ws if w.lower() in stops)
+        nu = len(set(ws))
+        nc = len(text.strip())
+        d = float(max(nt, 1))
+        logit = (
+            -1.2 + 3.0 * (ns / d) + 1.6 * (nu / d) + -0.02 * abs(nc / d - 6.0)
+        )
+        return math.floor(logit * 10000)
+
+    per_source = {}
+    for i, text, src in rows:
+        per_source.setdefault(src, []).append(bucket(text))
+    thr = {}
+    for src, bs in per_source.items():
+        pos = (3 * len(bs) + 3) // 4  # ceil(0.75*N), 1-based
+        thr[src] = sorted(bs)[pos - 1]
+    want = {
+        i: (src, bucket(text), thr[src], bucket(text) >= thr[src])
+        for i, text, src in rows
+    }
+
+    got = {
+        r["doc_id"]: (
+            r["source"],
+            r["quality_bucket"],
+            r["p75_bucket"],
+            r["selected"],
+        )
+        for r in catalog.queries()["x_quality_threshold_by_source"](
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == want, (docs, got, want)
