@@ -77,9 +77,11 @@ def register(name: str, oracle: str | None):
 #: bigram-LM predictability filter are new this round, the SimHash pair
 #: verify got its size-gated broadcast, and exact_quantile_disc's group
 #: re-attach went null-safe — then the FULL 14-query backlog
-#: (after which every one of the 168 registered queries has at least
-#: one green driver row), then the 19 bench headliners and the scale/
-#: cache-heavy tier for second hard rows in the spare slots.
+#: (after which every one of the 170 registered queries has at least
+#: one green driver row; the late-r4 additions
+#: x_duplicate_span_fraction and x_dedup_survivors are themselves
+#: in-window), then the bench headliners and the scale/cache-heavy
+#: tier for second hard rows in the spare slots.
 DRIVER_WINDOW: list[str] = [
     # changed or new this round (re-verify first)
     "x_dsir_hashed_importance",
@@ -93,6 +95,8 @@ DRIVER_WINDOW: list[str] = [
     "x_ann_hard_negatives",
     "x_dedup_simhash_hamming_pairs",
     "x_exact_quantiles_chars",
+    "x_duplicate_span_fraction",
+    "x_dedup_survivors",
     # round-3 backlog: the 5 remaining r3 additions
     "x_bpe_pair_counts",
     "x_word_entropy_quality",
@@ -110,7 +114,6 @@ DRIVER_WINDOW: list[str] = [
     "x_packing_efficiency",
     # bench headliners — every timed query gets a fresh driver row
     "flagship_unresolved_distinct",
-    "f1_range_filter_events",
     "f5_first_match_per_chat",
     "c13_pivot_event_types",
     "j1_full_outer_integrate",
@@ -118,7 +121,6 @@ DRIVER_WINDOW: list[str] = [
     "agg_pricing_summary",
     "x_dedup_minhash_lsh_pairs",
     "x_ann_cosine_topk",
-    "x_text_quality",
     "x_curation_pipeline",
     "agg_regional_revenue",
     "x_pack_sequences",
@@ -147,6 +149,12 @@ DRIVER_WINDOW: list[str] = [
 # behind global_row_number is exercised in-window by
 # x_budget_select_topquality and x_global_running_revenue), so the
 # window stays at 50 with every NEW query inside it.
+# The late-r4 additions x_duplicate_span_fraction and
+# x_dedup_survivors took the slots of the x_text_quality and
+# f1_range_filter_events headliner re-verifications: both displaced
+# queries are single-scan codegen plans unchanged since their r1 green
+# rows, not on the cache/persist path the rest of the tail
+# re-verifies, and still covered by the full-catalog strict gate.
 # No rotation backlog after round 4: the r3 backlog (8 deferred +
 # 6 r3 additions) is fully inside this window, so every registered
 # query has a green driver row once CORRECTNESS_r04 lands.

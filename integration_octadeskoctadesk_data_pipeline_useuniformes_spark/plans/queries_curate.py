@@ -29,6 +29,7 @@ from ..operators import text as T
 from ..tables import fan_out_small_scan, load_table
 from .queries import register
 from .queries_ext import _LSH_PAIRS_CTES, _SHINGLES_SQL, _WORDS_SQL, _langid_oracle
+from .queries_train import _QC_LOGIT_SQL, _qc_features_sql
 from ..query_scope import scoped_persist
 
 _SW_EN_CUR = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS["en"])
@@ -836,3 +837,89 @@ def x_dedup_lsh_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(n_found)
         .withColumn("n_missed", F.col("n_true_pairs") - F.col("n_found"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup survivor selection — the step that turns clusters into a
+# corpus: per near-dup cluster, KEEP the highest-quality member (by the
+# frozen classifier logit, doc_id-ascending tie-break) and report the
+# yield. This is how production dedup actually discards: not "keep the
+# first seen" but "keep the best", which needs the quality model and
+# the cluster labels in one plan. Composition reuses single owners —
+# LSH pairs + min-label connected components from the dedup operators,
+# the classifier feature/logit chain from queries_train (bit-identical
+# IEEE trees cross-engine, so the DESC order on the full-precision
+# logit agrees with DuckDB before the display rounding). Scale shape:
+#   - labels ⋈ logit is a doc-grain equi join (both sides doc-keyed);
+#   - the per-cluster argmax is ONE struct-max aggregate
+#     max(struct(logit, -doc_id)) — map-side combinable, no
+#     cluster-partitioned sort window over the corpus;
+#   - output is cluster grain (≤ one row per doc, mostly singletons).
+# Oracle: the recursive-CTE transitive closure + the same logit chain,
+# argmax via row_number() — engines must agree on every survivor.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_survivors",
+    f"""
+WITH RECURSIVE {_LSH_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM verified
+),
+cc AS (
+  SELECT doc_id AS u, doc_id AS lab FROM documents
+  UNION
+  SELECT e.v AS u, c.lab FROM cc c JOIN edges e ON e.u = c.u
+),
+labels AS (SELECT u AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY u),
+feat AS ({_qc_features_sql()}),
+scored AS (
+  SELECT doc_id, {_QC_LOGIT_SQL} AS raw_logit FROM feat
+),
+ranked AS (
+  SELECT l.cluster_id, s.doc_id, s.raw_logit,
+         row_number() OVER (PARTITION BY l.cluster_id
+                            ORDER BY s.raw_logit DESC, s.doc_id ASC) AS rn,
+         count(*) OVER (PARTITION BY l.cluster_id) AS cluster_size
+  FROM labels l JOIN scored s ON l.doc_id = s.doc_id
+)
+SELECT cluster_id,
+       doc_id AS survivor_doc_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size,
+       round(raw_logit, 6) AS survivor_logit,
+       CAST(cluster_size - 1 AS BIGINT) AS n_removed
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+""",
+)
+def x_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_train import _qc_feature_frame, _qc_logit_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs, min_jaccard_est=0.5)
+    labels = D.connected_components(docs, pairs)
+    scored = _qc_feature_frame(docs).select(
+        "doc_id", _qc_logit_col().alias("__logit")
+    )
+    best = (
+        labels.join(scored, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cluster_size"),
+            F.max(
+                F.struct(
+                    F.col("__logit").alias("l"), (-F.col("doc_id")).alias("nd")
+                )
+            ).alias("best"),
+        )
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("best.nd")).cast("bigint").alias("survivor_doc_id"),
+        "cluster_size",
+        F.round(F.col("best.l"), 6).alias("survivor_logit"),
+        (F.col("cluster_size") - 1).cast("bigint").alias("n_removed"),
+    ).orderBy("cluster_id")

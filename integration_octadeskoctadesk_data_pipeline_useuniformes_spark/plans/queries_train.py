@@ -492,6 +492,110 @@ def x_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-document duplicate-span fraction — the document-grain complement
+# of x_dedup_exact_substring: for each doc, the fraction of its
+# DISTINCT k-word windows (k=8, same grain as the pair query) that
+# occur in at least one OTHER document. This is the per-doc removal
+# signal substring-dedup pipelines threshold on (Lee et al. report the
+# fraction of each doc covered by corpus-duplicated spans; the window
+# share is its set-grain surrogate) — pairs say WHO overlaps, this says
+# HOW MUCH of each doc is boilerplate. Scale shape:
+#   1. one pass builds the distinct (doc_id, window-md5) index, and
+#      each row's corpus-wide df annotates it via count(*) OVER
+#      (PARTITION BY h) — ONE exchange of the index, on the md5 key.
+#      The groupBy-df-then-join alternative ships the index TWICE (the
+#      full-width join probe side plus the aggregate's partial rows,
+#      which barely compact because df=1 windows dominate any real
+#      corpus); the window form moves strictly less data, and the sort
+#      WindowExec needs is on the very key the exchange hashed. No
+#      persist: the index has exactly one consumer in this shape;
+#   2. NO df cap here, deliberately: a window in D docs contributes
+#      df=D (linear, one row per (doc,window)) — the D² blow-up the
+#      pair query must cap simply does not exist at this grain, and
+#      capping would undercount exactly the boilerplate the fraction
+#      exists to measure;
+#   3. the doc rollup is a map-side-combined count; the left join back
+#      to the doc grain re-emits <k-word docs as 0/0 rows (they have
+#      no windows, hence nothing duplicated).
+# dup_ppm is integer ppm (BIGINT div — guarded: ANSI `div 0` throws in
+# Spark where DuckDB `//` yields NULL), so the threshold column is
+# exact cross-engine.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_duplicate_span_fraction",
+    f"""
+WITH toks AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+win AS (
+  SELECT doc_id,
+         md5(unnest(list_distinct(list_transform(
+           generate_series(1, greatest(len(w) - {_SUBSTR_K - 1}, 0)),
+           i -> {" || ' ' || ".join(f"w[i+{j}]" for j in range(_SUBSTR_K))})))) AS h
+  FROM toks
+),
+ann AS (SELECT doc_id, count(*) OVER (PARTITION BY h) AS w_df FROM win),
+per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_windows,
+         CAST(sum(CASE WHEN w_df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+  FROM ann
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_windows, 0) AS BIGINT) AS n_windows,
+       CAST(coalesce(p.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(p.n_dup_windows * 1000000 // p.n_windows, 0) AS BIGINT)
+         AS dup_ppm
+FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+ORDER BY d.doc_id
+""",
+)
+def x_duplicate_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    win = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    word_shingles(F.col("text"), _SUBSTR_K), lambda s: F.md5(s)
+                )
+            )
+        ).alias("h"),
+    )
+    ann = win.select(
+        "doc_id", F.count(F.lit(1)).over(Window.partitionBy("h")).alias("w_df")
+    )
+    per_doc = ann.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum((F.col("w_df") >= 2).cast("int")).cast("bigint").alias(
+            "n_dup_windows"
+        ),
+    )
+    return (
+        d.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("bigint").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_windows"),
+            F.coalesce(
+                F.when(
+                    F.col("n_windows") > 0,
+                    F.expr("n_dup_windows * 1000000 div n_windows"),
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Model-based quality scoring — the fasttext-style classifier stage of a
 # curation pipeline, as a LINEAR model over interpretable features with
 # FROZEN illustrative weights (a real deployment exports trained

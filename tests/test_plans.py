@@ -455,6 +455,38 @@ def test_exact_substring_caps_window_df_before_pairing(spark):
     assert len(scan_ids) == 1, tree
 
 
+def test_duplicate_span_fraction_single_index_pass(spark):
+    # the doc-grain duplication fraction must annotate window df via a
+    # WindowExec (count over partition by h) — ONE exchange of the
+    # window index — not a groupBy-df-then-join that ships the index
+    # twice. Pin: a window operator present, no pair-style self join
+    # (the only join is the doc-grain left join back to documents), no
+    # cartesian, no Python, and no persist (single-consumer index).
+    tree = tree_of(spark, "x_duplicate_span_fraction")
+    assert "CartesianProduct" not in tree, tree
+    assert "BatchEvalPython" not in tree, tree
+    assert "Window" in tree, tree
+    n_joins = sum(
+        tree.count(j)
+        for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_joins == 1, tree
+    assert "InMemoryTableScan" not in tree, tree
+
+
+def test_dedup_survivors_argmax_is_aggregate_not_window(spark):
+    # the per-cluster survivor pick must be the struct-max AGGREGATE
+    # (partial-aggregable: each map task emits one candidate per
+    # cluster before the exchange) — not a row_number() window, which
+    # would sort the whole corpus within cluster partitions. Pin: no
+    # Window operator anywhere in the final plan, no cartesian, no
+    # Python eval.
+    tree = tree_of(spark, "x_dedup_survivors")
+    assert "CartesianProduct" not in tree, tree
+    assert "BatchEvalPython" not in tree, tree
+    assert "Window" not in tree, tree
+
+
 def test_simhash_hamming_pairs_broadcasts_pair_grain_only(spark):
     # small regime (candidate count under _SH_BROADCAST_CAP): the
     # pigeonhole verify joins broadcast the PAIR-grain candidate side;

@@ -339,6 +339,172 @@ def test_exact_substring_pairs_match_python_model(spark, docs, data, tmp_path_fa
     assert got == dict(model), (words_per_doc, got, dict(model))
 
 
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=30),
+        min_size=2,
+        max_size=8,
+    ),
+    data=st.data(),
+)
+@_SETTINGS
+def test_duplicate_span_fraction_matches_python_model(
+    spark, docs, data, tmp_path_factory
+):
+    """x_duplicate_span_fraction == a direct model: per doc, the share
+    of its distinct 8-word windows whose corpus df >= 2, integer-ppm
+    floor — with PLANTED duplication (an 8-word run copied from doc 0
+    into doc 1), since random 30-word tails almost never collide, and
+    <8-word docs pinned to (0, 0, 0) rows."""
+    from collections import Counter
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    K = 8
+    words_per_doc = [list(d) for d in docs]
+    if len(words_per_doc[0]) >= K:
+        start = data.draw(st.integers(0, len(words_per_doc[0]) - K))
+        words_per_doc[1] = words_per_doc[1] + words_per_doc[0][start : start + K]
+
+    tmp = tmp_path_factory.mktemp("spanfrac")
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(words_per_doc)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    windows = {
+        i: {" ".join(ws[j : j + K]) for j in range(len(ws) - K + 1)}
+        for i, ws in enumerate(words_per_doc)
+    }
+    df_ct = Counter(w for wins in windows.values() for w in wins)
+    model = {}
+    for i, wins in windows.items():
+        n = len(wins)
+        dup = sum(1 for w in wins if df_ct[w] >= 2)
+        model[i] = (n, dup, dup * 1_000_000 // n if n else 0)
+
+    got = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_ppm"])
+        for r in catalog.queries()["x_duplicate_span_fraction"](
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == model, (words_per_doc, got, model)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12),
+        min_size=2,
+        max_size=6,
+    )
+)
+@_SETTINGS
+def test_dedup_survivors_match_python_model(spark, docs, tmp_path_factory):
+    """x_dedup_survivors == a direct Python model of the WHOLE chain:
+    md5 MinHash signatures (8 seeds, 3-word shingles, 'z'*32 empty
+    sentinel), 4×2 banded LSH candidates, >=0.5 signature-match verify,
+    min-label connected components, frozen-logit argmax with
+    doc_id-ascending tie-break. Doc 1 is planted as an EXACT duplicate
+    of doc 0 so a non-singleton cluster always exists (tie on logit →
+    the tie-break decides the survivor)."""
+    import hashlib
+    from collections import defaultdict
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators import (
+        text as T,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    words_per_doc = [list(d) for d in docs]
+    words_per_doc[1] = list(words_per_doc[0])
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    sigs = {}
+    for i, ws in enumerate(words_per_doc):
+        sh = [" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)]
+        sigs[i] = [
+            min((md5(f"{j}:{s}") for s in sh), default="z" * 32) for j in range(8)
+        ]
+
+    buckets = defaultdict(set)
+    for i, sig in sigs.items():
+        for b in range(4):
+            buckets[(b, md5("|".join(sig[2 * b : 2 * b + 2])))].add(i)
+    cand = {
+        (a, b)
+        for ids in buckets.values()
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    pairs = [
+        (a, b)
+        for a, b in cand
+        if sum(sigs[a][p] == sigs[b][p] for p in range(8)) / 8.0 >= 0.5
+    ]
+
+    parent = {i: i for i in range(len(words_per_doc))}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = defaultdict(list)
+    for i in range(len(words_per_doc)):
+        comp[find(i)].append(i)
+
+    stops = {s.lower() for s in T.LANG_STOPWORDS["en"]}
+
+    def logit(ws: list) -> float:
+        text = " ".join(ws)
+        toks = [w for w in text.strip().split() if w]
+        nt = max(len(toks), 1)
+        n_stop = sum(1 for w in toks if w.lower() in stops)
+        return (
+            -1.2
+            + 3.0 * (n_stop / nt)
+            + 1.6 * (len(set(toks)) / nt)
+            + -0.02 * abs(len(text.strip()) / nt - 6.0)
+        )
+
+    model = {}
+    for root, members in comp.items():
+        best = min(members, key=lambda i: (-logit(words_per_doc[i]), i))
+        model[root] = (best, len(members), len(members) - 1)
+
+    tmp = tmp_path_factory.mktemp("survivors")
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(words_per_doc)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    got = {}
+    for r in catalog.queries()["x_dedup_survivors"](spark, str(tmp)).collect():
+        got[r["cluster_id"]] = (
+            r["survivor_doc_id"],
+            r["cluster_size"],
+            r["n_removed"],
+        )
+        assert (
+            abs(r["survivor_logit"] - logit(words_per_doc[r["survivor_doc_id"]]))
+            < 1e-6
+        ), (r, words_per_doc)
+    assert got == model, (words_per_doc, got, model)
+
+
 def _py_bpe_model(wf: dict, n_steps: int):
     """Direct BPE trainer model: greedy left-to-right merge application,
     tie-break (count desc, left+SEP+right asc) — the engine contract."""

@@ -56,6 +56,8 @@ SENSITIVE = [
     "x_dsir_hashed_importance",
     "x_quality_threshold_by_source",
     "x_mixture_apportion_budget",
+    "x_duplicate_span_fraction",
+    "x_dedup_survivors",
 ]
 
 
