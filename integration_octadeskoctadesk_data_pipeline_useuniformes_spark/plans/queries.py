@@ -97,6 +97,7 @@ DRIVER_WINDOW: list[str] = [
     "x_exact_quantiles_chars",
     "x_duplicate_span_fraction",
     "x_dedup_survivors",
+    "x_dedup_clusters",
     # round-3 backlog: the 5 remaining r3 additions
     "x_bpe_pair_counts",
     "x_word_entropy_quality",
@@ -112,10 +113,10 @@ DRIVER_WINDOW: list[str] = [
     "x_profile_documents",
     "x_length_histogram",
     "x_packing_efficiency",
-    # bench headliners — every timed query gets a fresh driver row
+    # bench headliners (minus the three displaced by the late-r4
+    # additions — see the trailing comment)
     "flagship_unresolved_distinct",
     "f5_first_match_per_chat",
-    "c13_pivot_event_types",
     "j1_full_outer_integrate",
     "j3_anti_dedup",
     "agg_pricing_summary",
@@ -150,11 +151,15 @@ DRIVER_WINDOW: list[str] = [
 # x_budget_select_topquality and x_global_running_revenue), so the
 # window stays at 50 with every NEW query inside it.
 # The late-r4 additions x_duplicate_span_fraction and
-# x_dedup_survivors took the slots of the x_text_quality and
-# f1_range_filter_events headliner re-verifications: both displaced
+# x_dedup_survivors — plus x_dedup_clusters, whose ORACLE was
+# restructured onto the shared _CC_LABELS_CTES owner (changed queries
+# re-verify first, even for a provably-equivalent SQL refactor) — took
+# the slots of the x_text_quality, f1_range_filter_events and
+# c13_pivot_event_types headliner re-verifications: the displaced
 # queries are single-scan codegen plans unchanged since their r1 green
-# rows, not on the cache/persist path the rest of the tail
-# re-verifies, and still covered by the full-catalog strict gate.
+# rows (c13 has TWO r1 rows), not on the cache/persist path the rest
+# of the tail re-verifies, and still covered by the full-catalog
+# strict gate.
 # No rotation backlog after round 4: the r3 backlog (8 deferred +
 # 6 r3 additions) is fully inside this window, so every registered
 # query has a green driver row once CORRECTNESS_r04 lands.

@@ -28,8 +28,19 @@ from ..operators import dedup as D
 from ..operators import text as T
 from ..tables import fan_out_small_scan, load_table
 from .queries import register
-from .queries_ext import _LSH_PAIRS_CTES, _SHINGLES_SQL, _WORDS_SQL, _langid_oracle
-from .queries_train import _QC_LOGIT_SQL, _qc_features_sql
+from .queries_ext import (
+    _CC_LABELS_CTES,
+    _LSH_PAIRS_CTES,
+    _SHINGLES_SQL,
+    _WORDS_SQL,
+    _langid_oracle,
+)
+from .queries_train import (
+    _QC_LOGIT_SQL,
+    _qc_feature_frame,
+    _qc_features_sql,
+    _qc_logit_col,
+)
 from ..query_scope import scoped_persist
 
 _SW_EN_CUR = ", ".join(f"'{s}'" for s in T.LANG_STOPWORDS["en"])
@@ -863,18 +874,7 @@ def x_dedup_lsh_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_dedup_survivors",
     f"""
-WITH RECURSIVE {_LSH_PAIRS_CTES},
-edges AS (
-  SELECT id_a AS u, id_b AS v FROM verified
-  UNION ALL
-  SELECT id_b AS u, id_a AS v FROM verified
-),
-cc AS (
-  SELECT doc_id AS u, doc_id AS lab FROM documents
-  UNION
-  SELECT e.v AS u, c.lab FROM cc c JOIN edges e ON e.u = c.u
-),
-labels AS (SELECT u AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY u),
+WITH RECURSIVE {_CC_LABELS_CTES},
 feat AS ({_qc_features_sql()}),
 scored AS (
   SELECT doc_id, {_QC_LOGIT_SQL} AS raw_logit FROM feat
@@ -896,8 +896,6 @@ ORDER BY cluster_id
 """,
 )
 def x_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .queries_train import _qc_feature_frame, _qc_logit_col
-
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.lsh_candidate_pairs(docs, min_jaccard_est=0.5)
     labels = D.connected_components(docs, pairs)

@@ -206,6 +206,26 @@ verified AS (
 )"""
 
 
+#: verified pairs → symmetric edges → min-label transitive closure →
+#: (doc_id, cluster_id) labels. Single owner for the connected-
+#: components closure SQL (requires WITH RECURSIVE): the cluster query
+#: AND the survivor query (queries_curate) must compute the SAME
+#: clusters — a hand-copied closure would drift silently, since each
+#: copy still passes its own Spark-vs-DuckDB parity after an edit.
+_CC_LABELS_CTES = f"""{_LSH_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM verified
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM verified
+),
+cc AS (
+  SELECT doc_id AS u, doc_id AS lab FROM documents
+  UNION
+  SELECT e.v AS u, c.lab FROM cc c JOIN edges e ON e.u = c.u
+),
+labels AS (SELECT u AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY u)"""
+
+
 @register(
     "x_dedup_minhash_lsh_pairs",
     f"WITH {_LSH_PAIRS_CTES}\nSELECT id_a, id_b, jaccard_est FROM verified",
@@ -218,18 +238,8 @@ def x_dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x_dedup_clusters",
     f"""
-WITH RECURSIVE {_LSH_PAIRS_CTES},
-edges AS (
-  SELECT id_a AS u, id_b AS v FROM verified
-  UNION ALL
-  SELECT id_b AS u, id_a AS v FROM verified
-),
-cc AS (
-  SELECT doc_id AS u, doc_id AS lab FROM documents
-  UNION
-  SELECT e.v AS u, c.lab FROM cc c JOIN edges e ON e.u = c.u
-)
-SELECT u AS doc_id, min(lab) AS cluster_id FROM cc GROUP BY u
+WITH RECURSIVE {_CC_LABELS_CTES}
+SELECT doc_id, cluster_id FROM labels
 """,
 )
 def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
