@@ -77,11 +77,11 @@ def register(name: str, oracle: str | None):
 #: bigram-LM predictability filter are new this round, the SimHash pair
 #: verify got its size-gated broadcast, and exact_quantile_disc's group
 #: re-attach went null-safe — then the FULL 14-query backlog
-#: (after which every one of the 170 registered queries has at least
-#: one green driver row; the late-r4 additions
-#: x_duplicate_span_fraction and x_dedup_survivors are themselves
-#: in-window), then the bench headliners and the scale/cache-heavy
-#: tier for second hard rows in the spare slots.
+#: (after which every one of the 171 registered queries has at least
+#: one green driver row; the late-r4 additions —
+#: x_duplicate_span_fraction, x_dedup_survivors, x_split_leakage_safe
+#: — are themselves in-window), then the bench headliners and the
+#: scale/cache-heavy tier for second hard rows in the spare slots.
 DRIVER_WINDOW: list[str] = [
     # changed or new this round (re-verify first)
     "x_dsir_hashed_importance",
@@ -98,6 +98,8 @@ DRIVER_WINDOW: list[str] = [
     "x_duplicate_span_fraction",
     "x_dedup_survivors",
     "x_dedup_clusters",
+    "x_split_leakage_safe",
+    "x_split_train_val",
     # round-3 backlog: the 5 remaining r3 additions
     "x_bpe_pair_counts",
     "x_word_entropy_quality",
@@ -118,8 +120,6 @@ DRIVER_WINDOW: list[str] = [
     "flagship_unresolved_distinct",
     "f5_first_match_per_chat",
     "j1_full_outer_integrate",
-    "j3_anti_dedup",
-    "agg_pricing_summary",
     "x_dedup_minhash_lsh_pairs",
     "x_ann_cosine_topk",
     "x_curation_pipeline",
@@ -150,16 +150,17 @@ DRIVER_WINDOW: list[str] = [
 # behind global_row_number is exercised in-window by
 # x_budget_select_topquality and x_global_running_revenue), so the
 # window stays at 50 with every NEW query inside it.
-# The late-r4 additions x_duplicate_span_fraction and
-# x_dedup_survivors — plus x_dedup_clusters, whose ORACLE was
-# restructured onto the shared _CC_LABELS_CTES owner (changed queries
-# re-verify first, even for a provably-equivalent SQL refactor) — took
-# the slots of the x_text_quality, f1_range_filter_events and
-# c13_pivot_event_types headliner re-verifications: the displaced
-# queries are single-scan codegen plans unchanged since their r1 green
-# rows (c13 has TWO r1 rows), not on the cache/persist path the rest
-# of the tail re-verifies, and still covered by the full-catalog
-# strict gate.
+# The late-r4 additions (x_duplicate_span_fraction, x_dedup_survivors,
+# x_split_leakage_safe) — plus x_dedup_clusters and x_split_train_val,
+# whose ORACLES/implementations were restructured onto shared owners
+# (_CC_LABELS_CTES; _split_case_sql/split_assignment — changed queries
+# re-verify first, even for a provably-equivalent refactor) — took the
+# slots of the x_text_quality, f1_range_filter_events,
+# c13_pivot_event_types, j3_anti_dedup and agg_pricing_summary
+# headliner re-verifications: the displaced queries are simple plans
+# unchanged since their r1 green rows (c13 has TWO r1 rows), not on
+# the cache/persist path the rest of the tail re-verifies, and still
+# covered by the full-catalog strict gate.
 # No rotation backlog after round 4: the r3 backlog (8 deferred +
 # 6 r3 additions) is fully inside this window, so every registered
 # query has a green driver row once CORRECTNESS_r04 lands.

@@ -241,26 +241,43 @@ def agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic train/val split — hash-based, reproducible across runs,
 # engines, and cluster sizes (no rand(), no row order dependence). Two
 # hex chars of md5 give a 1/256-granular threshold: < 'e6' ≈ 89.8%.
+# The rule lives in ONE owner pair (_split_case_sql / split_assignment)
+# because the leakage-safe split (queries_curate) must assign the SAME
+# membership — hand-copied split predicates would drift silently while
+# each query still passes its own parity.
 # ---------------------------------------------------------------------------
+
+
+def _split_case_sql(col: str) -> str:
+    """DuckDB text of the deterministic split rule for id column ``col``
+    — the one owner of the '<e6 → train' membership predicate."""
+    return (
+        f"CASE WHEN substr(md5('split:' || CAST({col} AS VARCHAR)), 1, 2) < 'e6' "
+        "THEN 'train' ELSE 'val' END"
+    )
+
+
+def split_assignment(col: str) -> F.Column:
+    """Spark twin of ``_split_case_sql``: 'train'/'val' for id ``col``.
+    A pure function of the key — consumers may evaluate it on ANY frame
+    carrying the id (e.g. pair rows), no join against a split table."""
+    bucket = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col(col).cast("string"))), 1, 2
+    )
+    return F.when(bucket < "e6", F.lit("train")).otherwise(F.lit("val"))
 
 
 @register(
     "x_split_train_val",
-    """
+    f"""
 SELECT doc_id, lang,
-       CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
-            THEN 'train' ELSE 'val' END AS split
+       {_split_case_sql("doc_id")} AS split
 FROM documents
 """,
 )
 def x_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2)
-    return d.select(
-        "doc_id",
-        "lang",
-        F.when(bucket < "e6", F.lit("train")).otherwise(F.lit("val")).alias("split"),
-    )
+    return d.select("doc_id", "lang", split_assignment("doc_id").alias("split"))
 
 
 # ---------------------------------------------------------------------------

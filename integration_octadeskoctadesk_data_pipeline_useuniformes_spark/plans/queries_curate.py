@@ -28,6 +28,7 @@ from ..operators import dedup as D
 from ..operators import text as T
 from ..tables import fan_out_small_scan, load_table
 from .queries import register
+from .queries_adv import _split_case_sql, split_assignment
 from .queries_ext import (
     _CC_LABELS_CTES,
     _LSH_PAIRS_CTES,
@@ -921,3 +922,87 @@ def x_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("best.l"), 6).alias("survivor_logit"),
         (F.col("cluster_size") - 1).cast("bigint").alias("n_removed"),
     ).orderBy("cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val split — the hash split PLUS the guarantee
+# benchmarks actually need: no training document is a near-duplicate of
+# a validation document (near-dup train/test leakage inflates eval —
+# the Lee-et-al / SemDeDup motivation). A train doc with any verified
+# LSH near-dup on the val side is dropped (kept = 0); val always stays.
+# Scale shape:
+#   - the split rule is a PURE FUNCTION of doc_id (single owner
+#     split_assignment / _split_case_sql, shared with
+#     x_split_train_val), so split membership is evaluated directly ON
+#     the near-dup pair rows — the leak scan needs ZERO joins against a
+#     split table, and the pair grain is tiny (verified near-dups);
+#   - cross-split pairs reduce to (train-side doc, n_val_dups) with a
+#     map-side-combined count;
+#   - ONE doc-grain left join attaches the leak counts to the split
+#     assignment (AQE picks broadcast at bench scale, co-partitioned
+#     doc_id join at corpus scale — no hint).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_split_leakage_safe",
+    f"""
+WITH {_LSH_PAIRS_CTES},
+sp AS (
+  SELECT doc_id, {_split_case_sql("doc_id")} AS split FROM documents
+),
+leaky AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_val_dups FROM (
+    SELECT CASE
+             WHEN {_split_case_sql("id_a")} = 'train'
+              AND {_split_case_sql("id_b")} = 'val' THEN id_a
+             WHEN {_split_case_sql("id_b")} = 'train'
+              AND {_split_case_sql("id_a")} = 'val' THEN id_b
+           END AS doc_id
+    FROM verified
+  ) WHERE doc_id IS NOT NULL GROUP BY doc_id
+)
+SELECT s.doc_id, s.split,
+       CAST(coalesce(l.n_val_dups, 0) AS BIGINT) AS n_val_dups,
+       CAST(CASE WHEN s.split = 'val' OR l.n_val_dups IS NULL
+                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+FROM sp s LEFT JOIN leaky l ON s.doc_id = l.doc_id
+ORDER BY s.doc_id
+""",
+)
+def x_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs, min_jaccard_est=0.5).select(
+        "id_a", "id_b", split_assignment("id_a").alias("sa"),
+        split_assignment("id_b").alias("sb"),
+    )
+    # the two cross-split directions are mutually exclusive, so ONE
+    # CASE projection picks each pair's leaky doc in a single pass over
+    # the pair subtree — a filter-per-direction union would run the
+    # banding/verify joins twice (seen in the executed plan)
+    leaky_id = (
+        F.when(
+            (F.col("sa") == "train") & (F.col("sb") == "val"), F.col("id_a")
+        ).when((F.col("sb") == "train") & (F.col("sa") == "val"), F.col("id_b"))
+    )
+    leaky = (
+        pairs.select(leaky_id.alias("doc_id"))
+        .filter(F.col("doc_id").isNotNull())
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_val_dups"))
+    )
+    sp = docs.select("doc_id", split_assignment("doc_id").alias("split"))
+    return (
+        sp.join(leaky, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            F.coalesce("n_val_dups", F.lit(0)).cast("bigint").alias("n_val_dups"),
+            (
+                (F.col("split") == "val") | F.col("n_val_dups").isNull()
+            )
+            .cast("bigint")
+            .alias("kept"),
+        )
+        .orderBy("doc_id")
+    )

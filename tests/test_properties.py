@@ -505,6 +505,89 @@ def test_dedup_survivors_match_python_model(spark, docs, tmp_path_factory):
     assert got == model, (words_per_doc, got, model)
 
 
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefg"), min_size=0, max_size=12),
+        min_size=2,
+        max_size=6,
+    ),
+    ids=st.lists(st.integers(0, 5000), min_size=6, max_size=6, unique=True),
+)
+@_SETTINGS
+def test_split_leakage_safe_matches_python_model(spark, docs, ids, tmp_path_factory):
+    """x_split_leakage_safe == a direct model: md5 hash split
+    ('split:<id>' first two hex < 'e6' → train), LSH near-dup pairs
+    (same chain as the survivors model), train docs with a val near-dup
+    dropped. Doc ids are DRAWN (not sequential) so the hash split
+    explores both sides, and doc 1 is planted as an exact duplicate of
+    doc 0 so cross-split near-dup pairs actually occur whenever the
+    hash puts the pair on opposite sides."""
+    import hashlib
+    from collections import defaultdict
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    words_per_doc = [list(d) for d in docs]
+    words_per_doc[1] = list(words_per_doc[0])
+    doc_ids = ids[: len(words_per_doc)]
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def split_of(i: int) -> str:
+        return "train" if md5(f"split:{i}")[:2] < "e6" else "val"
+
+    sigs = {}
+    for i, ws in zip(doc_ids, words_per_doc):
+        sh = [" ".join(ws[j : j + 3]) for j in range(len(ws) - 2)]
+        sigs[i] = [
+            min((md5(f"{j}:{s}") for s in sh), default="z" * 32) for j in range(8)
+        ]
+    buckets = defaultdict(set)
+    for i, sig in sigs.items():
+        for b in range(4):
+            buckets[(b, md5("|".join(sig[2 * b : 2 * b + 2])))].add(i)
+    pairs = [
+        (a, b)
+        for ids_ in buckets.values()
+        for a in ids_
+        for b in ids_
+        if a < b
+        and sum(sigs[a][p] == sigs[b][p] for p in range(8)) / 8.0 >= 0.5
+    ]
+    # dedupe candidate pairs discovered via multiple bands
+    pairs = sorted(set(pairs))
+
+    n_val_dups = defaultdict(int)
+    for a, b in pairs:
+        if split_of(a) == "train" and split_of(b) == "val":
+            n_val_dups[a] += 1
+        if split_of(b) == "train" and split_of(a) == "val":
+            n_val_dups[b] += 1
+    model = {
+        i: (
+            split_of(i),
+            n_val_dups[i],
+            1 if split_of(i) == "val" or n_val_dups[i] == 0 else 0,
+        )
+        for i in doc_ids
+    }
+
+    tmp = tmp_path_factory.mktemp("leakage")
+    rows = [(i, " ".join(ws)) for i, ws in zip(doc_ids, words_per_doc)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (r["split"], r["n_val_dups"], r["kept"])
+        for r in catalog.queries()["x_split_leakage_safe"](spark, str(tmp)).collect()
+    }
+    assert got == model, (doc_ids, words_per_doc, got, model)
+
+
 def _py_bpe_model(wf: dict, n_steps: int):
     """Direct BPE trainer model: greedy left-to-right merge application,
     tie-break (count desc, left+SEP+right asc) — the engine contract."""

@@ -58,6 +58,7 @@ SENSITIVE = [
     "x_mixture_apportion_budget",
     "x_duplicate_span_fraction",
     "x_dedup_survivors",
+    "x_split_leakage_safe",
 ]
 
 
