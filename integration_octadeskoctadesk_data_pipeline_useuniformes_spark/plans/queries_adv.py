@@ -248,23 +248,42 @@ def agg_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _split_case_sql(col: str) -> str:
-    """DuckDB text of the deterministic split rule for id column ``col``
-    — the one owner of the '<e6 → train' membership predicate."""
+def _hash_split_pred_sql(prefix: str, col: str, threshold: str) -> str:
+    """DuckDB text of the deterministic hash-split predicate: first two
+    md5 hex chars of '<prefix>:<id>' below ``threshold``. The ONE owner
+    of the md5-prefix-threshold pattern — every hash split in the
+    catalog (train/val 'split:'/'e6', the bigram-LM train half
+    'lmtrain:'/'80') must assemble from this pair, never inline it."""
     return (
-        f"CASE WHEN substr(md5('split:' || CAST({col} AS VARCHAR)), 1, 2) < 'e6' "
+        f"substr(md5('{prefix}:' || CAST({col} AS VARCHAR)), 1, 2) < '{threshold}'"
+    )
+
+
+def hash_split_pred(prefix: str, col: str, threshold: str) -> F.Column:
+    """Spark twin of ``_hash_split_pred_sql`` — a pure function of the
+    id, so consumers may evaluate it on ANY frame carrying the id (e.g.
+    pair rows), no join against a split table."""
+    return (
+        F.substring(
+            F.md5(F.concat(F.lit(f"{prefix}:"), F.col(col).cast("string"))), 1, 2
+        )
+        < threshold
+    )
+
+
+def _split_case_sql(col: str) -> str:
+    """DuckDB text of the train/val split rule for id column ``col``."""
+    return (
+        f"CASE WHEN {_hash_split_pred_sql('split', col, 'e6')} "
         "THEN 'train' ELSE 'val' END"
     )
 
 
 def split_assignment(col: str) -> F.Column:
-    """Spark twin of ``_split_case_sql``: 'train'/'val' for id ``col``.
-    A pure function of the key — consumers may evaluate it on ANY frame
-    carrying the id (e.g. pair rows), no join against a split table."""
-    bucket = F.substring(
-        F.md5(F.concat(F.lit("split:"), F.col(col).cast("string"))), 1, 2
+    """Spark twin of ``_split_case_sql``: 'train'/'val' for id ``col``."""
+    return F.when(hash_split_pred("split", col, "e6"), F.lit("train")).otherwise(
+        F.lit("val")
     )
-    return F.when(bucket < "e6", F.lit("train")).otherwise(F.lit("val"))
 
 
 @register(

@@ -25,6 +25,7 @@ from ..operators.pack import pack_sequences
 from ..operators.sampling import proportional_resample
 from ..tables import load_table
 from .queries import register
+from .queries_adv import _hash_split_pred_sql, hash_split_pred
 
 _WORDS_SQL = "string_split_regex(trim(text), '\\s+')"
 
@@ -735,7 +736,7 @@ _LM_WORDS = (
     f"""
 WITH ws AS (
   SELECT doc_id, {_LM_WORDS} AS ws,
-         substr(md5('lmtrain:' || CAST(doc_id AS VARCHAR)), 1, 2) < '80' AS is_train
+         {_hash_split_pred_sql("lmtrain", "doc_id", "80")} AS is_train
   FROM documents
 ), bg AS (
   SELECT doc_id, is_train,
@@ -791,12 +792,7 @@ def x_lm_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    is_train = (
-        F.substring(
-            F.md5(F.concat(F.lit("lmtrain:"), F.col("doc_id").cast("string"))), 1, 2
-        )
-        < "80"
-    )
+    is_train = hash_split_pred("lmtrain", "doc_id", "80")
     base = d.select("doc_id", words.alias("ws"), is_train.alias("is_train"))
 
     train_words = base.filter("is_train").select(F.explode("ws").alias("word"))

@@ -503,27 +503,6 @@ def test_split_leakage_safe_no_split_table_join(spark):
     assert "Union" not in tree, tree
 
 
-def test_split_leakage_safe_agrees_with_split_train_val(spark):
-    # the membership single-owner (_split_case_sql / split_assignment)
-    # is shared with x_split_train_val; this pins the two queries to
-    # the SAME assignment on real data, so a drifting copy cannot pass
-    # unnoticed even though each query has its own oracle.
-    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
-        queries as catalog,
-    )
-
-    sf = "/root/testdata/sf0.001"
-    a = {
-        r["doc_id"]: r["split"]
-        for r in catalog.queries()["x_split_train_val"](spark, sf).collect()
-    }
-    b = {
-        r["doc_id"]: r["split"]
-        for r in catalog.queries()["x_split_leakage_safe"](spark, sf).collect()
-    }
-    assert a == b
-
-
 def test_simhash_hamming_pairs_broadcasts_pair_grain_only(spark):
     # small regime (candidate count under _SH_BROADCAST_CAP): the
     # pigeonhole verify joins broadcast the PAIR-grain candidate side;

@@ -588,6 +588,28 @@ def test_split_leakage_safe_matches_python_model(spark, docs, ids, tmp_path_fact
     assert got == model, (doc_ids, words_per_doc, got, model)
 
 
+def test_split_leakage_safe_agrees_with_split_train_val(spark):
+    """The membership single-owner (_split_case_sql / split_assignment)
+    is shared with x_split_train_val; this pins the two queries to the
+    SAME assignment on real data, so a drifting copy cannot pass
+    unnoticed even though each query has its own oracle."""
+    from conftest import SF_SMOKE
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    a = {
+        r["doc_id"]: r["split"]
+        for r in catalog.queries()["x_split_train_val"](spark, SF_SMOKE).collect()
+    }
+    b = {
+        r["doc_id"]: r["split"]
+        for r in catalog.queries()["x_split_leakage_safe"](spark, SF_SMOKE).collect()
+    }
+    assert a == b
+
+
 def _py_bpe_model(wf: dict, n_steps: int):
     """Direct BPE trainer model: greedy left-to-right merge application,
     tie-break (count desc, left+SEP+right asc) — the engine contract."""
