@@ -423,3 +423,67 @@ def connected_components(
             break
         prev_sum = s
     return labels.select(F.col("u").alias(id_col), F.col("lab").alias("cluster_id"))
+
+
+#: integer-PageRank contract constants — the ONE owner of the numbers;
+#: the DuckDB oracle (queries_ext) formats the same values into its
+#: unrolled CTEs, so engine and oracle cannot drift independently.
+PR_INIT_PPM = 1_000_000  # every node starts with 1.0 in ppm
+PR_BASE_PPM = 150_000  # (1 − d) teleport mass, d = 0.85
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping as an integer ratio
+
+
+def integer_pagerank(
+    pairs: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    iterations: int = 3,
+) -> DataFrame:
+    """PageRank over an undirected pair graph with INTEGER fixed-point
+    arithmetic: every contribution is ``((r·85) div 100) div deg`` on
+    BIGINT ppm masses, so the result is a deterministic pure function of
+    the edge set — bit-identical in any engine, no float accumulation
+    order anywhere. (Flooring leaks a little mass per hop; ranking
+    fidelity is unaffected and exactness is the point.)
+
+    Scale shape: edges are materialized once (``localCheckpoint``, the
+    connected_components idiom) and the degree table — node grain, small
+    — is scoped-persisted for its per-iteration reuse. Each iteration is
+    the canonical distributed PageRank step: one node-keyed join to
+    attach ranks, one edge-keyed re-key, one map-side-combined sum — no
+    collect, no driver-side graph. A FIXED iteration count keeps the
+    lineage shallow (no per-round checkpoint needed, unlike the
+    convergence-driven components loop).
+
+    Returns (u, pagerank_ppm, deg) for every node with ≥1 edge.
+    """
+    edges = (
+        pairs.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"))
+        .union(pairs.select(F.col(dst_col).alias("u"), F.col(src_col).alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    deg = scoped_persist(edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
+    contrib = F.expr(f"((r * {PR_DAMP_NUM}) div {PR_DAMP_DEN}) div deg")
+    r = deg.select("u", F.lit(PR_INIT_PPM).cast("long").alias("r"))
+    for _ in range(iterations):
+        send = r.join(deg, "u").select("u", contrib.alias("c"))
+        recv = (
+            edges.join(send, "u")
+            .select(F.col("v").alias("u"), "c")
+            .groupBy("u")
+            .agg(F.sum("c").alias("s"))
+        )
+        # symmetric edges mean every node has an in-edge, but the left
+        # join + coalesce keeps the expression total (and matches the
+        # oracle's LEFT JOIN) rather than relying on that invariant
+        r = (
+            deg.select("u")
+            .join(recv, "u", "left")
+            .select(
+                "u",
+                (F.lit(PR_BASE_PPM) + F.coalesce(F.col("s"), F.lit(0)))
+                .cast("long")
+                .alias("r"),
+            )
+        )
+    return r.join(deg, "u").select("u", F.col("r").alias("pagerank_ppm"), "deg")

@@ -150,6 +150,62 @@ def langid_from(w: Column) -> Column:
     return F.when(best == 0, F.lit("und")).otherwise(result)
 
 
+# --- Gopher-style rule battery ------------------------------------------
+# The published heuristic filter set from the Gopher corpus work
+# (Rae et al. 2021, public knowledge): word-count band, mean-word-length
+# band, symbol-to-word ratio, alphabetic-word fraction, minimum stopword
+# hits. Every rule is computed as an INTEGER comparison (3·n ≤ chars,
+# 5·alpha ≥ 4·n, …) — no float division anywhere, so any engine
+# evaluating the same expressions agrees bit-for-bit. The line-grain
+# rules of the original (ellipsis-started lines, bullet lines) need a
+# line structure this corpus does not carry and are intentionally out of
+# scope (documented, not silently dropped).
+
+#: the Gopher "must contain ≥2 of these" stopword list (published set;
+#: distinct from LANG_STOPWORDS, which serves the language-ID vote)
+GOPHER_STOPWORDS: tuple[str, ...] = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+)
+
+#: the symbols whose density the symbol-to-word rule bounds ('#' and
+#: '...'); one alternation so both engines count in a single scan
+GOPHER_SYMBOL_RE = r"#|\.\.\."
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN = 3, 10
+
+
+def gopher_rules_from(w_lower: Column, text: Column) -> dict[str, Column]:
+    """Gopher rule booleans from a pre-tokenized LOWERCASED token array
+    plus the raw text (same ``*_from`` contract as ``quality_score_from``
+    — callers tokenize once). Alphabetic-ness is judged on the lowered
+    tokens ('[a-z]'), keeping every rule downstream of one lower() call
+    whose cross-engine contract queries_tokenizer.py documents.
+
+    Pure narrow projection: no shuffle, whole-stage codegen, linear at
+    any scale.
+    """
+    n_tok = F.size(w_lower)
+    n_word_chars = F.length(F.regexp_replace(F.trim(text), r"\s+", ""))
+    n_sym = F.size(F.regexp_extract_all(text, F.lit(GOPHER_SYMBOL_RE), 0))
+    n_alpha = F.size(F.filter(w_lower, lambda x: x.rlike("[a-z]")))
+    sw = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.filter(w_lower, lambda x: F.array_contains(sw, x)))
+    rules = {
+        "rule_word_count": (n_tok >= GOPHER_MIN_WORDS) & (n_tok <= GOPHER_MAX_WORDS),
+        "rule_mean_word_len": (n_word_chars >= GOPHER_MIN_MEAN_WORD_LEN * n_tok)
+        & (n_word_chars <= GOPHER_MAX_MEAN_WORD_LEN * n_tok),
+        "rule_symbol_ratio": n_sym * 10 <= n_tok,
+        "rule_alpha_words": n_alpha * 5 >= n_tok * 4,
+        "rule_stopwords": n_stop >= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else keep & c
+    rules["keep"] = keep
+    return rules
+
+
 def fingerprint(text: Column) -> Column:
     """Content fingerprint: md5 of case/whitespace-normalized text."""
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))

@@ -100,6 +100,12 @@ DRIVER_WINDOW: list[str] = [
     "x_dedup_clusters",
     "x_split_leakage_safe",
     "x_split_train_val",
+    "x_quality_gopher_rules",
+    "x_word_pmi_pairs",
+    "x_pagerank_dup_graph",
+    "x_sample_uniform_k",
+    "x_retrieval_mrr",
+    "x_ann_cosine_topk",
     # round-3 backlog: the 5 remaining r3 additions
     "x_bpe_pair_counts",
     "x_word_entropy_quality",
@@ -118,15 +124,9 @@ DRIVER_WINDOW: list[str] = [
     # bench headliners (minus the three displaced by the late-r4
     # additions — see the trailing comment)
     "flagship_unresolved_distinct",
-    "f5_first_match_per_chat",
     "j1_full_outer_integrate",
     "x_dedup_minhash_lsh_pairs",
-    "x_ann_cosine_topk",
     "x_curation_pipeline",
-    "agg_regional_revenue",
-    "x_pack_sequences",
-    "x_ann_ivf_topk",
-    "x_ngram_novelty",
     "x_kmeans_semantic_clusters",
     "x_bm25_search",
     "x_outlier_mad_by_source",
@@ -161,6 +161,15 @@ DRIVER_WINDOW: list[str] = [
 # unchanged since their r1 green rows (c13 has TWO r1 rows), not on
 # the cache/persist path the rest of the tail re-verifies, and still
 # covered by the full-catalog strict gate.
+# The last five r4 additions (x_quality_gopher_rules, x_word_pmi_pairs,
+# x_pagerank_dup_graph, x_sample_uniform_k, x_retrieval_mrr — the
+# latter's _ANN_TOPK_CTES owner restructures the x_ann_cosine_topk
+# oracle, so that query re-verifies in-window per the changed-queries
+# rule) took the agg_regional_revenue, f5_first_match_per_chat,
+# x_pack_sequences, x_ann_ivf_topk and x_ngram_novelty headliner
+# re-verification slots: all displaced queries are unchanged since
+# their r1-r3 green rows and stay covered by the full-catalog strict
+# gate.
 # No rotation backlog after round 4: the r3 backlog (8 deferred +
 # 6 r3 additions) is fully inside this window, so every registered
 # query has a green driver row once CORRECTNESS_r04 lands.

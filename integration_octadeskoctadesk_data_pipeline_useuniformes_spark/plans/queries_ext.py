@@ -137,6 +137,177 @@ def x_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_SW = ", ".join(f"'{s}'" for s in T.GOPHER_STOPWORDS)
+
+#: lowered token array with the empty-text guard matching T.words()
+#: (DuckDB splits '' into [''], Spark's words() yields [])
+_WL_SQL = """CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+              ELSE string_split_regex(trim(lower(text)), '\\s+') END"""
+
+
+@register(
+    "x_quality_gopher_rules",
+    f"""
+WITH m AS (
+  SELECT doc_id,
+         len(wl) AS n_tok,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wchars,
+         len(regexp_extract_all(text, '{T.GOPHER_SYMBOL_RE}')) AS n_sym,
+         len(list_filter(wl, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         len(list_filter(wl, x -> list_contains([{_GOPHER_SW}], x))) AS n_stop
+  FROM (SELECT doc_id, text, {_WL_SQL} AS wl FROM documents)
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_words,
+       n_tok BETWEEN {T.GOPHER_MIN_WORDS} AND {T.GOPHER_MAX_WORDS} AS rule_word_count,
+       (n_wchars >= {T.GOPHER_MIN_MEAN_WORD_LEN} * n_tok
+        AND n_wchars <= {T.GOPHER_MAX_MEAN_WORD_LEN} * n_tok) AS rule_mean_word_len,
+       n_sym * 10 <= n_tok AS rule_symbol_ratio,
+       n_alpha * 5 >= n_tok * 4 AS rule_alpha_words,
+       n_stop >= 2 AS rule_stopwords,
+       (n_tok BETWEEN {T.GOPHER_MIN_WORDS} AND {T.GOPHER_MAX_WORDS}
+        AND n_wchars >= {T.GOPHER_MIN_MEAN_WORD_LEN} * n_tok
+        AND n_wchars <= {T.GOPHER_MAX_MEAN_WORD_LEN} * n_tok
+        AND n_sym * 10 <= n_tok
+        AND n_alpha * 5 >= n_tok * 4
+        AND n_stop >= 2) AS keep
+FROM m
+""",
+)
+def x_quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-battery filter (operators/text.gopher_rules_from):
+    every published rule as its own boolean column plus the conjunctive
+    keep flag — the form pretraining curation actually consumes (per-rule
+    attribution, not a single opaque score). One narrow codegen
+    projection over one pruned scan; the only cross-engine surfaces are
+    lower() (contract in queries_tokenizer.py) and integer comparisons.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "text", T.words(F.lower(F.col("text"))).alias("wl")
+    )
+    rules = T.gopher_rules_from(F.col("wl"), F.col("text"))
+    return toks.select(
+        "doc_id",
+        F.size("wl").cast("long").alias("n_words"),
+        *[rules[k].alias(k) for k in (
+            "rule_word_count",
+            "rule_mean_word_len",
+            "rule_symbol_ratio",
+            "rule_alpha_words",
+            "rule_stopwords",
+            "keep",
+        )],
+    )
+
+
+#: top-V vocabulary cap for the PMI pair space — V² bounds the pair
+#: grain no matter the corpus size; 64 keeps ≤2016 output rows
+_PMI_V = 64
+
+
+@register(
+    "x_word_pmi_pairs",
+    f"""
+WITH d AS (
+  SELECT doc_id, list_distinct({_WL_SQL}) AS ws FROM documents
+), e AS (
+  SELECT doc_id, unnest(ws) AS w FROM d
+), v AS (
+  SELECT w, count(*) AS df_w FROM e GROUP BY w
+  ORDER BY df_w DESC, w ASC LIMIT {_PMI_V}
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), p AS (
+  SELECT a.w AS w1, b.w AS w2, count(*) AS n_docs_both
+  FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.w < b.w
+  WHERE a.w IN (SELECT w FROM v) AND b.w IN (SELECT w FROM v)
+  GROUP BY a.w, b.w
+)
+SELECT p.w1, p.w2, p.n_docs_both,
+       ((p.n_docs_both * 1000000 // va.df_w) * n.n_docs) // vb.df_w AS lift_ppm
+FROM p
+JOIN v va ON p.w1 = va.w
+JOIN v vb ON p.w2 = vb.w
+CROSS JOIN n
+""",
+)
+def x_word_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word co-occurrence PMI over the top-V vocabulary — the classic
+    corpus-statistics signal (collocations, topic drift) with the lift
+    as an integer-exact ppm surrogate for log-PMI (monotone in it;
+    ``(c_ab·1e6 div df_a)·N div df_b`` is the SAME integer expression
+    both engines evaluate, so no float log crosses the parity gate).
+
+    Scale shape: the corpus is reduced to doc-distinct words; the top-V
+    vocab (TakeOrdered, tiny) broadcasts back once as a membership array
+    and pair GENERATION is in-row (sorted filtered array → upper-
+    triangle transform/flatten) — no corpus self-join ever exists, the
+    only exchange is the map-side-combined (w1,w2) count, and df/N
+    attach as broadcast joins / a broadcast scalar. Pair cardinality is
+    ≤ C(V,2) regardless of corpus size. Three pruned scans (N, vocab,
+    pairs) instead of a corpus-grain persist — the r2 bm25 lesson.
+
+    Arithmetic bounds: c_ab·1e6 and quotient·N each stay under 2^63 for
+    corpora up to ~9·10^12 documents; df_w ≥ 1 for every vocab member
+    by construction, so ANSI ``div`` can never see a zero divisor.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "doc_id", F.array_distinct(T.words(F.lower(F.col("text")))).alias("ws")
+    )
+    vocab = scoped_persist(
+        dw.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("df_w"))
+        .orderBy(F.col("df_w").desc(), F.col("w").asc())
+        .limit(_PMI_V)
+    )  # 3 consumers: membership array + both df lookups
+    vocab_row = vocab.agg(F.collect_list("w").alias("vs"))
+    n_row = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+
+    fws = F.array_sort(
+        F.filter(F.col("ws"), lambda x: F.array_contains(F.col("vs"), x))
+    )
+    with_v = dw.crossJoin(F.broadcast(vocab_row)).select(
+        "doc_id", fws.alias("fws")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("fws"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("fws"),
+                    i + F.lit(2),
+                    F.greatest(F.size(F.col("fws")) - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("w1"), y.alias("w2")),
+            ),
+        )
+    )
+    pc = (
+        with_v.select(F.explode(pair_arr).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_docs_both"))
+    )
+    va = vocab.select(F.col("w").alias("w1"), F.col("df_w").alias("df_w1"))
+    vb = vocab.select(F.col("w").alias("w2"), F.col("df_w").alias("df_w2"))
+    return (
+        pc.join(F.broadcast(va), "w1")
+        .join(F.broadcast(vb), "w2")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "w1",
+            "w2",
+            "n_docs_both",
+            F.expr("((n_docs_both * 1000000 div df_w1) * n_docs) div df_w2").alias(
+                "lift_ppm"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # deduplication
 # ---------------------------------------------------------------------------
@@ -212,12 +383,16 @@ verified AS (
 #: AND the survivor query (queries_curate) must compute the SAME
 #: clusters — a hand-copied closure would drift silently, since each
 #: copy still passes its own Spark-vs-DuckDB parity after an edit.
-_CC_LABELS_CTES = f"""{_LSH_PAIRS_CTES},
-edges AS (
+#: symmetric-edge construction over the verified pairs — ONE owner
+#: shared by the components closure and the PageRank oracle
+_EDGES_CTE = """edges AS (
   SELECT id_a AS u, id_b AS v FROM verified
   UNION ALL
   SELECT id_b AS u, id_a AS v FROM verified
-),
+)"""
+
+_CC_LABELS_CTES = f"""{_LSH_PAIRS_CTES},
+{_EDGES_CTE},
 cc AS (
   SELECT doc_id AS u, doc_id AS lab FROM documents
   UNION
@@ -250,6 +425,67 @@ def x_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.lsh_candidate_pairs(docs, min_jaccard_est=0.5)
     return D.connected_components(docs, pairs)
+
+
+_PR_ITERS = 3
+
+
+def _pagerank_oracle(iters: int = _PR_ITERS) -> str:
+    """Unrolled integer-PageRank CTE chain over the shared verified-pair
+    edges — constants imported from operators/dedup (the one owner), so
+    engine and oracle agree by construction. DuckDB's sum(BIGINT) is
+    HUGEINT, hence the explicit CASTs back to BIGINT."""
+    from ..operators.dedup import (
+        PR_BASE_PPM,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_INIT_PPM,
+    )
+
+    ctes = [
+        "deg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u)",
+        f"r0 AS (SELECT u, CAST({PR_INIT_PPM} AS BIGINT) AS r FROM deg)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""s{i} AS (
+  SELECT e.v AS u,
+         CAST(sum(((r.r * {PR_DAMP_NUM}) // {PR_DAMP_DEN}) // d.deg) AS BIGINT) AS s
+  FROM edges e JOIN r{i - 1} r ON e.u = r.u JOIN deg d ON e.u = d.u
+  GROUP BY e.v
+)"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+  SELECT d.u, CAST({PR_BASE_PPM} + coalesce(s.s, 0) AS BIGINT) AS r
+  FROM deg d LEFT JOIN s{i} s ON d.u = s.u
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {_LSH_PAIRS_CTES},
+{_EDGES_CTE},
+{body}
+SELECT r{iters}.u AS doc_id, r{iters}.r AS pagerank_ppm, d.deg AS deg
+FROM r{iters} JOIN deg d ON r{iters}.u = d.u
+"""
+
+
+@register("x_pagerank_dup_graph", _pagerank_oracle())
+def x_pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-hub centrality: integer-fixed-point PageRank
+    (operators/dedup.integer_pagerank) over the signature-verified LSH
+    pair graph — ranks the template/boilerplate hubs that near-duplicate
+    many other documents, the doc-grain signal curation uses to pick
+    canonical copies and spot machine-generated spans. Same edge
+    semantics as x_dedup_clusters (shared _EDGES_CTE owner on the
+    oracle side, same lsh_candidate_pairs on the Spark side); all
+    arithmetic is BIGINT ppm, so the iterative float-accumulation
+    problem never exists and strict value parity holds at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.lsh_candidate_pairs(docs, min_jaccard_est=0.5)
+    pr = D.integer_pagerank(pairs, iterations=_PR_ITERS)
+    return pr.select(F.col("u").alias("doc_id"), "pagerank_ppm", "deg")
 
 
 def _simhash_oracle() -> str:
@@ -413,25 +649,94 @@ def x_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "x_ann_cosine_topk",
-    f"""
-WITH e AS (SELECT vec_id, embedding FROM embeddings),
+#: brute-force cosine top-k (query sample vec_id < 5, k = 10) — ONE
+#: owner for the oracle's scoring+ranking SQL, shared by the top-k
+#: query and the MRR evaluation so the two cannot drift apart
+_ANN_TOPK_CTES = f"""e AS (SELECT vec_id, embedding FROM embeddings),
 scored AS (
   SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
          round({_COS_SQL}, 6) AS cos_sim
   FROM e a JOIN e b ON b.vec_id < 5 AND a.vec_id <> b.vec_id
-)
-SELECT query_id, neighbor_id, cos_sim, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY query_id
-            ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
-  FROM scored
-) WHERE rank <= 10
-""",
+),
+topk AS (
+  SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+)"""
+
+
+@register(
+    "x_ann_cosine_topk",
+    f"WITH {_ANN_TOPK_CTES}\nSELECT query_id, neighbor_id, cos_sim, rank FROM topk",
 )
 def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "x_retrieval_mrr",
+    f"""
+WITH {_ANN_TOPK_CTES},
+lab AS (SELECT vec_id, label FROM embeddings),
+hits AS (
+  SELECT t.query_id, min(t.rank) AS first_rank
+  FROM topk t
+  JOIN lab nl ON nl.vec_id = t.neighbor_id
+  JOIN lab ql ON ql.vec_id = t.query_id
+  WHERE nl.label = ql.label
+  GROUP BY t.query_id
+)
+SELECT q.vec_id AS query_id,
+       CAST(coalesce(h.first_rank, 0) AS BIGINT) AS first_rank,
+       CAST(coalesce(1000000 // h.first_rank, 0) AS BIGINT) AS mrr_ppm
+FROM (SELECT vec_id FROM embeddings WHERE vec_id < 5) q
+LEFT JOIN hits h ON h.query_id = q.vec_id
+""",
+)
+def x_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: reciprocal rank of the FIRST
+    same-label neighbor in the brute-force cosine top-k (label = the
+    relevance oracle, as in x_ann_hard_negatives), as integer ppm —
+    ``1e6 div rank`` — so no float crosses the parity gate; queries
+    with no relevant neighbor in the top k emit (0, 0) rather than
+    dropping out. The ranking itself comes from the SAME owner as
+    x_ann_cosine_topk (S.cosine_topk / _ANN_TOPK_CTES).
+
+    Scale shape: the top-k result is ≤ |queries|·k rows and is the
+    broadcast side of BOTH label attachments — the corpus (vec_id,
+    label) projection streams once per attachment, pruned to two
+    columns, and never shuffles; the rollup grain is |queries|.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    topk = S.cosine_topk(emb, qs, k=10)
+    lab_n = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    q_lab = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    hits = (
+        lab_n.join(F.broadcast(topk), "neighbor_id")
+        .join(F.broadcast(q_lab), "query_id")
+        .filter(F.col("n_label") == F.col("q_label"))
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("first_rank"))
+    )
+    return (
+        qs.select(F.col("vec_id").alias("query_id"))
+        .join(F.broadcast(hits), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("first_rank"), F.lit(0)).cast("long").alias("first_rank"),
+            F.coalesce(F.expr("1000000 div first_rank"), F.lit(0))
+            .cast("long")
+            .alias("mrr_ppm"),
+        )
+    )
 
 
 def _lsh_bucket_sql(planes: int = 8, dim: int = 64) -> str:

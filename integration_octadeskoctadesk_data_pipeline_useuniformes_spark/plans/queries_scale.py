@@ -107,6 +107,36 @@ def x_sample_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Exact-k uniform sample — the eval-subset case the rate-based samplers
+# above don't cover: exactly k documents, uniform over the corpus,
+# deterministic (no seed, no order dependence). Order by a keyed md5 of
+# the id = a uniform permutation; take-k plans as TakeOrderedAndProject
+# (per-partition top-k, then a k·P-row merge — never a global sort).
+# ---------------------------------------------------------------------------
+
+_UNIFORM_K = 1000
+
+
+@register(
+    "x_sample_uniform_k",
+    f"""
+SELECT doc_id, md5('usample:' || CAST(doc_id AS VARCHAR)) AS sort_key
+FROM documents
+ORDER BY sort_key, doc_id
+LIMIT {_UNIFORM_K}
+""",
+)
+def x_sample_uniform_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = F.md5(F.concat(F.lit("usample:"), F.col("doc_id").cast("string")))
+    return (
+        d.select("doc_id", key.alias("sort_key"))
+        .orderBy("sort_key", "doc_id")
+        .limit(_UNIFORM_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Customer order-count distribution (TPC-H Q13 shape) — left join with an
 # ON-clause filter on the RIGHT side (not WHERE: that would turn the
 # outer join inner), then a histogram of the counts. Two shuffles total:

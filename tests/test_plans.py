@@ -759,3 +759,84 @@ def test_bpe_fertility_reduces_to_lang_vocab_grain(spark):
         assert "Window" not in tree, tree
     finally:
         query_scope.release()
+
+
+def test_gopher_rules_is_one_codegen_projection(spark):
+    # the rule battery is integer comparisons over one tokenization —
+    # a single pruned scan, zero exchanges, zero joins, zero Python;
+    # anything else would mean the filter stopped streaming
+    tree = tree_of(spark, "x_quality_gopher_rules")
+    assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1, tree
+    assert "Exchange" not in tree, tree
+    assert "Join" not in tree, tree
+    assert "BatchEvalPython" not in tree, tree
+
+
+def test_word_pmi_pairs_in_row_pairs_no_corpus_selfjoin(spark):
+    # pair generation must be IN-ROW (upper-triangle transform over the
+    # vocab-filtered array): a corpus self-join on doc_id would shuffle
+    # every pair row and is the O(L^2)-rows-on-the-wire shape this
+    # query exists to avoid. The only joins are the two broadcast df
+    # lookups; vocab membership and N ride broadcast scalar cross
+    # joins; the top-V vocab is TakeOrdered (never a global sort) and
+    # persisted ONCE for its three consumers.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_word_pmi_pairs")
+        assert "SortMergeJoin" not in tree, tree
+        assert "CartesianProduct" not in tree, tree
+        assert len(set(re.findall(r"BroadcastHashJoin[^(]*\((\d+)\)", tree))) == 2, tree
+        assert (
+            len(set(re.findall(r"BroadcastNestedLoopJoin[^(]*\((\d+)\)", tree))) == 2
+        ), tree
+        assert "TakeOrderedAndProject" in tree, tree
+        assert len(set(re.findall(r"InMemoryTableScan\s+\((\d+)\)", tree))) == 3, tree
+        assert "BatchEvalPython" not in tree, tree
+    finally:
+        query_scope.release()
+
+
+def test_sample_uniform_k_is_takeordered_no_global_sort(spark):
+    # exact-k by hash order must plan as TakeOrderedAndProject over the
+    # scan — a global Sort (or any Exchange) would serialize the corpus
+    tree = tree_of(spark, "x_sample_uniform_k")
+    assert "TakeOrderedAndProject" in tree, tree
+    assert "Exchange" not in tree, tree
+    assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1, tree
+
+
+def test_pagerank_iterates_without_python_or_cartesian(spark):
+    # the 3 fixed iterations are node/edge-keyed joins + map-side-
+    # combined sums downstream of the ONE materialized edge set
+    # (localCheckpoint — the connected_components idiom) and the
+    # persisted node-grain degree table; no Python, no cartesian, no
+    # window over the corpus
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_pagerank_dup_graph")
+        assert "CartesianProduct" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+        assert "Window" not in tree, tree
+        # edges come from the checkpoint, not a re-derivation: the final
+        # plan reads the materialized RDD and the cached degree table
+        assert "Scan ExistingRDD" in tree, tree
+        assert "InMemoryTableScan" in tree, tree
+    finally:
+        query_scope.release()
+
+
+def test_retrieval_mrr_broadcasts_topk_never_shuffles_corpus(spark):
+    # the top-k result (<= |queries|*k rows) must be the broadcast side
+    # of both label attachments; the corpus label projection streams.
+    # No sort-merge join, no cartesian, no Python anywhere.
+    tree = tree_of(spark, "x_retrieval_mrr")
+    assert "SortMergeJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "BatchEvalPython" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree

@@ -1090,3 +1090,270 @@ def test_quality_threshold_by_source_matches_python_model(
         ).collect()
     }
     assert got == want, (docs, got, want)
+
+
+_GOPHER_POOL = (
+    "the", "be", "to", "of", "and", "that", "have", "with",
+    "spark", "scan", "a1", "1234", "##", "...", "....", "#x#",
+    "zzzzzzzzzzzzzzzz", "q",
+)
+
+
+def _gopher_model(text: str):
+    import re as _re
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.text import (
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_WORDS,
+        GOPHER_STOPWORDS,
+    )
+
+    t = text.strip()
+    wl = [] if t == "" else _re.split(r"\s+", t.lower())
+    n_tok = len(wl)
+    n_wchars = len(_re.sub(r"\s+", "", t))
+    n_sym = len(_re.findall(r"#|\.\.\.", text))
+    n_alpha = sum(1 for w in wl if _re.search(r"[a-z]", w))
+    n_stop = sum(1 for w in wl if w in GOPHER_STOPWORDS)
+    rules = (
+        GOPHER_MIN_WORDS <= n_tok <= GOPHER_MAX_WORDS,
+        GOPHER_MIN_MEAN_WORD_LEN * n_tok <= n_wchars <= GOPHER_MAX_MEAN_WORD_LEN * n_tok,
+        n_sym * 10 <= n_tok,
+        n_alpha * 5 >= n_tok * 4,
+        n_stop >= 2,
+    )
+    return (n_tok, *rules, all(rules))
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_GOPHER_POOL), min_size=0, max_size=60),
+        min_size=1,
+        max_size=5,
+    )
+)
+@_SETTINGS
+def test_gopher_rules_matches_python_model(spark, docs, tmp_path_factory):
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    tmp = tmp_path_factory.mktemp("gopher")
+    spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    got = {
+        r["doc_id"]: (
+            r["n_words"],
+            r["rule_word_count"],
+            r["rule_mean_word_len"],
+            r["rule_symbol_ratio"],
+            r["rule_alpha_words"],
+            r["rule_stopwords"],
+            r["keep"],
+        )
+        for r in catalog.queries()["x_quality_gopher_rules"](
+            spark, str(tmp)
+        ).collect()
+    }
+    want = {i: _gopher_model(t) for i, t in enumerate(texts)}
+    assert got == want, (texts, got, want)
+
+
+def _pmi_model(word_docs: list[list[str]]):
+    from collections import Counter
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_ext import (
+        _PMI_V,
+    )
+
+    dsets = [sorted(set(ws)) for ws in word_docs]
+    df = Counter(w for s in dsets for w in s)
+    vocab = dict(sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:_PMI_V])
+    n = len(word_docs)
+    pairs = Counter()
+    for s in dsets:
+        f = [w for w in s if w in vocab]
+        for i in range(len(f)):
+            for j in range(i + 1, len(f)):
+                pairs[(f[i], f[j])] += 1
+    return {
+        (a, b): (c, ((c * 1_000_000 // vocab[a]) * n) // vocab[b])
+        for (a, b), c in pairs.items()
+    }
+
+
+def _run_pmi(spark, word_docs, tmp):
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(word_docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+    return {
+        (r["w1"], r["w2"]): (r["n_docs_both"], r["lift_ppm"])
+        for r in catalog.queries()["x_word_pmi_pairs"](spark, str(tmp)).collect()
+    }
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.text(alphabet="abcdefghij", min_size=1, max_size=2), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+@_SETTINGS
+def test_word_pmi_pairs_matches_python_model(spark, docs, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("pmi")
+    assert _run_pmi(spark, docs, tmp) == _pmi_model(docs), docs
+
+
+def test_word_pmi_pairs_vocab_cap_and_tiebreak(spark, tmp_path_factory):
+    """>V distinct words: the top-V cap must bind with the (df DESC,
+    word ASC) tie-break, and no excluded word may reach the pair grain
+    — the property that bounds the output at C(V,2) for ANY corpus."""
+    ws = [f"w{i:02d}" for i in range(80)]
+    docs = [["aa"] + ws[:40], ["aa"] + ws[40:], ["aa", "w00"]]
+    got = _run_pmi(spark, docs, tmp_path_factory.mktemp("pmicap"))
+    model = _pmi_model(docs)
+    assert got == model
+    # vocab = aa(df 3), w00(df 2), then w01..w62 by the name tie-break
+    seen = {w for p in got for w in p}
+    assert "w62" in seen and "w63" not in seen and "w79" not in seen, sorted(seen)
+
+
+def _pagerank_model(pairs: list[tuple[int, int]]):
+    from collections import Counter, defaultdict
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.dedup import (
+        PR_BASE_PPM,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_INIT_PPM,
+    )
+
+    edges = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    deg = Counter(u for u, _ in edges)
+    r = {u: PR_INIT_PPM for u in deg}
+    for _ in range(3):
+        s = defaultdict(int)
+        for u, v in edges:
+            s[v] += ((r[u] * PR_DAMP_NUM) // PR_DAMP_DEN) // deg[u]
+        r = {u: PR_BASE_PPM + s[u] for u in deg}
+    return {u: (r[u], deg[u]) for u in deg}
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SETTINGS
+def test_integer_pagerank_matches_python_model(spark, pairs):
+    """The distributed iteration must equal the single-threaded integer
+    model on arbitrary multigraphs — partitioning and join order cannot
+    change a result defined as a pure integer function of the edges."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.dedup import (
+        integer_pagerank,
+    )
+
+    pairs = [(a, b) for a, b in pairs if a != b]  # LSH pairs have id_a < id_b
+    df = spark.createDataFrame(pairs or [], "id_a long, id_b long").repartition(3)
+    got = {
+        r["u"]: (r["pagerank_ppm"], r["deg"])
+        for r in integer_pagerank(df, iterations=3).collect()
+    }
+    assert got == _pagerank_model(pairs), (pairs, got)
+
+
+def test_sample_uniform_k_matches_python_model(spark, tmp_path_factory):
+    """Exact-k uniform sample = the k smallest keyed-md5 values; the
+    engine must pick exactly the model's id set in the model's order."""
+    import hashlib
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_scale import (
+        _UNIFORM_K,
+    )
+
+    ids = list(range(3000))
+    tmp = tmp_path_factory.mktemp("usample")
+    spark.createDataFrame(
+        [(i, "t") for i in ids], "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    got = [
+        (r["doc_id"], r["sort_key"])
+        for r in catalog.queries()["x_sample_uniform_k"](spark, str(tmp))
+        .orderBy("sort_key", "doc_id")
+        .collect()
+    ]
+    keyed = sorted(
+        (hashlib.md5(f"usample:{i}".encode()).hexdigest(), i) for i in ids
+    )
+    want = [(i, h) for h, i in keyed[:_UNIFORM_K]]
+    assert len(got) == _UNIFORM_K and got == want
+
+
+def test_retrieval_mrr_matches_python_model(spark, tmp_path_factory):
+    """End-to-end MRR semantics on a hand-built corpus whose cosine
+    gaps are orders of magnitude wider than the round(6) grid, so the
+    float model's RANKING is unambiguous and the integer MRR is exact:
+    first same-label neighbor rank → 1e6 div rank; no hit → (0, 0)."""
+    import math
+
+    rows = [
+        # queries (vec_id < 5)
+        (0, [1.0, 0.0, 0.0], 1),
+        (1, [0.0, 0.0, 1.0], 9),  # label 9 exists nowhere else -> no hit
+        # corpus
+        (10, [0.9, 0.1, 0.0], 2),  # q0 rank 1, wrong label
+        (11, [0.8, 0.2, 0.0], 1),  # q0 rank 2, match -> mrr 500000
+        (12, [0.5, 0.5, 0.0], 1),
+        (13, [0.1, 0.9, 0.0], 2),
+        (14, [0.0, 1.0, 0.0], 2),
+    ]
+    tmp = tmp_path_factory.mktemp("mrr")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp / "embeddings.parquet"))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    want = {}
+    by_id = {i: (v, lab) for i, v, lab in rows}
+    for qid in (0, 1):
+        qv, ql = by_id[qid]
+        ranked = sorted(
+            ((cos(qv, v), -i) for i, (v, lab) in by_id.items() if i != qid),
+            reverse=True,
+        )
+        first = 0
+        for rank, (_, negi) in enumerate(ranked[:10], start=1):
+            if by_id[-negi][1] == ql:
+                first = rank
+                break
+        want[qid] = (first, 1_000_000 // first if first else 0)
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    got = {
+        r["query_id"]: (r["first_rank"], r["mrr_ppm"])
+        for r in catalog.queries()["x_retrieval_mrr"](spark, str(tmp)).collect()
+    }
+    assert got == want, (got, want)

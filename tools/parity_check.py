@@ -59,6 +59,10 @@ SENSITIVE = [
     "x_duplicate_span_fraction",
     "x_dedup_survivors",
     "x_split_leakage_safe",
+    # vocab-boundary ties move with corpus size (top-V cap tie-break)
+    "x_word_pmi_pairs",
+    # graph shape (degrees, components) moves with corpus size
+    "x_pagerank_dup_graph",
 ]
 
 
