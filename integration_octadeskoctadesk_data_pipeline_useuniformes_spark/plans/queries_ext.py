@@ -22,7 +22,7 @@ from ..operators import multimodal as M
 from ..operators import similarity as S
 from ..operators import text as T
 from ..query_scope import scoped_persist
-from ..tables import load_table
+from ..tables import fan_out_small_scan, load_table
 from .queries import register
 
 # ---------------------------------------------------------------------------
@@ -251,9 +251,17 @@ def x_word_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arithmetic bounds: c_ab·1e6 and quotient·N each stay under 2^63 for
     corpora up to ~9·10^12 documents; df_w ≥ 1 for every vocab member
     by construction, so ANSI ``div`` can never see a zero divisor.
+
+    The tokenizing branches fan out a small scan (the minhash-class
+    fix: split-capped token CPU dominates). Fair A/B at sf0.1 —
+    separate fresh sessions per variant, neutral warmup, interleaved
+    A/B/A/B: warm reps as-is [2.24, 1.65, 1.56] / [1.75, 1.69, 1.80]
+    vs fanned [1.59, 1.50, 1.13] / [1.46, 1.06, 0.97]; cold a wash
+    (6.2-7.0 s both). At production split counts the fan-out is a
+    documented no-op.
     """
     docs = load_table(spark, sf_dir, "documents")
-    dw = docs.select(
+    dw = fan_out_small_scan(docs).select(
         "doc_id", F.array_distinct(T.words(F.lower(F.col("text")))).alias("ws")
     )
     vocab = scoped_persist(

@@ -1357,3 +1357,89 @@ def test_retrieval_mrr_matches_python_model(spark, tmp_path_factory):
         for r in catalog.queries()["x_retrieval_mrr"](spark, str(tmp)).collect()
     }
     assert got == want, (got, want)
+
+
+def test_pagerank_nodes_equal_multi_member_cluster_docs(spark):
+    """PageRank nodes and connected-components clusters both derive
+    from the SAME verified-pair owners (lsh_candidate_pairs /
+    _EDGES_CTE): the PageRank node set must be exactly the docs whose
+    cluster has ≥2 members. A drift in either query's pair semantics
+    breaks this even though each query passes its own oracle."""
+    from collections import Counter
+
+    from conftest import SF_SMOKE
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    labels = {
+        r["doc_id"]: r["cluster_id"]
+        for r in catalog.queries()["x_dedup_clusters"](spark, SF_SMOKE).collect()
+    }
+    sizes = Counter(labels.values())
+    clustered = {d for d, c in labels.items() if sizes[c] >= 2}
+    nodes = {
+        r["doc_id"]
+        for r in catalog.queries()["x_pagerank_dup_graph"](spark, SF_SMOKE).collect()
+    }
+    assert nodes == clustered, (sorted(nodes ^ clustered),)
+
+
+def test_retrieval_mrr_consistent_with_cosine_topk(spark):
+    """MRR must be recomputable from x_ann_cosine_topk's own output +
+    labels — pins the two queries to the SAME ranking (shared
+    S.cosine_topk / _ANN_TOPK_CTES owners) on real data."""
+    from conftest import SF_SMOKE
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.tables import (
+        load_table,
+    )
+
+    lab = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, SF_SMOKE, "embeddings")
+        .select("vec_id", "label")
+        .collect()
+    }
+    first = {}
+    for r in (
+        catalog.queries()["x_ann_cosine_topk"](spark, SF_SMOKE)
+        .orderBy("query_id", "rank")
+        .collect()
+    ):
+        q, n = r["query_id"], r["neighbor_id"]
+        if q not in first and lab[n] == lab[q]:
+            first[q] = r["rank"]
+    got = {
+        r["query_id"]: (r["first_rank"], r["mrr_ppm"])
+        for r in catalog.queries()["x_retrieval_mrr"](spark, SF_SMOKE).collect()
+    }
+    want = {
+        q: (first.get(q, 0), 1_000_000 // first[q] if q in first else 0)
+        for q in got
+    }
+    assert got == want, (got, want)
+
+
+def test_gopher_n_words_consistent_with_text_stats(spark):
+    """Both queries tokenize through the ONE words() owner; their token
+    counts must agree doc-for-doc on real data."""
+    from conftest import SF_SMOKE
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    a = {
+        r["doc_id"]: r["n_words"]
+        for r in catalog.queries()["x_quality_gopher_rules"](spark, SF_SMOKE).collect()
+    }
+    b = {
+        r["doc_id"]: r["n_tokens"]
+        for r in catalog.queries()["x_text_stats"](spark, SF_SMOKE).collect()
+    }
+    assert a == b
