@@ -39,7 +39,13 @@ from pyspark.sql import functions as F
 
 from .. import query_scope
 
-__all__ = ["SEP", "bpe_merge_steps", "symbol_count_expr", "wrap_words"]
+__all__ = [
+    "SEP",
+    "bpe_merge_steps",
+    "encode_pieces_expr",
+    "symbol_count_expr",
+    "wrap_words",
+]
 
 #: Symbol separator for the wrapped-string encoding. wrap_words drops
 #: words containing it so it can never be confused with symbol content.
@@ -60,19 +66,20 @@ def wrap_words(word_freq: DataFrame, word: str = "word", n: str = "n") -> DataFr
     )
 
 
-def symbol_count_expr(
+def encode_pieces_expr(
     steps: list[tuple[int, str, str, str, int]], word: Column
 ) -> Column:
-    """Column: how many BPE symbols ``word`` encodes to under the
+    """Column: the BPE symbol pieces ``word`` encodes to under the
     learned ``steps`` (the `bpe_merge_steps` return value, baked into
     the plan as literals — tokenizer metadata, not data).
 
-    Pure codegen: wrap every char (DOTALL — a Unicode line terminator
-    like U+2028 survives \\s+ splits in both engines, and an unwrapped
-    char would silently no-op every merge trained through it), apply
-    the merges as literal replaces in training order, count the
-    non-empty symbols. Shared by the encode and fertility queries so
-    the encode semantics have exactly one implementation."""
+    THE owner of the encode chain: wrap every char (DOTALL — a Unicode
+    line terminator like U+2028 survives \\s+ splits in both engines,
+    and an unwrapped char would silently no-op every merge trained
+    through it), apply the merges as literal replaces in training
+    order, split out the non-empty symbols. ``symbol_count_expr``
+    (encode/fertility) and the vocab-usage query all build on this one
+    expression."""
     expr = F.regexp_replace(word, "(?s)(.)", SEP + "$1" + SEP)
     for _, left, right, merged, _ in steps:
         expr = F.replace(
@@ -80,7 +87,15 @@ def symbol_count_expr(
             F.lit(SEP + left + SEP + SEP + right + SEP),
             F.lit(SEP + merged + SEP),
         )
-    return F.size(F.filter(F.split(expr, SEP), lambda x: x != F.lit("")))
+    return F.filter(F.split(expr, SEP), lambda x: x != F.lit(""))
+
+
+def symbol_count_expr(
+    steps: list[tuple[int, str, str, str, int]], word: Column
+) -> Column:
+    """Column: how many BPE symbols ``word`` encodes to under the
+    learned ``steps`` — the size of ``encode_pieces_expr``."""
+    return F.size(encode_pieces_expr(steps, word))
 
 
 def _pair_counts(wrapped: DataFrame) -> DataFrame:

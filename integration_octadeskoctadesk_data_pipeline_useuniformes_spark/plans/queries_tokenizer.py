@@ -417,3 +417,66 @@ def x_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chars_per_token_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer vocabulary usage — the prune signal: how often each LEARNED
+# merge symbol survives in the final encoding, weighted by word
+# frequency. An intermediate merge that later merges absorb (e.g. "ab"
+# once "abc" exists) shows a low residual count — exactly the pieces a
+# vocabulary-size-constrained tokenizer drops. Completes the tier:
+# train (x_bpe_merge_steps) → encode (x_bpe_encode_docs) → fertility →
+# usage/prune. Scale shape: ONE corpus scan — the word-frequency table
+# is scoped-persisted and feeds BOTH the trainer loop and the usage
+# pass; encoding runs once per distinct word via the single-owner
+# encode chain (operators/bpe.encode_pieces_expr), the usage rollup is
+# a map-side-combined sum on the ≤N-row symbol grain, and absorbed
+# symbols emit 0 via the left join from the literal merge list.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_usage_oracle(n_steps: int) -> str:
+    fallbacks, expr, froms = _bpe_apply_sql(n_steps)
+    merged_selects = "\nUNION ALL\n".join(
+        f"SELECT replace(m{k}.pr, chr(1), '') AS merged FROM m{k}"
+        for k in range(1, n_steps + 1)
+    )
+    return f"""WITH {_bpe_train_ctes(n_steps)},
+{fallbacks},
+ms AS (
+  SELECT DISTINCT merged FROM ({merged_selects}) WHERE merged <> ''
+), ub AS (
+  SELECT {expr} AS enc, n FROM wf, {froms}
+), u AS (
+  SELECT sym, CAST(sum(n) AS BIGINT) AS n_uses FROM (
+    SELECT unnest(list_filter(string_split(enc, chr(1)), x -> x <> '')) AS sym, n
+    FROM ub
+  ) WHERE sym IN (SELECT merged FROM ms)
+  GROUP BY sym
+)
+SELECT ms.merged AS merged_sym, CAST(coalesce(u.n_uses, 0) AS BIGINT) AS n_uses
+FROM ms LEFT JOIN u ON u.sym = ms.merged
+"""
+
+
+@register("x_bpe_vocab_usage", _bpe_usage_oracle(_BPE_STEPS))
+def x_bpe_vocab_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..query_scope import scoped_persist
+    from ..operators.bpe import bpe_merge_steps, encode_pieces_expr
+
+    wf = scoped_persist(_bpe_word_freq(spark, sf_dir))
+    steps = bpe_merge_steps(wf, _BPE_STEPS)
+    merged = sorted({m for _, _, _, m, _ in steps})
+    if not merged:
+        return spark.createDataFrame([], "merged_sym string, n_uses bigint")
+    usage = (
+        wf.select(F.explode(encode_pieces_expr(steps, F.col("word"))).alias("sym"), "n")
+        .filter(F.col("sym").isin(merged))
+        .groupBy("sym")
+        .agg(F.sum("n").cast("bigint").alias("n_uses"))
+    )
+    base = spark.createDataFrame([(m,) for m in merged], "merged_sym string")
+    return base.join(usage, base.merged_sym == usage.sym, "left").select(
+        "merged_sym",
+        F.coalesce(F.col("n_uses"), F.lit(0)).cast("bigint").alias("n_uses"),
+    )

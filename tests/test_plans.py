@@ -840,3 +840,25 @@ def test_retrieval_mrr_broadcasts_topk_never_shuffles_corpus(spark):
     assert "CartesianProduct" not in tree, tree
     assert "BatchEvalPython" not in tree, tree
     assert "BroadcastHashJoin" in tree, tree
+
+
+def test_bpe_vocab_usage_single_scan_reads_trainer_cache(spark):
+    # ONE corpus scan for train + usage: the scoped-persisted word
+    # frequency table feeds the trainer loop AND the usage pass (the
+    # usage subtree must read the cache, not rescan parquet); the
+    # symbol rollup is map-side combined and joins the literal merge
+    # list by broadcast. No Python, no cartesian, no sort-merge.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_bpe_vocab_usage")
+        assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1, tree
+        assert "InMemoryTableScan" in tree, tree
+        assert "BroadcastHashJoin LeftOuter" in tree, tree
+        assert "SortMergeJoin" not in tree, tree
+        assert "CartesianProduct" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+    finally:
+        query_scope.release()

@@ -613,6 +613,12 @@ def test_split_leakage_safe_agrees_with_split_train_val(spark):
 def _py_bpe_model(wf: dict, n_steps: int):
     """Direct BPE trainer model: greedy left-to-right merge application,
     tie-break (count desc, left+SEP+right asc) — the engine contract."""
+    return _py_bpe_train(wf, n_steps)[0]
+
+
+def _py_bpe_train(wf: dict, n_steps: int):
+    """As _py_bpe_model, but also returns the final encoded sequences
+    (word -> symbol list) — the usage/prune model's input."""
     from collections import Counter
 
     SEP = "\x01"
@@ -640,7 +646,7 @@ def _py_bpe_model(wf: dict, n_steps: int):
                     out.append(s[i])
                     i += 1
             seqs[w] = out
-    return steps
+    return steps, seqs
 
 
 def test_bpe_merge_steps_overlap_semantics(spark):
@@ -1443,3 +1449,46 @@ def test_gopher_n_words_consistent_with_text_stats(spark):
         for r in catalog.queries()["x_text_stats"](spark, SF_SMOKE).collect()
     }
     assert a == b
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abXY.", min_size=1, max_size=6),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_bpe_vocab_usage_matches_python_model(spark, docs, tmp_path_factory):
+    """x_bpe_vocab_usage == train via the direct model, encode the
+    vocab with the model's final sequences, count surviving merged
+    symbols weighted by word frequency; absorbed merges emit 0."""
+    from collections import Counter
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    wf = Counter(w.lower() for ws in docs for w in ws if w)
+    steps, seqs = _py_bpe_train(dict(wf), 6)
+    merged = sorted({m for _, _, _, m, _ in steps})
+    want = {m: 0 for m in merged}
+    for w, n in wf.items():
+        for sym in seqs[w]:
+            if sym in want:
+                want[sym] += n
+
+    tmp = tmp_path_factory.mktemp("bpeusage")
+    spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = {
+        r["merged_sym"]: r["n_uses"]
+        for r in catalog.queries()["x_bpe_vocab_usage"](spark, str(tmp)).collect()
+    }
+    assert got == want, (texts, got, want)

@@ -63,6 +63,8 @@ SENSITIVE = [
     "x_word_pmi_pairs",
     # graph shape (degrees, components) moves with corpus size
     "x_pagerank_dup_graph",
+    # merge winners (and so the counted symbols) move with corpus size
+    "x_bpe_vocab_usage",
 ]
 
 
