@@ -145,6 +145,27 @@ _WL_SQL = """CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
               ELSE string_split_regex(trim(lower(text)), '\\s+') END"""
 
 
+#: oracle text of each Gopher rule over the m-CTE counters — the ONE
+#: place the SQL conditions live: the per-rule columns AND the keep
+#: conjunction are both assembled from this dict, so a rule edit
+#: cannot leave a stale hand-copy in `keep`
+_GOPHER_RULES_SQL: dict[str, str] = {
+    "rule_word_count": f"n_tok BETWEEN {T.GOPHER_MIN_WORDS} AND {T.GOPHER_MAX_WORDS}",
+    "rule_mean_word_len": (
+        f"(n_wchars >= {T.GOPHER_MIN_MEAN_WORD_LEN} * n_tok"
+        f" AND n_wchars <= {T.GOPHER_MAX_MEAN_WORD_LEN} * n_tok)"
+    ),
+    "rule_symbol_ratio": "n_sym * 10 <= n_tok",
+    "rule_alpha_words": "n_alpha * 5 >= n_tok * 4",
+    "rule_stopwords": "n_stop >= 2",
+}
+
+_GOPHER_RULE_COLS = ",\n       ".join(
+    f"{cond} AS {name}" for name, cond in _GOPHER_RULES_SQL.items()
+)
+_GOPHER_KEEP = " AND ".join(_GOPHER_RULES_SQL.values())
+
+
 @register(
     "x_quality_gopher_rules",
     f"""
@@ -159,18 +180,8 @@ WITH m AS (
 )
 SELECT doc_id,
        CAST(n_tok AS BIGINT) AS n_words,
-       n_tok BETWEEN {T.GOPHER_MIN_WORDS} AND {T.GOPHER_MAX_WORDS} AS rule_word_count,
-       (n_wchars >= {T.GOPHER_MIN_MEAN_WORD_LEN} * n_tok
-        AND n_wchars <= {T.GOPHER_MAX_MEAN_WORD_LEN} * n_tok) AS rule_mean_word_len,
-       n_sym * 10 <= n_tok AS rule_symbol_ratio,
-       n_alpha * 5 >= n_tok * 4 AS rule_alpha_words,
-       n_stop >= 2 AS rule_stopwords,
-       (n_tok BETWEEN {T.GOPHER_MIN_WORDS} AND {T.GOPHER_MAX_WORDS}
-        AND n_wchars >= {T.GOPHER_MIN_MEAN_WORD_LEN} * n_tok
-        AND n_wchars <= {T.GOPHER_MAX_MEAN_WORD_LEN} * n_tok
-        AND n_sym * 10 <= n_tok
-        AND n_alpha * 5 >= n_tok * 4
-        AND n_stop >= 2) AS keep
+       {_GOPHER_RULE_COLS},
+       ({_GOPHER_KEEP}) AS keep
 FROM m
 """,
 )

@@ -1138,15 +1138,20 @@ def _gopher_model(text: str):
         st.lists(st.sampled_from(_GOPHER_POOL), min_size=0, max_size=60),
         min_size=1,
         max_size=5,
-    )
+    ),
+    seps=st.lists(
+        st.sampled_from([" ", "  ", " \t ", "\t"]), min_size=1, max_size=5
+    ),
 )
 @_SETTINGS
-def test_gopher_rules_matches_python_model(spark, docs, tmp_path_factory):
+def test_gopher_rules_matches_python_model(spark, docs, seps, tmp_path_factory):
     from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
         queries as catalog,
     )
 
-    texts = [" ".join(ws) for ws in docs]
+    # vary the inter-word whitespace per doc: the \s+ tokenization and
+    # the n_wchars strip must agree with the model beyond single spaces
+    texts = [seps[i % len(seps)].join(ws) for i, ws in enumerate(docs)]
     tmp = tmp_path_factory.mktemp("gopher")
     spark.createDataFrame(
         list(enumerate(texts)), "doc_id long, text string"
