@@ -107,6 +107,7 @@ DRIVER_WINDOW: list[str] = [
     "x_retrieval_mrr",
     "x_ann_cosine_topk",
     "x_bpe_vocab_usage",
+    "x_quality_signal_agreement",
     # round-3 backlog: the 5 remaining r3 additions
     "x_bpe_pair_counts",
     "x_word_entropy_quality",
@@ -130,7 +131,6 @@ DRIVER_WINDOW: list[str] = [
     "x_curation_pipeline",
     "x_kmeans_semantic_clusters",
     "x_bm25_search",
-    "agg_funnel_view_click_purchase",
     # scale tier + cache-heavy queries (query_scope dedupe touched the
     # persist path every one of these exercises)
     "x_skew_salted_agg",
@@ -161,16 +161,17 @@ DRIVER_WINDOW: list[str] = [
 # unchanged since their r1 green rows (c13 has TWO r1 rows), not on
 # the cache/persist path the rest of the tail re-verifies, and still
 # covered by the full-catalog strict gate.
-# The last six r4 additions (x_quality_gopher_rules, x_word_pmi_pairs,
-# x_pagerank_dup_graph, x_sample_uniform_k, x_retrieval_mrr — whose
-# _ANN_TOPK_CTES owner restructures the x_ann_cosine_topk oracle, so
-# that query re-verifies in-window per the changed-queries rule — and
-# x_bpe_vocab_usage) took the agg_regional_revenue,
+# The last seven r4 additions (x_quality_gopher_rules,
+# x_word_pmi_pairs, x_pagerank_dup_graph, x_sample_uniform_k,
+# x_retrieval_mrr — whose _ANN_TOPK_CTES owner restructures the
+# x_ann_cosine_topk oracle, so that query re-verifies in-window per
+# the changed-queries rule — x_bpe_vocab_usage and
+# x_quality_signal_agreement) took the agg_regional_revenue,
 # f5_first_match_per_chat, x_pack_sequences, x_ann_ivf_topk,
-# x_ngram_novelty and x_outlier_mad_by_source headliner
-# re-verification slots: all displaced queries are unchanged since
-# their r1-r3 green rows and stay covered by the full-catalog strict
-# gate.
+# x_ngram_novelty, x_outlier_mad_by_source and
+# agg_funnel_view_click_purchase headliner re-verification slots: all
+# displaced queries are unchanged since their r1-r3 green rows and
+# stay covered by the full-catalog strict gate.
 # No rotation backlog after round 4: the r3 backlog (8 deferred +
 # 6 r3 additions) is fully inside this window, so every registered
 # query has a green driver row once CORRECTNESS_r04 lands.

@@ -166,10 +166,9 @@ _GOPHER_RULE_COLS = ",\n       ".join(
 _GOPHER_KEEP = " AND ".join(_GOPHER_RULES_SQL.values())
 
 
-@register(
-    "x_quality_gopher_rules",
-    f"""
-WITH m AS (
+#: the Gopher counter CTE body (doc_id + the five rule inputs) — shared
+#: with the signal-agreement oracle (queries_train)
+_GOPHER_M_SQL = f"""
   SELECT doc_id,
          len(wl) AS n_tok,
          length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_wchars,
@@ -177,7 +176,13 @@ WITH m AS (
          len(list_filter(wl, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
          len(list_filter(wl, x -> list_contains([{_GOPHER_SW}], x))) AS n_stop
   FROM (SELECT doc_id, text, {_WL_SQL} AS wl FROM documents)
-)
+"""
+
+
+@register(
+    "x_quality_gopher_rules",
+    f"""
+WITH m AS ({_GOPHER_M_SQL})
 SELECT doc_id,
        CAST(n_tok AS BIGINT) AS n_words,
        {_GOPHER_RULE_COLS},

@@ -26,6 +26,7 @@ from ..operators.sampling import proportional_resample
 from ..tables import load_table
 from .queries import register
 from .queries_adv import _hash_split_pred_sql, hash_split_pred
+from .queries_ext import _GOPHER_KEEP, _GOPHER_M_SQL
 
 _WORDS_SQL = "string_split_regex(trim(text), '\\s+')"
 
@@ -902,4 +903,46 @@ def x_budget_select_topquality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.round("__logit", 6).alias("logit"),
         F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality-signal agreement — the confusion matrix between the two
+# document-quality gates the catalog ships: the frozen-weight linear
+# classifier (logit > 0, the x_quality_classifier_score rule) and the
+# Gopher rule battery's conjunctive keep. Curation teams run exactly
+# this cross-tab before swapping one gate for another: the off-diagonal
+# cells are the docs whose fate would change. Both signals come from
+# their single owners (_qc_feature_frame/_qc_logit_col here;
+# operators/text.gopher_rules_from + the _GOPHER_M_SQL/_GOPHER_KEEP
+# oracle owners in queries_ext) — this query defines NO quality logic
+# of its own. Scale shape: ONE corpus scan computes both signals in a
+# single projection (the gopher expression rides through
+# _qc_feature_frame's extra-column pass-through), and the only
+# exchange is the map-side-combined rollup to the ≤4-row cell grain.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_quality_signal_agreement",
+    f"""
+WITH f AS ({_qc_features_sql()}),
+c AS (SELECT doc_id, ({_QC_LOGIT_SQL}) > 0 AS clf_keep FROM f),
+m AS ({_GOPHER_M_SQL}),
+g AS (SELECT doc_id, ({_GOPHER_KEEP}) AS gopher_keep FROM m)
+SELECT c.clf_keep, g.gopher_keep, CAST(count(*) AS BIGINT) AS n_docs
+FROM c JOIN g ON c.doc_id = g.doc_id
+GROUP BY c.clf_keep, g.gopher_keep
+""",
+)
+def x_quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    gopher_keep = T.gopher_rules_from(
+        T.words(F.lower(F.col("text"))), F.col("text")
+    )["keep"]
+    f = _qc_feature_frame(d.withColumn("gopher_keep", gopher_keep), "gopher_keep")
+    return (
+        f.select((_qc_logit_col() > 0).alias("clf_keep"), "gopher_keep")
+        .groupBy("clf_keep", "gopher_keep")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
     )

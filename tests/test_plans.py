@@ -862,3 +862,15 @@ def test_bpe_vocab_usage_single_scan_reads_trainer_cache(spark):
         assert "BatchEvalPython" not in tree, tree
     finally:
         query_scope.release()
+
+
+def test_quality_signal_agreement_single_scan_one_exchange(spark):
+    # both quality signals are computed in ONE projection over ONE
+    # corpus scan (the gopher expression rides _qc_feature_frame's
+    # extra-column pass-through); the only exchange is the map-side-
+    # combined rollup to the <=4-row cell grain. No joins, no Python.
+    tree = tree_of(spark, "x_quality_signal_agreement")
+    assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1, tree
+    assert len(set(re.findall(r"Exchange\s+\((\d+)\)", tree))) == 1, tree
+    assert "Join" not in tree, tree
+    assert "BatchEvalPython" not in tree, tree

@@ -1497,3 +1497,35 @@ def test_bpe_vocab_usage_matches_python_model(spark, docs, tmp_path_factory):
         for r in catalog.queries()["x_bpe_vocab_usage"](spark, str(tmp)).collect()
     }
     assert got == want, (texts, got, want)
+
+
+def test_signal_agreement_consistent_with_both_gates(spark):
+    """The agreement cells must be recomputable from the two gate
+    queries' own outputs — pins this query to the SAME single owners
+    (classifier logit chain; gopher rule battery) on real data."""
+    from collections import Counter
+
+    from conftest import SF_SMOKE
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    clf = {
+        r["doc_id"]: r["keep"]
+        for r in catalog.queries()["x_quality_classifier_score"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    gop = {
+        r["doc_id"]: r["keep"]
+        for r in catalog.queries()["x_quality_gopher_rules"](spark, SF_SMOKE).collect()
+    }
+    want = Counter((clf[d], gop[d]) for d in clf)
+    got = {
+        (r["clf_keep"], r["gopher_keep"]): r["n_docs"]
+        for r in catalog.queries()["x_quality_signal_agreement"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == dict(want), (got, want)

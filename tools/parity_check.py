@@ -65,6 +65,8 @@ SENSITIVE = [
     "x_pagerank_dup_graph",
     # merge winners (and so the counted symbols) move with corpus size
     "x_bpe_vocab_usage",
+    # full-precision logit>0 boundary at volume (classifier chain)
+    "x_quality_signal_agreement",
 ]
 
 
