@@ -108,6 +108,7 @@ DRIVER_WINDOW: list[str] = [
     "x_ann_cosine_topk",
     "x_bpe_vocab_usage",
     "x_quality_signal_agreement",
+    "x_retrieval_ndcg",
     # round-3 backlog: the 5 remaining r3 additions
     "x_bpe_pair_counts",
     "x_word_entropy_quality",
@@ -126,7 +127,6 @@ DRIVER_WINDOW: list[str] = [
     # bench headliners (minus the three displaced by the late-r4
     # additions — see the trailing comment)
     "flagship_unresolved_distinct",
-    "j1_full_outer_integrate",
     "x_dedup_minhash_lsh_pairs",
     "x_curation_pipeline",
     "x_kmeans_semantic_clusters",
@@ -171,7 +171,11 @@ DRIVER_WINDOW: list[str] = [
 # x_ngram_novelty, x_outlier_mad_by_source and
 # agg_funnel_view_click_purchase headliner re-verification slots: all
 # displaced queries are unchanged since their r1-r3 green rows and
-# stay covered by the full-catalog strict gate.
+# stay covered by the full-catalog strict gate. x_retrieval_ndcg took
+# the j1_full_outer_integrate second-row slot on the same grounds
+# (r1-green, a pure-join plan with no persist/cache interaction, and
+# its join machinery is exercised in-window by the curation and dedup
+# headliners).
 # No rotation backlog after round 4: the r3 backlog (8 deferred +
 # 6 r3 additions) is fully inside this window, so every registered
 # query has a green driver row once CORRECTNESS_r04 lands.

@@ -14,6 +14,8 @@ lockstep.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -759,6 +761,102 @@ def x_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.expr("1000000 div first_rank"), F.lit(0))
             .cast("long")
             .alias("mrr_ppm"),
+        )
+    )
+
+
+#: tabulated integer DCG gains — round(1e6 / log2(rank+1)) for ranks
+#: 1..10 — plus their prefix sums (IDCG for n relevant docs). ONE owner
+#: formatted as literals into BOTH engines (the PageRank-constants
+#: idiom), so no float logarithm ever crosses the parity gate.
+_NDCG_W = [round(1_000_000 / math.log2(r + 1)) for r in range(1, 11)]
+_NDCG_IDCG = [sum(_NDCG_W[: n + 1]) for n in range(10)]
+_NDCG_W_SQL = "[" + ", ".join(str(w) for w in _NDCG_W) + "]"
+_NDCG_IDCG_SQL = "[" + ", ".join(str(v) for v in _NDCG_IDCG) + "]"
+
+
+@register(
+    "x_retrieval_ndcg",
+    f"""
+WITH {_ANN_TOPK_CTES},
+lab AS (SELECT vec_id, label FROM embeddings),
+lc AS (SELECT label, count(*) AS n_lab FROM embeddings GROUP BY label),
+rel AS (
+  SELECT t.query_id, sum(({_NDCG_W_SQL})[t.rank]) AS dcg
+  FROM topk t
+  JOIN lab nl ON nl.vec_id = t.neighbor_id
+  JOIN lab ql ON ql.vec_id = t.query_id
+  WHERE nl.label = ql.label
+  GROUP BY t.query_id
+)
+SELECT q.vec_id AS query_id,
+       CAST(least(lc.n_lab - 1, 10) AS BIGINT) AS n_rel,
+       CAST(coalesce(r.dcg, 0) AS BIGINT) AS dcg_ppm,
+       CAST(CASE WHEN lc.n_lab > 1
+                 THEN coalesce(r.dcg, 0) * 1000000
+                      // ({_NDCG_IDCG_SQL})[least(lc.n_lab - 1, 10)]
+                 ELSE 0 END AS BIGINT) AS ndcg_ppm
+FROM (SELECT vec_id, label FROM embeddings WHERE vec_id < 5) q
+JOIN lc ON lc.label = q.label
+LEFT JOIN rel r ON r.query_id = q.vec_id
+""",
+)
+def x_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation #2: NDCG@10 of the brute-force
+    cosine top-k under the same-label relevance oracle x_retrieval_mrr
+    uses — the graded companion to MRR (MRR sees only the FIRST hit;
+    NDCG rewards every relevant neighbor, discounted by rank). The
+    1/log2(rank+1) gains are TABULATED integers (ppm, rank ≤ k=10) with
+    one owner (`_NDCG_W`/`_NDCG_IDCG`) formatted into both engines, so
+    the parity gate never sees a float logarithm; the ideal DCG uses
+    the standard corpus-capped form — min(R, k) top slots filled, with
+    R = same-label corpus docs excluding the query itself — and
+    ndcg_ppm = 1e6·DCG div IDCG (ANSI `div`, gated on R > 0). The
+    ranking comes from the SAME owner as x_ann_cosine_topk
+    (S.cosine_topk / _ANN_TOPK_CTES).
+
+    Scale shape (mirrors x_retrieval_mrr): the top-k result is
+    ≤ |queries|·k rows and is the broadcast side of both label
+    attachments; the label-count table lc is label-grain (≤ |labels|
+    rows) and broadcasts onto the query sample; the corpus streams
+    once per pruned (vec_id, label) projection and never shuffles.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    topk = S.cosine_topk(emb, qs, k=10)
+    lab_n = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    q_lab = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    gains = F.array(*[F.lit(w).cast("long") for w in _NDCG_W])
+    rel = (
+        lab_n.join(F.broadcast(topk), "neighbor_id")
+        .join(F.broadcast(q_lab), "query_id")
+        .filter(F.col("n_label") == F.col("q_label"))
+        .groupBy("query_id")
+        .agg(F.sum(F.element_at(gains, F.col("rank"))).alias("dcg"))
+    )
+    lc = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n_lab"))
+    idcg_sql = "array(" + ", ".join(f"{v}L" for v in _NDCG_IDCG) + ")"
+    return (
+        qs.select(F.col("vec_id").alias("query_id"), "label")
+        .join(F.broadcast(lc), "label")
+        .join(F.broadcast(rel), "query_id", "left")
+        .select(
+            "query_id",
+            F.least(F.col("n_lab") - F.lit(1), F.lit(10))
+            .cast("long")
+            .alias("n_rel"),
+            F.coalesce(F.col("dcg"), F.lit(0)).cast("long").alias("dcg_ppm"),
+            F.expr(
+                "CASE WHEN n_lab > 1 THEN (coalesce(dcg, 0L) * 1000000L) div "
+                f"element_at({idcg_sql}, int(least(n_lab - 1, 10))) "
+                "ELSE 0L END"
+            )
+            .cast("long")
+            .alias("ndcg_ppm"),
         )
     )
 

@@ -842,6 +842,19 @@ def test_retrieval_mrr_broadcasts_topk_never_shuffles_corpus(spark):
     assert "BroadcastHashJoin" in tree, tree
 
 
+def test_retrieval_ndcg_broadcasts_topk_and_label_counts(spark):
+    # same contract as the MRR plan: the top-k result (<= |queries|*k
+    # rows) and the label-grain count table are the broadcast sides;
+    # the corpus label projection streams, pruned to two columns. The
+    # only nested-loop join is the intended query-broadcast cross
+    # inside cosine_topk. No sort-merge join, no Python.
+    tree = tree_of(spark, "x_retrieval_ndcg")
+    assert "SortMergeJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "BatchEvalPython" not in tree, tree
+    assert "BroadcastHashJoin" in tree, tree
+
+
 def test_bpe_vocab_usage_single_scan_reads_trainer_cache(spark):
     # ONE corpus scan for train + usage: the scoped-persisted word
     # frequency table feeds the trainer loop AND the usage pass (the

@@ -1370,6 +1370,103 @@ def test_retrieval_mrr_matches_python_model(spark, tmp_path_factory):
     assert got == want, (got, want)
 
 
+def test_retrieval_ndcg_matches_python_model(spark, tmp_path_factory):
+    """End-to-end NDCG@10 semantics on the MRR test's wide-gap corpus
+    (ranking unambiguous at round(6)), with the gain table recomputed
+    here from math.log2 — so a drift in the _NDCG_W/_NDCG_IDCG owner
+    values themselves fails this test, not just engine/oracle skew."""
+    import math
+
+    w = [round(1_000_000 / math.log2(r + 1)) for r in range(1, 11)]
+    idcg = [sum(w[: n + 1]) for n in range(10)]
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 1),
+        (1, [0.0, 0.0, 1.0], 9),  # label 9 unique -> n_rel 0 -> zeros
+        (10, [0.9, 0.1, 0.0], 2),  # q0 rank 1, wrong label
+        (11, [0.8, 0.2, 0.0], 1),  # q0 rank 2, relevant
+        (12, [0.5, 0.5, 0.0], 1),  # q0 rank 3, relevant
+        (13, [0.1, 0.9, 0.0], 2),
+        (14, [0.0, 1.0, 0.0], 2),
+    ]
+    tmp = tmp_path_factory.mktemp("ndcg")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp / "embeddings.parquet"))
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    by_id = {i: (v, lab) for i, v, lab in rows}
+    want = {}
+    for qid in (0, 1):
+        qv, ql = by_id[qid]
+        ranked = sorted(
+            ((cos(qv, v), -i) for i, (v, lab) in by_id.items() if i != qid),
+            reverse=True,
+        )
+        dcg = sum(
+            w[rank - 1]
+            for rank, (_, negi) in enumerate(ranked[:10], start=1)
+            if by_id[-negi][1] == ql
+        )
+        n_rel = min(sum(1 for i, (_, lab) in by_id.items() if lab == ql) - 1, 10)
+        want[qid] = (
+            n_rel,
+            dcg,
+            dcg * 1_000_000 // idcg[n_rel - 1] if n_rel else 0,
+        )
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    got = {
+        r["query_id"]: (r["n_rel"], r["dcg_ppm"], r["ndcg_ppm"])
+        for r in catalog.queries()["x_retrieval_ndcg"](spark, str(tmp)).collect()
+    }
+    assert got == want, (got, want)
+
+
+def test_retrieval_ndcg_consistent_with_cosine_topk(spark):
+    """The NDCG cells must be recomputable from x_ann_cosine_topk's own
+    output plus the raw labels — pins this query to the SAME ranking
+    owner (S.cosine_topk / _ANN_TOPK_CTES) on real data."""
+    import math
+
+    from conftest import SF_SMOKE
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    w = [round(1_000_000 / math.log2(r + 1)) for r in range(1, 11)]
+    idcg = [sum(w[: n + 1]) for n in range(10)]
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+        .select("vec_id", "label")
+        .collect()
+    }
+    topk = catalog.queries()["x_ann_cosine_topk"](spark, SF_SMOKE).collect()
+    want = {}
+    for qid in (q for q in labels if q < 5):
+        ql = labels[qid]
+        dcg = sum(
+            w[r["rank"] - 1]
+            for r in topk
+            if r["query_id"] == qid and labels[r["neighbor_id"]] == ql
+        )
+        n_rel = min(sum(1 for v, lab in labels.items() if lab == ql and v != qid), 10)
+        want[qid] = (n_rel, dcg, dcg * 1_000_000 // idcg[n_rel - 1] if n_rel else 0)
+    got = {
+        r["query_id"]: (r["n_rel"], r["dcg_ppm"], r["ndcg_ppm"])
+        for r in catalog.queries()["x_retrieval_ndcg"](spark, SF_SMOKE).collect()
+    }
+    assert got == want, (got, want)
+
+
 def test_pagerank_nodes_equal_multi_member_cluster_docs(spark):
     """PageRank nodes and connected-components clusters both derive
     from the SAME verified-pair owners (lsh_candidate_pairs /

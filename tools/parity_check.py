@@ -67,6 +67,8 @@ SENSITIVE = [
     "x_bpe_vocab_usage",
     # full-precision logit>0 boundary at volume (classifier chain)
     "x_quality_signal_agreement",
+    # top-k rank boundaries (round-6 cosine ties) move with corpus size
+    "x_retrieval_ndcg",
 ]
 
 
