@@ -399,3 +399,157 @@ def rp_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ)
+# ---------------------------------------------------------------------------
+
+#: demo-scale PQ geometry over the 64-dim embeddings: m=4 subspaces of
+#: 16 dims, 16 centroids each (codes fit a nibble). Production books
+#: use m=8..16 and ksub=256; the structure is identical.
+PQ_M = 4
+PQ_KSUB = 16
+PQ_DIM = 64
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic sampled codebook: the ``ksub`` corpus vectors with
+    the smallest md5('pq:' || id), in that order (code j = position
+    j+1). A ksub×dim driver-side collect — the k-means-centroid
+    metadata class, NOT a data-sized collect. Production would
+    Lloyd-train each subspace book (the x_kmeans machinery); a sampled
+    book keeps the oracle exactly reproducible while exercising the
+    identical index structure (encode once, compressed-domain ADC
+    scan).
+    """
+    rows = (
+        corpus.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.concat(F.lit("pq:"), F.col(id_col).cast("string"))))
+        .limit(ksub)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _pq_sq_l2(sub: Column, cent: list[float]) -> Column:
+    """Squared L2 between a subvector column and a literal centroid —
+    element-order fold, the same double sequence DuckDB's list_sum
+    produces."""
+    arr = F.array(*[F.lit(c) for c in cent])
+    return F.aggregate(
+        F.zip_with(
+            sub, arr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_code_cols(
+    vec: Column, book: list[list[float]], m: int = PQ_M, dim: int = PQ_DIM
+) -> list[Column]:
+    """One 1-based code column per subspace: argmin over the book's
+    subvectors via array_min on (dist, j) structs (the k-means
+    assignment idiom — ties to the lowest code). Pure codegen
+    projection: the book is literals, so encoding is a narrow map over
+    the scan with no shuffle and no UDF."""
+    sub_len = dim // m
+    cols = []
+    for s in range(m):
+        subv = F.slice(vec, s * sub_len + 1, sub_len)
+        cands = F.array(
+            *[
+                F.struct(
+                    _pq_sq_l2(subv, c[s * sub_len : (s + 1) * sub_len]).alias("d"),
+                    F.lit(j + 1).alias("j"),
+                )
+                for j, c in enumerate(book)
+            ]
+        )
+        cols.append(F.array_min(cands)["j"].alias(f"c{s}"))
+    return cols
+
+
+def pq_dtable_cols(
+    vec: Column, book: list[list[float]], m: int = PQ_M, dim: int = PQ_DIM
+) -> list[Column]:
+    """Per-subspace asymmetric-distance tables for a query vector: one
+    ksub-entry array per subspace, entry j = squared L2 between the
+    query subvector and centroid j. |queries|·m·ksub doubles total —
+    the tiny broadcast side of the ADC join."""
+    sub_len = dim // m
+    return [
+        F.array(
+            *[
+                _pq_sq_l2(
+                    F.slice(vec, s * sub_len + 1, sub_len),
+                    c[s * sub_len : (s + 1) * sub_len],
+                )
+                for c in book
+            ]
+        ).alias(f"t{s}")
+        for s in range(m)
+    ]
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    dim: int = PQ_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: encode the corpus to m small codes
+    (one scan, in-plan argmin against the literal book), broadcast the
+    per-query distance tables, and rank by the table-lookup sum — the
+    raw embeddings never reach the scoring join.
+
+    The 100 TB story is the code table's width: m codes replace the
+    dim-float vector (16 bytes vs 256 here; 8-16 vs 1024+ in
+    production), so the per-query scan streams 16-64× less data than
+    brute force and the ADC add is m lookups instead of a dim-length
+    fold. In a persistent index the encode pass runs once at ingest
+    and lands in a code TABLE (a sink, not a cache — corpus-grain
+    persists are banned); queries touch only that table. Approximate:
+    ranks reflect quantized cells, not exact distances (the PQ
+    precision trade-off — recall measured the same way as
+    x_ann_recall_at_k measures IVF).
+
+    Returns (query_id, neighbor_id, adc_dist, rank), adc ascending,
+    neighbor_id tie-break, self-matches excluded.
+    """
+    book = pq_codebook(corpus, ksub, id_col, vec_col)
+    codes = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        *pq_code_cols(F.col(vec_col), book, m, dim),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *pq_dtable_cols(F.col(vec_col), book, m, dim),
+    )
+    adc = F.element_at(F.col("t0"), F.col("c0"))
+    for s in range(1, m):
+        adc = adc + F.element_at(F.col(f"t{s}"), F.col(f"c{s}"))
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id", "neighbor_id", F.round(adc, round_digits).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

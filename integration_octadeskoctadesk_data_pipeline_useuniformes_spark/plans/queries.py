@@ -109,6 +109,8 @@ DRIVER_WINDOW: list[str] = [
     "x_bpe_vocab_usage",
     "x_quality_signal_agreement",
     "x_retrieval_ndcg",
+    "x_ann_pq_topk",
+    "x_ann_pq_recall",
     # round-3 backlog: the 5 remaining r3 additions
     "x_bpe_pair_counts",
     "x_word_entropy_quality",
@@ -133,10 +135,8 @@ DRIVER_WINDOW: list[str] = [
     "x_bm25_search",
     # scale tier + cache-heavy queries (query_scope dedupe touched the
     # persist path every one of these exercises)
-    "x_skew_salted_agg",
     "x_global_running_revenue",
     "x_bloom_prune_join",
-    "x_cms_heavy_hitters",
     "x_constraint_audit",
     "x_vocab_coverage",
     "x_multimodal_audio_energy",
@@ -175,7 +175,12 @@ DRIVER_WINDOW: list[str] = [
 # the j1_full_outer_integrate second-row slot on the same grounds
 # (r1-green, a pure-join plan with no persist/cache interaction, and
 # its join machinery is exercised in-window by the curation and dedup
-# headliners).
+# headliners); x_ann_pq_topk took the x_cms_heavy_hitters slot
+# (r3-green, a pure one-pass sketch with no scoped_persist anywhere in
+# its plan, so the query_scope change the scale tier re-verifies
+# cannot touch it), and x_ann_pq_recall the x_skew_salted_agg slot on
+# the same no-persist grounds (salted_aggregate is a pure two-stage
+# aggregate, r3-green via the D3 driver row).
 # No rotation backlog after round 4: the r3 backlog (8 deferred +
 # 6 r3 additions) is fully inside this window, so every registered
 # query has a green driver row once CORRECTNESS_r04 lands.

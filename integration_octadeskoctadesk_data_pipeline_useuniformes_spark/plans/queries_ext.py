@@ -702,18 +702,49 @@ def x_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
 
 
-@register(
-    "x_retrieval_mrr",
-    f"""
-WITH {_ANN_TOPK_CTES},
-lab AS (SELECT vec_id, label FROM embeddings),
-hits AS (
-  SELECT t.query_id, min(t.rank) AS first_rank
+#: same-label relevant rows of the top-k, as (query_id, rank) — the ONE
+#: owner of the relevance attachment (label = relevance, the
+#: x_ann_hard_negatives oracle rule), shared by the MRR and NDCG
+#: evaluations so the two metrics cannot drift onto different
+#: relevance definitions
+_ANN_REL_CTES = """lab AS (SELECT vec_id, label FROM embeddings),
+rel_rows AS (
+  SELECT t.query_id, t.rank
   FROM topk t
   JOIN lab nl ON nl.vec_id = t.neighbor_id
   JOIN lab ql ON ql.vec_id = t.query_id
   WHERE nl.label = ql.label
-  GROUP BY t.query_id
+)"""
+
+
+def _topk_relevant_rows(emb: DataFrame, qs: DataFrame, topk: DataFrame) -> DataFrame:
+    """Spark twin of _ANN_REL_CTES: (query_id, rank) rows of the top-k
+    whose neighbor shares the query's label. The ≤|queries|·k top-k
+    result is the broadcast side of BOTH label attachments; the corpus
+    (vec_id, label) projection streams pruned and never shuffles."""
+    lab_n = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    q_lab = qs.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    return (
+        lab_n.join(F.broadcast(topk), "neighbor_id")
+        .join(F.broadcast(q_lab), "query_id")
+        .filter(F.col("n_label") == F.col("q_label"))
+        .select("query_id", "rank")
+    )
+
+
+@register(
+    "x_retrieval_mrr",
+    f"""
+WITH {_ANN_TOPK_CTES},
+{_ANN_REL_CTES},
+hits AS (
+  SELECT query_id, min(rank) AS first_rank
+  FROM rel_rows
+  GROUP BY query_id
 )
 SELECT q.vec_id AS query_id,
        CAST(coalesce(h.first_rank, 0) AS BIGINT) AS first_rank,
@@ -739,16 +770,8 @@ def x_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5)
     topk = S.cosine_topk(emb, qs, k=10)
-    lab_n = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
-    )
-    q_lab = qs.select(
-        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
-    )
     hits = (
-        lab_n.join(F.broadcast(topk), "neighbor_id")
-        .join(F.broadcast(q_lab), "query_id")
-        .filter(F.col("n_label") == F.col("q_label"))
+        _topk_relevant_rows(emb, qs, topk)
         .groupBy("query_id")
         .agg(F.min("rank").alias("first_rank"))
     )
@@ -779,15 +802,12 @@ _NDCG_IDCG_SQL = "[" + ", ".join(str(v) for v in _NDCG_IDCG) + "]"
     "x_retrieval_ndcg",
     f"""
 WITH {_ANN_TOPK_CTES},
-lab AS (SELECT vec_id, label FROM embeddings),
+{_ANN_REL_CTES},
 lc AS (SELECT label, count(*) AS n_lab FROM embeddings GROUP BY label),
 rel AS (
-  SELECT t.query_id, sum(({_NDCG_W_SQL})[t.rank]) AS dcg
-  FROM topk t
-  JOIN lab nl ON nl.vec_id = t.neighbor_id
-  JOIN lab ql ON ql.vec_id = t.query_id
-  WHERE nl.label = ql.label
-  GROUP BY t.query_id
+  SELECT query_id, sum(({_NDCG_W_SQL})[rank]) AS dcg
+  FROM rel_rows
+  GROUP BY query_id
 )
 SELECT q.vec_id AS query_id,
        CAST(least(lc.n_lab - 1, 10) AS BIGINT) AS n_rel,
@@ -824,17 +844,9 @@ def x_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5)
     topk = S.cosine_topk(emb, qs, k=10)
-    lab_n = emb.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
-    )
-    q_lab = qs.select(
-        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
-    )
     gains = F.array(*[F.lit(w).cast("long") for w in _NDCG_W])
     rel = (
-        lab_n.join(F.broadcast(topk), "neighbor_id")
-        .join(F.broadcast(q_lab), "query_id")
-        .filter(F.col("n_label") == F.col("q_label"))
+        _topk_relevant_rows(emb, qs, topk)
         .groupBy("query_id")
         .agg(F.sum(F.element_at(gains, F.col("rank"))).alias("dcg"))
     )
@@ -962,6 +974,154 @@ def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qids = emb.filter(F.col("vec_id").between(100, 104)).select("vec_id")
     return S.ivf_topk(emb, qids, n_seeds=8, k=10, nprobe=2)
+
+
+def _pq_dist_sql(a: str, b: str, s: int, sub: int = S.PQ_DIM // S.PQ_M) -> str:
+    """Squared L2 between subspace ``s`` of two embedding columns —
+    the same element-order double fold as operators.similarity._pq_sq_l2."""
+    base = s * sub
+    d = (
+        f"(CAST({a}.embedding[{base} + i] AS DOUBLE)"
+        f" - CAST({b}.embedding[{base} + i] AS DOUBLE))"
+    )
+    return f"list_sum(list_transform(generate_series(1, {sub}), i -> {d} * {d}))"
+
+
+_PQ_CODE_COLS = ",\n         ".join(
+    f"(list(j ORDER BY d{s} ASC, j ASC))[1] AS c{s}" for s in range(S.PQ_M)
+)
+
+
+#: the full PQ oracle chain (codebook → encode → ADC → top-k) — ONE
+#: owner shared by the PQ top-k query and the PQ recall evaluation
+_PQ_CTES = f"""cb AS (
+  SELECT row_number() OVER (ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR))) AS j,
+         embedding
+  FROM embeddings
+  ORDER BY md5('pq:' || CAST(vec_id AS VARCHAR))
+  LIMIT {S.PQ_KSUB}
+),
+dists AS (
+  SELECT e.vec_id, cb.j,
+         {", ".join(f"{_pq_dist_sql('e', 'cb', s)} AS d{s}" for s in range(S.PQ_M))}
+  FROM embeddings e CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id,
+         {_PQ_CODE_COLS}
+  FROM dists GROUP BY vec_id
+),
+qd AS (
+  SELECT q.vec_id AS query_id, cb.j,
+         {", ".join(f"{_pq_dist_sql('q', 'cb', s)} AS d{s}" for s in range(S.PQ_M))}
+  FROM (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q CROSS JOIN cb
+),
+pq_scored AS (
+  SELECT q0.query_id, n.vec_id AS neighbor_id,
+         round({" + ".join(f"q{s}.d{s}" for s in range(S.PQ_M))}, 6) AS adc_dist
+  FROM codes n
+  {chr(10).join(
+      f"  JOIN qd q{s} ON q{s}.j = n.c{s}"
+      + ("" if s == 0 else f" AND q{s}.query_id = q0.query_id")
+      for s in range(S.PQ_M)
+  ).lstrip()}
+  WHERE n.vec_id <> q0.query_id
+),
+pq_topk AS (
+  SELECT query_id, neighbor_id, adc_dist, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+    FROM pq_scored
+  ) WHERE rank <= 10
+)"""
+
+
+@register(
+    "x_ann_pq_topk",
+    f"""
+WITH {_PQ_CTES}
+SELECT query_id, neighbor_id, adc_dist, CAST(rank AS BIGINT) AS rank FROM pq_topk
+""",
+)
+def x_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.pq_topk): the
+    remaining classic index family next to LSH/multiprobe/IVF/JL/int8 —
+    corpus encoded ONCE to m=4 subspace codes against a deterministic
+    sampled codebook (16 smallest md5('pq:'||id) vectors; Lloyd-trained
+    books are the production path, the structure is identical), queries
+    carry per-subspace asymmetric-distance tables (4×16 doubles each,
+    broadcast), and ranking sums m table lookups — the raw embeddings
+    never reach the scoring join, which is the 16-64× scan-width
+    saving PQ exists for at 100 TB. The oracle derives the same book
+    via ORDER BY md5 LIMIT, the same argmin via (list(j ORDER BY d, j))[1],
+    and the same left-to-right ADC double adds, so strict value parity
+    holds with no float shortcuts.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = S.pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return out.select(
+        "query_id", "neighbor_id", "adc_dist", F.col("rank").cast("long").alias("rank")
+    )
+
+
+@register(
+    "x_ann_pq_recall",
+    f"""
+WITH {_ANN_TOPK_CTES},
+{_PQ_CTES}
+SELECT t.query_id,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_matched,
+       CAST(count(a.neighbor_id) * 100 AS BIGINT) // CAST(count(*) AS BIGINT)
+         AS recall_pct
+FROM topk t LEFT JOIN pq_topk a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+""",
+)
+def x_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ recall@10 against the brute-force cosine truth on the same
+    query sample — the quantization-loss measurement every PQ
+    deployment tunes (m, ksub) by, evaluated exactly the way
+    x_ann_recall_at_k measures IVF. Both sides come from their single
+    owners: truth = S.cosine_topk/_ANN_TOPK_CTES (the x_ann_cosine_topk
+    chain), approx = S.pq_topk/_PQ_CTES (the x_ann_pq_topk chain — its
+    oracle now assembles from the shared _PQ_CTES, so that query
+    re-verifies with this one). Note PQ ranks by quantized L2 while
+    truth ranks by exact cosine — on unnormalized embeddings these
+    disagree beyond quantization loss alone; the metric reports the
+    deployed pipeline (L2-ADC candidates vs cosine truth) as-is.
+
+    Scale shape: one persisted (vec_id, embedding) projection feeds
+    both evaluation sides (cache-manager dedup, the recall_at_k
+    pattern); the comparison join is ≤ |queries|·k rows per side and
+    explicitly broadcast (size estimation cannot see through the
+    rank-window stacks); the rollup grain is |queries|.
+    """
+    emb = scoped_persist(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 5)
+    truth = S.cosine_topk(emb, qs, k=10).select("query_id", "neighbor_id")
+    approx = (
+        S.pq_topk(emb, qs, k=10)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        truth.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("__hit").alias("n_matched"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            "n_matched",
+            F.expr("(n_matched * 100) div n_truth").alias("recall_pct"),
+        )
+    )
 
 
 def _multiprobe_list_sql(num_planes: int = 8) -> str:

@@ -842,6 +842,51 @@ def test_retrieval_mrr_broadcasts_topk_never_shuffles_corpus(spark):
     assert "BroadcastHashJoin" in tree, tree
 
 
+def test_ann_pq_codes_computed_before_the_scoring_join(spark):
+    # the corpus side of the ADC join must carry ONLY (neighbor_id +
+    # m code columns) — the embedding is consumed by the in-plan argmin
+    # projection and never crosses the join (that scan-width reduction
+    # IS product quantization). Two pruned scans (codes side + query
+    # side), the codebook folded in as literals, per-partition top-k
+    # via WindowGroupLimit, no sort-merge join, no Python.
+    import re as _re
+
+    tree = tree_of(spark, "x_ann_pq_topk")
+    assert len(set(_re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 2, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "BatchEvalPython" not in tree, tree
+    assert "WindowGroupLimit" in tree, tree
+    # the join input projection on the corpus side is the code table:
+    # neighbor_id + c0..c3, nothing else (detail section carries the
+    # per-node Output lists)
+    plan = plan_of(spark, "x_ann_pq_topk")
+    m = _re.search(r"Output \[5\]: \[vec_id#\d+L AS neighbor_id#\d+L", plan)
+    assert m, plan[:3000]
+
+
+def test_ann_pq_recall_shares_one_corpus_cache_and_broadcasts(spark):
+    # truth and approx sides read ONE persisted corpus projection
+    # (cache-manager dedup — the recall_at_k pattern) and the
+    # <=|queries|*k comparison join is broadcast; no sort-merge join,
+    # no Python.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_ann_pq_recall")
+        assert "InMemoryTableScan" in tree, tree
+        # the only parquet scan node is the ONE inside the shared
+        # InMemoryRelation's build plan (display repeats it per reader)
+        assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1, tree
+        assert "SortMergeJoin" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+        assert "BroadcastHashJoin LeftOuter" in tree, tree
+    finally:
+        query_scope.release()
+
+
 def test_retrieval_ndcg_broadcasts_topk_and_label_counts(spark):
     # same contract as the MRR plan: the top-k result (<= |queries|*k
     # rows) and the label-grain count table are the broadcast sides;

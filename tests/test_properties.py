@@ -1370,6 +1370,99 @@ def test_retrieval_mrr_matches_python_model(spark, tmp_path_factory):
     assert got == want, (got, want)
 
 
+def test_ann_pq_topk_matches_python_model(spark, tmp_path_factory):
+    """Full-chain PQ semantics against a direct python model: md5
+    codebook sampling → per-subspace argmin encode (lowest-code ties)
+    → ADC table-lookup sums → (adc, neighbor) ranking. Vector values
+    are k/64 binary fractions, exact in float32 AND float64, so the
+    python fold reproduces the engines' doubles bit-for-bit and the
+    round(6) boundary can never be a half-way case."""
+    import hashlib
+
+    def vec(i):
+        return [((i * 17 + d * 5 + (i * d) % 7) % 64) / 64 for d in range(64)]
+
+    ids = list(range(20))
+    rows = [(i, vec(i)) for i in ids]
+    tmp = tmp_path_factory.mktemp("pq")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "embeddings.parquet"))
+
+    book_ids = sorted(
+        ids, key=lambda i: hashlib.md5(f"pq:{i}".encode()).hexdigest()
+    )[:16]
+    book = [vec(i) for i in book_ids]
+
+    def sq(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    def sub(v, s):
+        return v[s * 16 : (s + 1) * 16]
+
+    codes = {
+        i: [
+            min((sq(sub(vec(i), s), sub(c, s)), j + 1) for j, c in enumerate(book))[1]
+            for s in range(4)
+        ]
+        for i in ids
+    }
+    want = {}
+    for q in range(5):
+        dtab = [[sq(sub(vec(q), s), sub(c, s)) for c in book] for s in range(4)]
+        scored = []
+        for n in ids:
+            if n == q:
+                continue
+            adc = dtab[0][codes[n][0] - 1]
+            for s in range(1, 4):
+                adc = adc + dtab[s][codes[n][s] - 1]
+            scored.append((round(adc, 6), n))
+        for rank, (adc, n) in enumerate(sorted(scored)[:10], start=1):
+            want[(q, n)] = (adc, rank)
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["adc_dist"], r["rank"])
+        for r in catalog.queries()["x_ann_pq_topk"](spark, str(tmp)).collect()
+    }
+    assert got == want, (got, want)
+
+
+def test_ann_pq_recall_consistent_with_both_topk_queries(spark):
+    """The recall cells must be recomputable from x_ann_cosine_topk's
+    and x_ann_pq_topk's own outputs — pins the evaluation to the SAME
+    ranking owners (S.cosine_topk/_ANN_TOPK_CTES; S.pq_topk/_PQ_CTES)
+    on real data."""
+    from conftest import SF_SMOKE
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    truth, approx = {}, {}
+    for r in catalog.queries()["x_ann_cosine_topk"](spark, SF_SMOKE).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in catalog.queries()["x_ann_pq_topk"](spark, SF_SMOKE).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    want = {
+        q: (len(t), len(t & approx.get(q, set())),
+            len(t & approx.get(q, set())) * 100 // len(t))
+        for q, t in truth.items()
+    }
+    got = {
+        r["query_id"]: (r["n_truth"], r["n_matched"], r["recall_pct"])
+        for r in catalog.queries()["x_ann_pq_recall"](spark, SF_SMOKE).collect()
+    }
+    assert got == want, (got, want)
+
+
 def test_retrieval_ndcg_matches_python_model(spark, tmp_path_factory):
     """End-to-end NDCG@10 semantics on the MRR test's wide-gap corpus
     (ranking unambiguous at round(6)), with the gain table recomputed

@@ -69,6 +69,9 @@ SENSITIVE = [
     "x_quality_signal_agreement",
     # top-k rank boundaries (round-6 cosine ties) move with corpus size
     "x_retrieval_ndcg",
+    # codebook sample and ADC rank boundaries move with corpus size
+    "x_ann_pq_topk",
+    "x_ann_pq_recall",
 ]
 
 
