@@ -77,7 +77,7 @@ def register(name: str, oracle: str | None):
 #: bigram-LM predictability filter are new this round, the SimHash pair
 #: verify got its size-gated broadcast, and exact_quantile_disc's group
 #: re-attach went null-safe — then the FULL 14-query backlog
-#: (after which every one of the 171 registered queries has at least
+#: (after which every one of the 181 registered queries has at least
 #: one green driver row; the late-r4 additions —
 #: x_duplicate_span_fraction, x_dedup_survivors, x_split_leakage_safe
 #: — are themselves in-window), then the bench headliners and the
