@@ -43,6 +43,7 @@ __all__ = [
     "SEP",
     "bpe_merge_steps",
     "encode_pieces_expr",
+    "munch_count_expr",
     "symbol_count_expr",
     "wrap_words",
 ]
@@ -163,3 +164,47 @@ def bpe_merge_steps(
             )
         )
     return steps
+
+
+def munch_count_expr(vocab: list[str], word: Column) -> Column:
+    """Column: how many tokens ``word`` segments into under greedy
+    longest-match-first inference (the WordPiece/maximal-munch rule)
+    over ``vocab`` multi-char pieces, with the single-character
+    fallback every subword vocabulary carries. The other major subword
+    inference rule next to BPE's merge-order replay — production
+    tokenizers routinely pair a BPE-trained vocabulary with
+    longest-match inference, and the two DISAGREE on real text, which
+    is what x_wordpiece_encode_docs measures.
+
+    Implemented as a runtime ``aggregate`` fold over at most
+    length(word) steps with (pos, cnt) struct state — constant plan
+    size (an unrolled projection chain would blow up exponentially
+    under Catalyst's projection collapse, since each step references
+    the previous pos several times). Each step consumes the longest
+    matching piece (distinct same-length pieces cannot both match, so
+    the WHEN order among equals is immaterial), else one character.
+    Pure expression — no shuffle, no UDF, streams at any scale.
+    """
+
+    def step_len(pos: Column) -> Column:
+        expr = None
+        for sym in sorted(set(vocab), key=lambda s: (-len(s), s)):
+            cond = F.substring(word, pos, F.lit(len(sym))) == F.lit(sym)
+            expr = (
+                F.when(cond, F.lit(len(sym)))
+                if expr is None
+                else expr.when(cond, F.lit(len(sym)))
+            )
+        return F.lit(1) if expr is None else expr.otherwise(F.lit(1))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.greatest(F.length(word), F.lit(1))),
+        F.struct(F.lit(1).alias("pos"), F.lit(0).alias("cnt")),
+        lambda acc, _: F.when(
+            acc["pos"] <= F.length(word),
+            F.struct(
+                (acc["pos"] + step_len(acc["pos"])).alias("pos"),
+                (acc["cnt"] + F.lit(1)).alias("cnt"),
+            ),
+        ).otherwise(acc),
+    )["cnt"]

@@ -111,6 +111,7 @@ DRIVER_WINDOW: list[str] = [
     "x_retrieval_ndcg",
     "x_ann_pq_topk",
     "x_ann_pq_recall",
+    "x_wordpiece_encode_docs",
     # round-3 backlog: the 5 remaining r3 additions
     "x_bpe_pair_counts",
     "x_word_entropy_quality",
@@ -126,9 +127,8 @@ DRIVER_WINDOW: list[str] = [
     "x_profile_documents",
     "x_length_histogram",
     "x_packing_efficiency",
-    # bench headliners (minus the three displaced by the late-r4
+    # bench headliners (minus the ones displaced by the late-r4
     # additions — see the trailing comment)
-    "flagship_unresolved_distinct",
     "x_dedup_minhash_lsh_pairs",
     "x_curation_pipeline",
     "x_kmeans_semantic_clusters",
@@ -181,6 +181,10 @@ DRIVER_WINDOW: list[str] = [
 # cannot touch it), and x_ann_pq_recall the x_skew_salted_agg slot on
 # the same no-persist grounds (salted_aggregate is a pure two-stage
 # aggregate, r3-green via the D3 driver row).
+# x_wordpiece_encode_docs took the flagship_unresolved_distinct
+# second-row slot: the flagship is the ONE query the driver verifies
+# every round regardless of the window (the entry() smoke runs it and
+# checks rows + schema), r1-green, trivial 7-node plan, no persist.
 # No rotation backlog after round 4: the r3 backlog (8 deferred +
 # 6 r3 additions) is fully inside this window, so every registered
 # query has a green driver row once CORRECTNESS_r04 lands.

@@ -480,3 +480,106 @@ def x_bpe_vocab_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merged_sym",
         F.coalesce(F.col("n_uses"), F.lit(0)).cast("bigint").alias("n_uses"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style inference over the BPE-trained vocabulary — the other
+# major subword inference rule: greedy longest-match-first segmentation
+# (operators/bpe.munch_count_expr) instead of BPE's merge-order replay.
+# Production tokenizers routinely pair a BPE-trained vocabulary with
+# longest-match inference, and the two rules DISAGREE on real text
+# (longest match can jump a boundary the merge order respects) — this
+# query reports both token counts per document so the mismatch is
+# measurable; n_bpe_tokens comes from the tier's single-owner encode
+# chain (symbol_count_expr), so it is bit-identical to
+# x_bpe_encode_docs by construction (cross-query test pins it).
+# Scale shape: like the encode query, a PURE codegen-free projection —
+# the learned vocabulary is plan metadata, the munch fold iterates at
+# most length(word) times per word AT RUNTIME (constant plan size; an
+# unrolled projection chain would grow exponentially under projection
+# collapse), zero shuffles, one corpus scan: it streams at any corpus
+# size. The DuckDB oracle derives the same vocabulary from the shared
+# training CTE chain and segments each DISTINCT word once via a
+# recursive CTE whose step picks max(length) over matching pieces —
+# the same longest-match rule, advancing by >= 1 so it terminates.
+# ---------------------------------------------------------------------------
+
+
+def _wordpiece_oracle(n_steps: int) -> str:
+    fallbacks, expr, froms = _bpe_apply_sql(n_steps)
+    vocab_union = "\nUNION ALL\n".join(
+        f"SELECT replace(pr, chr(1), '') AS sym FROM t{k}"
+        for k in range(1, n_steps + 1)
+    )
+    return f"""WITH RECURSIVE {_bpe_train_ctes(n_steps)},
+{fallbacks},
+vocab AS (SELECT DISTINCT sym FROM ({vocab_union})),
+dw AS (
+  SELECT doc_id, lower(word) AS word
+  FROM (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents)
+  WHERE word <> '' AND NOT contains(word, chr(1))
+),
+uw AS (SELECT DISTINCT word FROM dw),
+munch AS (
+  SELECT word, CAST(1 AS INTEGER) AS pos, CAST(0 AS INTEGER) AS cnt FROM uw
+  UNION ALL
+  SELECT word, pos + step_len, cnt + 1 FROM (
+    SELECT word, pos, cnt,
+           CAST(coalesce((SELECT max(length(v.sym)) FROM vocab v
+                          WHERE v.sym = substr(m.word, m.pos, length(v.sym))), 1)
+                AS INTEGER) AS step_len
+    FROM munch m WHERE pos <= length(word)
+  )
+),
+wp AS (SELECT word, cnt AS n_wp FROM munch WHERE pos > length(word)),
+enc AS (
+  SELECT doc_id, word,
+         len(list_filter(string_split({expr}, chr(1)), x -> x <> '')) AS n_syms
+  FROM dw, {froms}
+),
+agg AS (
+  SELECT e.doc_id,
+         CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(w.n_wp) AS BIGINT) AS n_wp_tokens,
+         CAST(sum(e.n_syms) AS BIGINT) AS n_bpe_tokens
+  FROM enc e JOIN wp w ON w.word = e.word
+  GROUP BY e.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_words, 0) AS BIGINT) AS n_words,
+       CAST(coalesce(a.n_wp_tokens, 0) AS BIGINT) AS n_wp_tokens,
+       CAST(coalesce(a.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+@register("x_wordpiece_encode_docs", _wordpiece_oracle(_BPE_STEPS))
+def x_wordpiece_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import (
+        SEP,
+        bpe_merge_steps,
+        munch_count_expr,
+        symbol_count_expr,
+    )
+
+    steps = bpe_merge_steps(_bpe_word_freq(spark, sf_dir), _BPE_STEPS)
+    vocab = [m for _, _, _, m, _ in steps]
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"),
+        lambda w: (w != F.lit("")) & ~w.contains(SEP),
+    )
+    return d.select(
+        "doc_id",
+        F.size(words).cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform(words, lambda w: munch_count_expr(vocab, w)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint"),
+        ).alias("n_wp_tokens"),
+        F.aggregate(
+            F.transform(words, lambda w: symbol_count_expr(steps, w)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x.cast("bigint"),
+        ).alias("n_bpe_tokens"),
+    )

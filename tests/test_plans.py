@@ -598,6 +598,24 @@ def test_bpe_merge_steps_scans_corpus_once_iterates_on_vocab(spark):
         query_scope.release()
 
 
+def test_wordpiece_encode_is_pure_projection(spark):
+    # both inference rules (greedy longest-match AND the BPE replay)
+    # run in ONE projection over ONE scan: the learned vocabulary is
+    # plan metadata and the munch fold iterates at runtime, so the plan
+    # stays constant-size — zero exchanges, zero Python, no joins.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_wordpiece_encode_docs")
+        assert "Exchange" not in tree, tree
+        assert "BatchEvalPython" not in tree and "Join" not in tree, tree
+        assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1, tree
+    finally:
+        query_scope.release()
+
+
 def test_bpe_encode_docs_is_pure_projection(spark):
     # encode-time contract: the learned merge list is baked into the
     # plan as literals, so encoding the corpus is ONE scan + a codegen

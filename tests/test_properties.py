@@ -1719,3 +1719,88 @@ def test_signal_agreement_consistent_with_both_gates(spark):
         ).collect()
     }
     assert got == dict(want), (got, want)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abXY.", min_size=1, max_size=6),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_wordpiece_encode_matches_python_model(spark, docs, tmp_path_factory):
+    """x_wordpiece_encode_docs == train via the direct model, then
+    greedy longest-match-first munch over {merged symbols} with the
+    single-char fallback, summed per doc; the BPE column must equal
+    the model's final-sequence lengths (same single-owner chain as
+    x_bpe_encode_docs)."""
+    from collections import Counter
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    wf = Counter(w.lower() for ws in docs for w in ws if w)
+    steps, seqs = _py_bpe_train(dict(wf), 6)
+    vocab = {m for _, _, _, m, _ in steps}
+
+    def munch(word: str) -> int:
+        pos, cnt = 0, 0
+        while pos < len(word):
+            step = 1
+            for sym in vocab:
+                if len(sym) > step and word.startswith(sym, pos):
+                    step = len(sym)
+            pos += step
+            cnt += 1
+        return cnt
+
+    want = {}
+    for i, ws in enumerate(docs):
+        words = [w.lower() for w in ws if w]
+        want[i] = (
+            len(words),
+            sum(munch(w) for w in words),
+            sum(len(seqs[w]) for w in words),
+        )
+
+    tmp = tmp_path_factory.mktemp("wp")
+    spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_wp_tokens"], r["n_bpe_tokens"])
+        for r in catalog.queries()["x_wordpiece_encode_docs"](
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == want, (texts, got, want)
+
+
+def test_wordpiece_bpe_column_consistent_with_encode_query(spark):
+    """The n_bpe_tokens column must be bit-identical to
+    x_bpe_encode_docs — both sides of the inference-agreement report
+    come from the tier's single-owner encode chain on real data."""
+    from conftest import SF_SMOKE
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    enc = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in catalog.queries()["x_bpe_encode_docs"](spark, SF_SMOKE).collect()
+    }
+    wp = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in catalog.queries()["x_wordpiece_encode_docs"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert wp == enc

@@ -72,6 +72,8 @@ SENSITIVE = [
     # codebook sample and ADC rank boundaries move with corpus size
     "x_ann_pq_topk",
     "x_ann_pq_recall",
+    # merge winners (and so the munch vocabulary) move with corpus size
+    "x_wordpiece_encode_docs",
 ]
 
 
