@@ -112,6 +112,7 @@ DRIVER_WINDOW: list[str] = [
     "x_ann_pq_topk",
     "x_ann_pq_recall",
     "x_wordpiece_encode_docs",
+    "x_bpe_compression_curve",
     # round-3 backlog: the 5 remaining r3 additions
     "x_bpe_pair_counts",
     "x_word_entropy_quality",
@@ -136,7 +137,6 @@ DRIVER_WINDOW: list[str] = [
     # scale tier + cache-heavy queries (query_scope dedupe touched the
     # persist path every one of these exercises)
     "x_global_running_revenue",
-    "x_bloom_prune_join",
     "x_constraint_audit",
     "x_vocab_coverage",
     "x_multimodal_audio_energy",
@@ -185,6 +185,11 @@ DRIVER_WINDOW: list[str] = [
 # second-row slot: the flagship is the ONE query the driver verifies
 # every round regardless of the window (the entry() smoke runs it and
 # checks rows + schema), r1-green, trivial 7-node plan, no persist.
+# x_bpe_compression_curve took the x_bloom_prune_join slot: bloom is
+# r3-green and its second-row purpose — re-verifying the changed
+# scoped_persist path — is already served by the many in-window
+# queries that persist (the whole BPE tier, the weighting tier,
+# x_ann_pq_recall, x_global_running_revenue, ...).
 # No rotation backlog after round 4: the r3 backlog (8 deferred +
 # 6 r3 additions) is fully inside this window, so every registered
 # query has a green driver row once CORRECTNESS_r04 lands.

@@ -261,6 +261,12 @@ def x_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: the oracle-side char-wrap base of the encode chain (SEP c SEP per
+#: char) — one owner for _bpe_apply_sql and the compression curve's
+#: k=0 branch
+_BPE_WRAP_SQL = "regexp_replace(word, '(.)', chr(1)||'\\1'||chr(1), 'g')"
+
+
 def _bpe_apply_sql(n_steps: int) -> tuple[str, str, str]:
     """(fallback CTEs, unrolled replace expression over ``word``, FROM
     list) — the oracle-side twin of ``operators/bpe.symbol_count_expr``,
@@ -271,7 +277,7 @@ def _bpe_apply_sql(n_steps: int) -> tuple[str, str, str]:
         f"m{k} AS (SELECT coalesce(min(pr), chr(1)) AS pr FROM t{k})"
         for k in range(1, n_steps + 1)
     )
-    expr = "regexp_replace(word, '(.)', chr(1)||'\\1'||chr(1), 'g')"
+    expr = _BPE_WRAP_SQL
     for k in range(1, n_steps + 1):
         expr = (
             f"replace({expr},\n"
@@ -582,4 +588,73 @@ def x_wordpiece_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda acc, x: acc + x.cast("bigint"),
         ).alias("n_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE compression curve — total corpus tokens after k = 0..N merges:
+# the vocabulary-size-versus-compression trade-off curve tokenizer
+# teams plot to pick a vocab budget (k=0 is the character baseline;
+# each point is the marginal compression the k-th merge buys).
+# Scale shape: ONE corpus scan into the scoped-persisted word-frequency
+# table (shared with the trainer via cache-manager dedup); all N+1
+# totals are computed in a SINGLE vocab-grain aggregate pass (each
+# point's symbol count is the single-owner encode chain truncated to
+# its first k merges, a plan literal), then unpivoted with stack() —
+# output is N+1 rows regardless of corpus size.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_curve_oracle(n_steps: int) -> str:
+    fallbacks, _, _ = _bpe_apply_sql(n_steps)
+    count_of = (
+        lambda expr: f"len(list_filter(string_split({expr}, chr(1)), x -> x <> ''))"
+    )
+    branches = [
+        f"SELECT 0 AS n_merges,\n"
+        f"       CAST(coalesce(sum(n * {count_of(_BPE_WRAP_SQL)}), 0) AS BIGINT)\n"
+        f"         AS n_tokens FROM wf"
+    ]
+    for k in range(1, n_steps + 1):
+        _, expr_k, _ = _bpe_apply_sql(k)
+        froms_k = ", ".join(f"m{j}" for j in range(1, k + 1))
+        branches.append(
+            f"SELECT {k} AS n_merges,\n"
+            f"       CAST(coalesce(sum(n * {count_of(expr_k)}), 0) AS BIGINT)\n"
+            f"         AS n_tokens FROM wf, {froms_k}"
+        )
+    union = "\nUNION ALL\n".join(branches)
+    return f"""WITH {_bpe_train_ctes(n_steps)},
+{fallbacks}
+SELECT CAST(n_merges AS BIGINT) AS n_merges, n_tokens
+FROM ({union})
+"""
+
+
+@register("x_bpe_compression_curve", _bpe_curve_oracle(_BPE_STEPS))
+def x_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..query_scope import scoped_persist
+    from ..operators.bpe import bpe_merge_steps, symbol_count_expr
+
+    wf = scoped_persist(_bpe_word_freq(spark, sf_dir))
+    steps = bpe_merge_steps(wf, _BPE_STEPS)
+    # truncating the learned step list to its first k entries IS the
+    # k-merge tokenizer (merges apply in training order), so every
+    # curve point reuses the single-owner encode chain
+    row = wf.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.col("n") * symbol_count_expr(steps[:k], F.col("word"))
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias(f"t{k}")
+            for k in range(_BPE_STEPS + 1)
+        ]
+    )
+    stack_args = ", ".join(f"{k}L, t{k}" for k in range(_BPE_STEPS + 1))
+    return row.selectExpr(
+        f"stack({_BPE_STEPS + 1}, {stack_args}) AS (n_merges, n_tokens)"
     )

@@ -598,6 +598,29 @@ def test_bpe_merge_steps_scans_corpus_once_iterates_on_vocab(spark):
         query_scope.release()
 
 
+def test_bpe_compression_curve_single_pass_on_vocab_cache(spark):
+    # all N+1 curve points compute in ONE aggregate pass over the
+    # scoped-persisted word-frequency table (shared with the trainer
+    # via cache-manager dedup) — one distinct parquet scan under the
+    # cache, cache reads in the final plan, no Python, no joins.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_bpe_compression_curve")
+        assert "InMemoryTableScan" in tree, tree
+        assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1, tree
+        assert "BatchEvalPython" not in tree and "Join" not in tree, tree
+        # one aggregate pass: a single pair of partial/final
+        # HashAggregates ABOVE the cache (the InMemoryRelation's build
+        # plan carries the word-frequency groupBy's own pair)
+        above_cache = tree.split("InMemoryRelation", 1)[0]
+        assert len(re.findall(r"HashAggregate", above_cache)) == 2, tree
+    finally:
+        query_scope.release()
+
+
 def test_wordpiece_encode_is_pure_projection(spark):
     # both inference rules (greedy longest-match AND the BPE replay)
     # run in ONE projection over ONE scan: the learned vocabulary is

@@ -1804,3 +1804,75 @@ def test_wordpiece_bpe_column_consistent_with_encode_query(spark):
         ).collect()
     }
     assert wp == enc
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abXY.", min_size=1, max_size=6),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_bpe_compression_curve_matches_python_model(spark, docs, tmp_path_factory):
+    """x_bpe_compression_curve == re-running the direct python trainer
+    to k steps for every k and summing frequency-weighted sequence
+    lengths; also pins the structural property that the curve is
+    non-increasing in k (a merge can only shrink encodings)."""
+    from collections import Counter
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    wf = Counter(w.lower() for ws in docs for w in ws if w)
+    want = {}
+    for k in range(7):
+        _, seqs = _py_bpe_train(dict(wf), k)
+        want[k] = sum(len(seqs[w]) * n for w, n in wf.items())
+
+    tmp = tmp_path_factory.mktemp("bpecurve")
+    spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+    got = {
+        r["n_merges"]: r["n_tokens"]
+        for r in catalog.queries()["x_bpe_compression_curve"](
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == want, (texts, got, want)
+    vals = [got[k] for k in range(7)]
+    assert vals == sorted(vals, reverse=True), vals
+
+
+def test_bpe_curve_endpoints_consistent_with_encode_and_fertility(spark):
+    """Curve point k=6 must equal the x_bpe_encode_docs corpus total,
+    and k=0 (character baseline) the x_bpe_fertility_by_lang character
+    total — all three queries ride the same single-owner encode chain
+    on real data."""
+    from conftest import SF_SMOKE
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    curve = {
+        r["n_merges"]: r["n_tokens"]
+        for r in catalog.queries()["x_bpe_compression_curve"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    enc_total = sum(
+        r["n_bpe_tokens"]
+        for r in catalog.queries()["x_bpe_encode_docs"](spark, SF_SMOKE).collect()
+    )
+    fert = catalog.queries()["x_bpe_fertility_by_lang"](spark, SF_SMOKE).collect()
+    char_total = sum(r["n_word_chars"] for r in fert)
+    assert curve[6] == enc_total, (curve, enc_total)
+    assert curve[0] == char_total, (curve, char_total)

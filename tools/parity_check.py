@@ -74,6 +74,7 @@ SENSITIVE = [
     "x_ann_pq_recall",
     # merge winners (and so the munch vocabulary) move with corpus size
     "x_wordpiece_encode_docs",
+    "x_bpe_compression_curve",
 ]
 
 
