@@ -60,7 +60,18 @@ def wrap_words(word_freq: DataFrame, word: str = "word", n: str = "n") -> DataFr
     query's word extraction) so the operator is safe standalone; the
     regex runs in DOTALL mode so every character — newlines included —
     gets wrapped (an unwrapped char would sit between single separators
-    and silently no-op every merge that wins on it)."""
+    and silently no-op every merge that wins on it).
+
+    Cross-engine caveat: the DuckDB oracle twin (queries_tokenizer's
+    ``_bpe_train_ctes`` / ``_BPE_WRAP_SQL``) wraps with RE2's ``(.)``,
+    which NEVER matches ``\\n`` (RE2 has no DOTALL equivalent in that
+    call shape) — so Spark/oracle wrap agreement relies on words never
+    containing a bare LF. The catalog guarantees that (its ``\\s+``
+    split removes ``\\n`` in both engines); standalone users feeding
+    word tables from elsewhere must pre-filter or pre-normalize
+    LF-bearing words before comparing against the shared oracle CTEs.
+    Pinned by tests/test_tokenizer_ops.py::
+    test_bpe_wrap_newline_divergence_boundary_is_known."""
     return word_freq.filter(~F.col(word).contains(SEP)).select(
         F.regexp_replace(F.col(word), "(?s)(.)", SEP + "$1" + SEP).alias("str"),
         F.col(n).alias("n"),
@@ -80,7 +91,10 @@ def encode_pieces_expr(
     through it), apply the merges as literal replaces in training
     order, split out the non-empty symbols. ``symbol_count_expr``
     (encode/fertility) and the vocab-usage query all build on this one
-    expression."""
+    expression. DOTALL covers a bare LF too, but the DuckDB oracle's
+    RE2 ``(.)`` wrap cannot (see the wrap_words caveat): oracle
+    agreement on LF-bearing words exists only because the catalog's
+    ``\\s+`` split never produces one."""
     expr = F.regexp_replace(word, "(?s)(.)", SEP + "$1" + SEP)
     for _, left, right, merged, _ in steps:
         expr = F.replace(

@@ -1473,10 +1473,17 @@ _SH_BLOCKS, _SH_BLOCK_BITS, _SH_MAX_HAMMING = 4, 15, 3
 #: F.broadcast on the pair side and fall back to plain hash joins
 #: (VERDICT r3: an unconditional hint OOMs the driver on a skewed
 #: corpus where one hot 15-bit block makes the candidate set huge).
-#: 2M pairs × ~100 B/row ≈ 200 MB broadcast — the comfortable ceiling
-#: for a driver sized like the bench one; tests monkeypatch this to
-#: pin both regimes.
+#: The two broadcast sides have DIFFERENT row widths (r4 ADVICE): cand
+#: is two BIGINTs while with_a additionally carries the 8-byte __fa
+#: fingerprint, so each side gets its own row cap derived from the
+#: SAME ~200 MB driver budget — cand at ~100 B/row (payload +
+#: HashedRelation/object overhead) → 2M rows, the wider with_a at
+#: ~133 B/row → 1.5M. The with_a gate is also clamped to never exceed
+#: the cand gate (min() at the use site), so tests forcing
+#: _SH_BROADCAST_CAP to -1 disable BOTH hints; monkeypatch
+#: _SH_BROADCAST_CAP_WIDE alone to pin the intermediate regime.
 _SH_BROADCAST_CAP = 2_000_000
+_SH_BROADCAST_CAP_WIDE = 1_500_000
 
 
 @register(
@@ -1550,10 +1557,21 @@ def x_dedup_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     # cand costs one job over the pruned pair grain and doubles as the
     # cache materialization both verify joins then hit.
     cand = scoped_persist(cand)
-    maybe_bc = F.broadcast if cand.count() <= _SH_BROADCAST_CAP else (lambda d: d)
-    with_a = fa.join(maybe_bc(cand), "id_a")
+    n_cand = cand.count()
+    identity = lambda d: d  # noqa: E731 — hint passthrough
+    bc_cand = F.broadcast if n_cand <= _SH_BROADCAST_CAP else identity
+    # with_a has exactly n_cand rows (fp is doc_id-unique, inner join)
+    # but each row is wider (+__fa), so its hint is gated on the
+    # tighter cap; the min() keeps the wide gate from ever exceeding
+    # the cand gate, whatever either is patched to.
+    bc_wide = (
+        F.broadcast
+        if n_cand <= min(_SH_BROADCAST_CAP, _SH_BROADCAST_CAP_WIDE)
+        else identity
+    )
+    with_a = fa.join(bc_cand(cand), "id_a")
     return (
-        fb.join(maybe_bc(with_a), "id_b")
+        fb.join(bc_wide(with_a), "id_b")
         .withColumn("hamming", hamming)
         .filter(F.col("hamming") <= _SH_MAX_HAMMING)
         .select("id_a", "id_b", "hamming")

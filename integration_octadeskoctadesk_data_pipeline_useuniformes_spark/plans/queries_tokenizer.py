@@ -23,6 +23,21 @@ test_unicode_lower_divergence_boundary_is_known so a silent engine
 change resurfaces the caveat. A production deployment standardizing on
 one engine has no divergence to manage; a cross-engine one should
 pre-normalize (NFKC + ASCII fold) upstream of these queries.
+
+Whitespace-class contract (applies to every ``\\s+`` tokenization in
+the catalog — this tier, queries_ext/_train/_weighting/_retrieval/
+_curate): Spark compiles the pattern with java.util.regex, whose
+``\\s`` is ``[ \\t\\n\\x0B\\f\\r]``, while DuckDB's RE2 ``\\s`` is
+``[ \\t\\n\\f\\r]`` — the engines diverge on exactly U+000B VERTICAL
+TAB (Spark splits on it, DuckDB keeps it inside the token; verified
+both directions and pinned by tests/test_tokenizer_ops.py::
+test_whitespace_split_divergence_boundary_is_known). Strict parity is
+guaranteed for corpora free of U+000B — the fixtures and every
+hypothesis alphabet — and because tokenization feeds the BPE trainer,
+a \\x0B-bearing corpus would not merely mis-split one token but could
+change learned merges. Same remedy as the case-mapping caveat: one
+engine → no divergence; cross-engine → normalize \\x0B to a space
+upstream of the split (a single regexp_replace both engines agree on).
 """
 
 from __future__ import annotations
@@ -165,7 +180,17 @@ def _bpe_train_ctes(n_steps: int) -> str:
     """The shared training CTE chain (word freq -> wrapped strings ->
     per-round pair counts p{k} / winners t{k} / merged strings s{k}) —
     assembled by BOTH oracles below, so neither needs to slice the
-    other's generated SQL."""
+    other's generated SQL.
+
+    The s0 wrap uses RE2's ``(.)``, which never matches a bare LF —
+    unlike the Spark side's DOTALL wrap (operators/bpe.wrap_words /
+    encode_pieces_expr). Wrap agreement therefore relies on words never
+    containing ``\\n``, which the ``\\s+`` tokenization in ``_WORDS_SQL``
+    guarantees (both engines' ``\\s`` includes LF); standalone reuse of
+    these CTEs against word tables from any other source must
+    pre-filter LF-bearing words. Boundary pinned by
+    tests/test_tokenizer_ops.py::
+    test_bpe_wrap_newline_divergence_boundary_is_known."""
     ctes = [
         f"""w AS (
   SELECT unnest({_WORDS_SQL}) AS word FROM documents
@@ -263,7 +288,10 @@ def x_bpe_merge_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: the oracle-side char-wrap base of the encode chain (SEP c SEP per
 #: char) — one owner for _bpe_apply_sql and the compression curve's
-#: k=0 branch
+#: k=0 branch. RE2's ``(.)`` never matches a bare LF (no DOTALL here),
+#: so agreement with the Spark side's DOTALL wrap relies on the
+#: catalog's ``\s+`` split never yielding an LF-bearing word — see the
+#: _bpe_train_ctes docstring.
 _BPE_WRAP_SQL = "regexp_replace(word, '(.)', chr(1)||'\\1'||chr(1), 'g')"
 
 

@@ -45,6 +45,7 @@ already-built DataFrames are fine to run concurrently).
 
 from __future__ import annotations
 
+import warnings
 from collections.abc import Callable
 from typing import Any
 
@@ -109,6 +110,17 @@ def scoped_persist(
     it — skipping it would leave an unbounded-lifetime cache that
     substitutes into later queries' plans, the exact leak this module
     exists to stop.
+
+    STORAGE LEVEL on the skip path: the first persist's level wins for
+    the lifetime of the scope — Spark itself cannot change the level of
+    an already-active cache entry (a repeat ``persist`` with a
+    different level is silently ignored by the cache manager), so
+    honoring a different requested level would mean unpersist +
+    recompute mid-query, a perf cliff no caller actually wants. A
+    mismatching request is therefore a caller bug (the same plan asked
+    for at two levels within one query); the skip path compares the
+    requested level against the live cache's and warns loudly instead
+    of silently returning (ADVICE r4).
     """
     # semanticHash first: the membership test is a local set lookup, so
     # the storageLevel JVM roundtrip is paid ONLY when this scope
@@ -121,6 +133,13 @@ def scoped_persist(
     if h in _ACTIVE_HASHES:
         lvl = df.storageLevel
         if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
+            if lvl != level:
+                warnings.warn(
+                    "scoped_persist: plan already cached by this scope at "
+                    f"{lvl}; requested {level} is ignored (first persist's "
+                    "level wins for the scope's lifetime — see docstring)",
+                    stacklevel=2,
+                )
             return df
     out = df.persist(level)
     _ACTIVE_CACHES.append(out)

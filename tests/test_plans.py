@@ -553,6 +553,38 @@ def test_simhash_hamming_pairs_drops_hint_above_broadcast_cap(
         query_scope.release()
 
 
+def test_simhash_hamming_pairs_wide_side_has_its_own_cap(spark, monkeypatch):
+    # intermediate regime (r4 ADVICE): with_a carries the fingerprint
+    # column so it is materially wider per row than cand — between the
+    # two caps, only the narrow cand side may keep the hard hint while
+    # the wide with_a join must fall back to size-driven planning.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries_ext,
+    )
+
+    query_scope.release()
+    monkeypatch.setattr(queries_ext, "_SH_BROADCAST_CAP_WIDE", -1)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        tree = tree_of(spark, "x_dedup_simhash_hamming_pairs")
+        assert "CartesianProduct" not in tree, tree
+        # the narrow cand hint survives...
+        assert tree.count("BroadcastHashJoin") == 1, tree
+        # ...while the outer (wide) verify join and the block self-join
+        # plan as non-broadcast joins
+        n_joins = sum(
+            tree.count(j) for j in ("SortMergeJoin", "ShuffledHashJoin")
+        )
+        assert n_joins >= 2, tree
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        query_scope.release()
+
+
 def test_bpe_merge_steps_scans_corpus_once_iterates_on_vocab(spark):
     # VERDICT r3 item 2's scale contract: the corpus is scanned ONCE
     # (the persisted word-frequency base frame) and every merge

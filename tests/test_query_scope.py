@@ -145,3 +145,40 @@ def test_scoped_persist_registers_foreign_caches(spark):
     finally:
         foreign.unpersist()
         query_scope.release()
+
+
+def test_scoped_persist_warns_on_storage_level_mismatch(spark):
+    """ADVICE r4: the warm-run skip path returns the cached plan
+    without re-persisting, so a DIFFERENT requested StorageLevel cannot
+    take effect (Spark's cache manager keeps the first level for an
+    active entry). First persist's level wins for the scope's lifetime
+    — and a mismatching request warns instead of silently returning;
+    a matching request stays silent."""
+    import warnings as _warnings
+
+    from pyspark.storagelevel import StorageLevel
+
+    query_scope.release()
+    try:
+        first = query_scope.scoped_persist(
+            spark.range(50).selectExpr("id", "id * 3 AS v")
+        )
+        first.count()
+        rebuilt = spark.range(50).selectExpr("id", "id * 3 AS v")
+        # same level: silent fast path
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            out = query_scope.scoped_persist(rebuilt)
+        assert out.storageLevel.useMemory
+        # different level: loud, and the original level is kept
+        rebuilt2 = spark.range(50).selectExpr("id", "id * 3 AS v")
+        with _warnings.catch_warnings(record=True) as caught:
+            _warnings.simplefilter("always")
+            out2 = query_scope.scoped_persist(rebuilt2, StorageLevel.DISK_ONLY)
+        assert any("first persist's" in str(w.message) for w in caught), [
+            str(w.message) for w in caught
+        ]
+        assert out2.storageLevel.useMemory  # still MEMORY_AND_DISK
+        assert len(query_scope._ACTIVE_CACHES) == 1
+    finally:
+        query_scope.release()

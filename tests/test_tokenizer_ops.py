@@ -64,3 +64,87 @@ def test_unicode_lower_divergence_boundary_is_known(spark):
     )
     duck_ok = duckdb.connect().execute("SELECT lower('Istanbul')").fetchone()[0]
     assert spark_ok == duck_ok == "istanbul"
+
+
+def test_whitespace_split_divergence_boundary_is_known(spark):
+    """Pins the documented whitespace-class contract
+    (queries_tokenizer.py module docstring): Spark's java.util.regex
+    ``\\s`` includes U+000B VERTICAL TAB while DuckDB's RE2 ``\\s``
+    does not, so the catalog-wide ``\\s+`` tokenization diverges on
+    exactly that codepoint (and, because the split feeds the BPE
+    trainer, a \\x0B-bearing corpus could change learned merges).
+    Fails if either engine changes its class so the caveat gets
+    re-evaluated instead of silently rotting."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    vt = "a\x0bb"
+    spark_toks = (
+        spark.range(1)
+        .select(F.split(F.lit(vt), r"\s+").alias("t"))
+        .collect()[0]["t"]
+    )
+    duck_toks = duckdb.connect().execute(
+        "SELECT string_split_regex('a' || chr(11) || 'b', '\\s+')"
+    ).fetchone()[0]
+    assert spark_toks == ["a", "b"], spark_toks  # java \s has \x0B
+    assert duck_toks == [vt], duck_toks  # RE2 \s does not
+    # every OTHER ASCII whitespace agrees between the engines
+    for ch, lit in ((" ", "' '"), ("\t", "chr(9)"), ("\n", "chr(10)"),
+                    ("\f", "chr(12)"), ("\r", "chr(13)")):
+        s = (
+            spark.range(1)
+            .select(F.split(F.lit(f"a{ch}b"), r"\s+").alias("t"))
+            .collect()[0]["t"]
+        )
+        d = duckdb.connect().execute(
+            f"SELECT string_split_regex('a' || {lit} || 'b', '\\s+')"
+        ).fetchone()[0]
+        assert s == d == ["a", "b"], (ch, s, d)
+
+
+def test_bpe_wrap_newline_divergence_boundary_is_known(spark):
+    """Pins the documented wrap-agreement contract (operators/bpe.py
+    wrap_words / queries_tokenizer._bpe_train_ctes): the Spark encode
+    chain wraps with a DOTALL ``(?s)(.)`` so a bare LF inside a word
+    gets separator-wrapped, while the DuckDB oracle's RE2 ``(.)``
+    never matches LF and leaves it unwrapped — so oracle agreement on
+    LF-bearing words exists only because the catalog's \\s+ split
+    removes LF in both engines. U+2028 (survives \\s+ splits) is
+    wrapped by BOTH engines, so the divergence boundary is exactly
+    the bare LF."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    sep = "\x01"
+
+    def spark_wrap(s):
+        return (
+            spark.range(1)
+            .select(
+                F.regexp_replace(
+                    F.lit(s), "(?s)(.)", sep + "$1" + sep
+                ).alias("w")
+            )
+            .collect()[0]["w"]
+        )
+
+    def duck_wrap(expr):
+        return duckdb.connect().execute(
+            "SELECT regexp_replace(" + expr + ", '(.)', chr(1)||'\\1'||chr(1), 'g')"
+        ).fetchone()[0]
+
+    # the divergent case: bare LF
+    assert spark_wrap("a\nb") == f"{sep}a{sep}{sep}\n{sep}{sep}b{sep}"
+    assert duck_wrap("'a' || chr(10) || 'b'") == f"{sep}a{sep}\n{sep}b{sep}"
+    # the agreeing cases: plain chars and U+2028 (the line terminator
+    # that CAN reach wrap via the \s+ split in both engines)
+    assert spark_wrap("ab") == duck_wrap("'ab'") == f"{sep}a{sep}{sep}b{sep}"
+    u2028 = "a b"
+    assert (
+        spark_wrap(u2028)
+        == duck_wrap("'a' || chr(8232) || 'b'")
+        == f"{sep}a{sep}{sep} {sep}{sep}b{sep}"
+    )
