@@ -1124,6 +1124,121 @@ def x_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Matryoshka (MRL-style) dimension truncation — the adaptive-retrieval
+# practice of ranking with a PREFIX of the embedding (Kusupati et al.,
+# "Matryoshka Representation Learning"): a 16-of-64-dim prefix cuts
+# per-pair FLOPs 4x (and index memory 4x), and the truncation-loss
+# measurement below is how the prefix length is chosen. The truncated
+# ranking has ONE owner per engine: Spark = S.cosine_topk over the
+# _mrl_trunc prefix projection (the dot/norm folds see only the first
+# _MRL_DIM elements — identical doubles to a generate_series(1, 16)
+# fold over the full array); oracle = _MRL_TOPK_CTES (=_cos2_sql with
+# dim=_MRL_DIM, indexing the full array's prefix). Shared by the top-k
+# query and its recall evaluation so the two cannot drift.
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16
+
+_MRL_TOPK_CTES = f"""me AS (SELECT vec_id, embedding FROM embeddings),
+mscored AS (
+  SELECT b.vec_id AS query_id, a.vec_id AS neighbor_id,
+         round({_cos2_sql('a', 'embedding', 'b', 'embedding', _MRL_DIM)}, 6)
+           AS cos_sim
+  FROM me a JOIN me b ON b.vec_id < 5 AND a.vec_id <> b.vec_id
+),
+mtopk AS (
+  SELECT query_id, neighbor_id, cos_sim, rank FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+    FROM mscored
+  ) WHERE rank <= 10
+)"""
+
+
+def _mrl_trunc(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding[1.._MRL_DIM]) — the Spark-side owner of the
+    prefix truncation both matryoshka queries rank with."""
+    return emb.select(
+        "vec_id", F.slice(F.col("embedding"), 1, _MRL_DIM).alias("embedding")
+    )
+
+
+@register(
+    "x_ann_matryoshka_topk",
+    f"WITH {_MRL_TOPK_CTES}\n"
+    "SELECT query_id, neighbor_id, cos_sim, rank FROM mtopk",
+)
+def x_ann_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over the _MRL_DIM-element embedding
+    prefix — the cheap first stage of MRL adaptive retrieval. Same
+    scale shape as x_ann_cosine_topk (query side broadcast, corpus
+    streams once, per-query top-k via the rank window), with every
+    per-pair fold 4x narrower."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(
+        _mrl_trunc(emb), _mrl_trunc(emb.filter(F.col("vec_id") < 5)), k=10
+    )
+
+
+@register(
+    "x_ann_matryoshka_recall",
+    f"""
+WITH {_ANN_TOPK_CTES},
+{_MRL_TOPK_CTES}
+SELECT t.query_id,
+       CAST(count(*) AS BIGINT) AS n_truth,
+       CAST(count(a.neighbor_id) AS BIGINT) AS n_matched,
+       CAST(count(a.neighbor_id) * 100 AS BIGINT) // CAST(count(*) AS BIGINT)
+         AS recall_pct
+FROM topk t LEFT JOIN mtopk a
+  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+GROUP BY t.query_id
+""",
+)
+def x_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation-loss recall@10: the _MRL_DIM-prefix ranking against
+    the full-dim cosine truth on the same query sample — the curve MRL
+    deployments read to pick the shortest prefix that holds recall.
+    Both sides come from their single owners: truth =
+    S.cosine_topk/_ANN_TOPK_CTES (the x_ann_cosine_topk chain), approx
+    = the _mrl_trunc prefix through the SAME ranking owner
+    (_MRL_TOPK_CTES on the oracle side, shared with
+    x_ann_matryoshka_topk).
+
+    Scale shape (the x_ann_pq_recall pattern): one persisted
+    (vec_id, embedding) projection feeds both evaluation sides — the
+    truncated side is a narrow slice() projection over the same cache;
+    the comparison join is ≤ |queries|·k rows per side and explicitly
+    broadcast (size estimation cannot see through the rank-window
+    stacks); the rollup grain is |queries|.
+    """
+    emb = scoped_persist(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    qs = emb.filter(F.col("vec_id") < 5)
+    truth = S.cosine_topk(emb, qs, k=10).select("query_id", "neighbor_id")
+    approx = (
+        S.cosine_topk(_mrl_trunc(emb), _mrl_trunc(qs), k=10)
+        .select("query_id", "neighbor_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        truth.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("__hit").alias("n_matched"),
+        )
+        .select(
+            "query_id",
+            "n_truth",
+            "n_matched",
+            F.expr("(n_matched * 100) div n_truth").alias("recall_pct"),
+        )
+    )
+
+
 def _multiprobe_list_sql(num_planes: int = 8) -> str:
     probes = ", ".join(f"xor(bucket, {1 << p})" for p in range(num_planes))
     return f"[bucket, {probes}]"

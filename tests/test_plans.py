@@ -1005,3 +1005,23 @@ def test_quality_signal_agreement_single_scan_one_exchange(spark):
     assert len(set(re.findall(r"Exchange\s+\((\d+)\)", tree))) == 1, tree
     assert "Join" not in tree, tree
     assert "BatchEvalPython" not in tree, tree
+
+
+def test_ann_matryoshka_recall_shares_one_corpus_cache_and_broadcasts(spark):
+    # same contract as x_ann_pq_recall: truth and truncated sides read
+    # ONE persisted corpus projection (the truncated side is a slice()
+    # projection over the same cache) and the <=|queries|*k comparison
+    # join is broadcast; no sort-merge join, no Python.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_ann_matryoshka_recall")
+        assert "InMemoryTableScan" in tree, tree
+        assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1, tree
+        assert "SortMergeJoin" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+        assert "BroadcastHashJoin LeftOuter" in tree, tree
+    finally:
+        query_scope.release()

@@ -1876,3 +1876,103 @@ def test_bpe_curve_endpoints_consistent_with_encode_and_fertility(spark):
     char_total = sum(r["n_word_chars"] for r in fert)
     assert curve[6] == enc_total, (curve, enc_total)
     assert curve[0] == char_total, (curve, char_total)
+
+
+def test_ann_matryoshka_recall_matches_python_model(spark, tmp_path_factory):
+    """End-to-end truncation-recall semantics on a corpus whose prefix
+    (first 16 dims) and suffix affinities are decorrelated, so the
+    16-dim ranking genuinely differs from the 64-dim truth. Vector
+    components are k/16 binary fractions (exact in float32 AND
+    float64) and the python model folds dots in the same sequential
+    order as the engines, so cosines match bit-for-bit; the model also
+    asserts every adjacent rounded-cos gap is wide (> 2e-6), so the
+    round(6) ranking is unambiguous."""
+    rows = []
+    # queries: 0 = prefix-heavy, 1 = suffix-heavy
+    for qid, (p, s) in enumerate([(1.0, 0.0625), (0.0625, 1.0)]):
+        v = [0.0] * 64
+        v[0], v[1], v[16] = p, 0.25, s
+        rows.append((qid, v))
+    for t in range(16):  # corpus 10..25, decorrelated affinities
+        v = [0.0] * 64
+        v[0] = ((t * 7) % 16 + 1) / 16  # prefix affinity
+        v[1] = 0.25
+        v[16] = (t + 1) / 16  # suffix affinity
+        rows.append((10 + t, v))
+    tmp = tmp_path_factory.mktemp("mrl")
+    spark.createDataFrame(rows, "vec_id long, embedding array<float>").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "embeddings.parquet"))
+
+    import math
+
+    by_id = dict(rows)
+
+    def cos(a, b, dim):
+        d = n1 = n2 = 0.0
+        for i in range(dim):
+            d += a[i] * b[i]
+            n1 += a[i] * a[i]
+            n2 += b[i] * b[i]
+        return round(d / (math.sqrt(n1) * math.sqrt(n2)), 6)
+
+    def topk(qid, dim):
+        scored = sorted(
+            ((-cos(by_id[qid], v, dim), i) for i, v in by_id.items() if i != qid)
+        )
+        gaps = [abs(a[0] - b[0]) for a, b in zip(scored, scored[1:])]
+        # every gap is either wide (round(6) unambiguous) or an EXACT
+        # double tie — which both engines and this model break the same
+        # way, by neighbor_id ascending
+        assert all(g > 2e-6 or g == 0 for g in gaps)
+        return [i for _, i in scored[:10]]
+
+    want = {}
+    for qid in (0, 1):
+        truth, approx = set(topk(qid, 64)), set(topk(qid, 16))
+        want[qid] = (len(truth), len(truth & approx),
+                     len(truth & approx) * 100 // len(truth))
+    # the construction must make truncation actually lossy
+    assert any(cells[2] < 100 for cells in want.values()), want
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    got = {
+        r["query_id"]: (r["n_truth"], r["n_matched"], r["recall_pct"])
+        for r in catalog.queries()["x_ann_matryoshka_recall"](
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == want, (got, want)
+
+
+def test_ann_matryoshka_recall_consistent_with_both_topk_queries(spark):
+    """The recall cells must be recomputable from x_ann_cosine_topk's
+    and x_ann_matryoshka_topk's own outputs — pins the evaluation to
+    the SAME ranking owners (S.cosine_topk/_ANN_TOPK_CTES; the
+    _mrl_trunc prefix/_MRL_TOPK_CTES) on real data."""
+    from conftest import SF_SMOKE
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    truth, approx = {}, {}
+    for r in catalog.queries()["x_ann_cosine_topk"](spark, SF_SMOKE).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in catalog.queries()["x_ann_matryoshka_topk"](spark, SF_SMOKE).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    want = {
+        q: (len(t), len(t & approx.get(q, set())),
+            len(t & approx.get(q, set())) * 100 // len(t))
+        for q, t in truth.items()
+    }
+    got = {
+        r["query_id"]: (r["n_truth"], r["n_matched"], r["recall_pct"])
+        for r in catalog.queries()["x_ann_matryoshka_recall"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want, (got, want)

@@ -75,6 +75,9 @@ SENSITIVE = [
     # merge winners (and so the munch vocabulary) move with corpus size
     "x_wordpiece_encode_docs",
     "x_bpe_compression_curve",
+    # prefix-cosine rank boundaries (round-6 ties) move with corpus size
+    "x_ann_matryoshka_topk",
+    "x_ann_matryoshka_recall",
 ]
 
 
