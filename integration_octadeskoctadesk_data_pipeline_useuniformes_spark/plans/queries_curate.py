@@ -1006,3 +1006,114 @@ def x_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate-overlap matrix — the report a data team reads
+# before MIXING sources (e.g. a fresh crawl snapshot against curated
+# dumps): for every unordered source pair, the exact Jaccard overlap of
+# their normalized-content fingerprint sets, as integer ppm. High
+# overlap means one source is largely contained in another and its
+# mixture weight double-counts content.
+#
+# Scale shape: two PRUNED corpus scans instead of a corpus-grain
+# persist (the r2 bm25 lesson; same tradeoff as x_word_pmi_pairs) —
+# the size branch is one map-side-combined count-distinct per source
+# (≤ |sources| result rows); the pair branch reduces to the
+# fingerprint grain (one co-keyed distinct + one fp rollup), then pair
+# GENERATION is in-row (sorted per-fp source set → upper-triangle
+# transform/flatten, the PMI idiom) so no corpus self-join ever exists
+# and the intersection table is ≤ C(|sources|, 2) rows at ANY corpus
+# size. The all-pairs frame (|sources|² upper triangle) and the
+# intersection table both broadcast; the inequality join is an
+# intended BroadcastNestedLoopJoin over |sources| rows per side.
+# Arithmetic: jaccard_ppm = 1e6·∩ div (|A|+|B|−∩); the denominator is
+# ≥ max(|A|,|B|) ≥ 1 for any non-empty source, so ANSI div is safe.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_source_overlap_jaccard",
+    """
+WITH fs AS (
+  SELECT DISTINCT source,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+  FROM documents
+), sz AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM fs GROUP BY source
+), inter AS (
+  SELECT a.source AS s1, b.source AS s2, CAST(count(*) AS BIGINT) AS n_inter
+  FROM fs a JOIN fs b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       a.n AS n_a, b.n AS n_b,
+       CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+       CAST(coalesce(i.n_inter, 0) * 1000000
+            // (a.n + b.n - coalesce(i.n_inter, 0)) AS BIGINT) AS jaccard_ppm
+FROM sz a
+JOIN sz b ON a.source < b.source
+LEFT JOIN inter i ON i.s1 = a.source AND i.s2 = b.source
+""",
+)
+def x_source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = T.fingerprint(F.col("text"))
+    # size branch: one pruned scan, count-distinct per source. The
+    # ≤|sources|-row result feeds BOTH sides of the all-pairs frame, so
+    # it is scoped_persist'd (the tiny-multi-consumer rule) — without
+    # the cache each side re-runs the corpus scan.
+    sz = scoped_persist(
+        docs.select("source", fp.alias("fp"))
+        .groupBy("source")
+        .agg(F.count_distinct("fp").cast("bigint").alias("n"))
+    )
+    # pair branch: fingerprint grain, then in-row upper-triangle pairs
+    srcs = (
+        docs.select("source", fp.alias("fp"))
+        .distinct()
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("srcs"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("srcs"),
+                    i + F.lit(2),
+                    F.greatest(F.size(F.col("srcs")) - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("s1"), y.alias("s2")),
+            ),
+        )
+    )
+    inter = (
+        srcs.select(F.explode(pair_arr).alias("p"))
+        .select("p.s1", "p.s2")
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    a = sz.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    b = sz.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    allp = a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+    return (
+        allp.join(
+            F.broadcast(inter),
+            (F.col("s1") == F.col("source_a")) & (F.col("s2") == F.col("source_b")),
+            "left",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            F.coalesce("n_inter", F.lit(0)).cast("bigint").alias("n_inter"),
+            F.expr(
+                "(coalesce(n_inter, 0L) * 1000000L)"
+                " div (n_a + n_b - coalesce(n_inter, 0L))"
+            )
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+        )
+    )

@@ -1025,3 +1025,27 @@ def test_ann_matryoshka_recall_shares_one_corpus_cache_and_broadcasts(spark):
         assert "BroadcastHashJoin LeftOuter" in tree, tree
     finally:
         query_scope.release()
+
+
+def test_source_overlap_two_pruned_scans_no_corpus_selfjoin(spark):
+    # two pruned scans (size branch + pair branch) instead of a
+    # corpus-grain persist; the tiny per-source size table is cached so
+    # both sides of the all-pairs frame read it (InMemoryTableScan, the
+    # display repeats its build-plan scan); pair generation is IN-ROW so
+    # no corpus self-join exists — the only joins are the broadcast
+    # all-pairs (<= |sources|^2 rows) attachments. No sort-merge join,
+    # no Python.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_source_overlap_jaccard")
+        assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 2, tree
+        assert "InMemoryTableScan" in tree, tree
+        assert "SortMergeJoin" not in tree, tree
+        assert "CartesianProduct" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+        assert "BroadcastHashJoin" in tree, tree
+    finally:
+        query_scope.release()

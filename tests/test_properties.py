@@ -1976,3 +1976,64 @@ def test_ann_matryoshka_recall_consistent_with_both_topk_queries(spark):
         ).collect()
     }
     assert got == want, (got, want)
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=12),
+        min_size=1,
+        max_size=12,
+    ),
+    srcs=st.data(),
+)
+@_SETTINGS
+def test_source_overlap_jaccard_matches_python_model(
+    spark, texts, srcs, tmp_path_factory
+):
+    """x_source_overlap_jaccard == a direct model: per unordered source
+    pair, exact Jaccard (ppm floor) of the normalized-fingerprint sets.
+    Texts draw from a tiny alphabet so cross-source duplicates (the
+    whole point of the matrix) occur constantly; sources are drawn per
+    doc from a 3-source pool so some pairs also end up with zero
+    overlap, covering the LEFT-join branch."""
+    pool = ["s1", "s2", "s3"]
+    rows = [
+        (i, t, srcs.draw(st.sampled_from(pool), label=f"src{i}"))
+        for i, t in enumerate(texts)
+    ]
+    tmp = tmp_path_factory.mktemp("srcovl")
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    def norm(t):
+        return " ".join(t.lower().split())
+
+    fps = {}
+    for _, t, s in rows:
+        fps.setdefault(s, set()).add(norm(t))
+    present = sorted(fps)
+    model = {}
+    for ai in range(len(present)):
+        for bi in range(ai + 1, len(present)):
+            a, b = present[ai], present[bi]
+            inter = len(fps[a] & fps[b])
+            na, nb = len(fps[a]), len(fps[b])
+            model[(a, b)] = (na, nb, inter, inter * 1_000_000 // (na + nb - inter))
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_a"],
+            r["n_b"],
+            r["n_inter"],
+            r["jaccard_ppm"],
+        )
+        for r in catalog.queries()["x_source_overlap_jaccard"](
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == model, (rows, got, model)
