@@ -62,6 +62,7 @@ def exact_quantile_disc(
     col: str,
     quantiles: "dict[str, tuple[int, int]]",
     group_by: "tuple[str, ...]" = (),
+    count_col: "str | None" = None,
 ) -> DataFrame:
     """Exact discrete quantiles (SQL ``percentile_disc`` / DuckDB
     ``quantile_disc``) WITHOUT sorting the raw rows.
@@ -85,11 +86,22 @@ def exact_quantile_disc(
     SQL GROUP BY: the group keys are captured before the NULL filter
     and re-attached with a left join on the (small, by the histogram
     assumption) distinct-key frame.
+
+    ``count_col``: when the input is ALREADY a value histogram (one row
+    per value carrying its multiplicity), name the multiplicity column
+    here and each row counts that many observations — identical result
+    to exploding the histogram back to raw rows, letting a caller that
+    has reduced to the histogram grain anyway (e.g. for a rollup the
+    quantiles gate) reuse it instead of re-running the corpus chain.
+    Rows with a NULL/zero count contribute nothing, like absent rows.
     """
     keys = list(group_by)
     groups = df.select(*keys).distinct() if keys else None
     df = df.filter(F.col(col).isNotNull())
-    hist = df.groupBy(*keys, col).agg(F.count(F.lit(1)).alias("__cnt"))
+    weight = (
+        F.coalesce(F.col(count_col), F.lit(0)) if count_col else F.lit(1)
+    )
+    hist = df.groupBy(*keys, col).agg(F.sum(weight).alias("__cnt"))
     w_cum = (
         Window.partitionBy(*keys)
         .orderBy(col)

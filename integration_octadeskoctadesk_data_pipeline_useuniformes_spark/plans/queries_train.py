@@ -852,6 +852,99 @@ def x_lm_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CCNet-style perplexity buckets — the published CCNet pipeline splits
+# each source's documents into head/middle/tail by LM perplexity and
+# trains mostly on the head. Here the LM signal is the catalog's
+# integer-exact bigram predictability (higher pred_ppm_mean = better LM
+# fit = "lower perplexity"), taken from its SINGLE owner by composing
+# the registered x_lm_bigram_predictability query on both engine sides
+# (the hybrid-rerank/curation composition precedent — no copied score
+# chain to drift). Buckets are per-source QUARTILE gates — head ≥ p75,
+# tail < p25, middle between (dyadic fractions: the ceil(q·N) pick
+# position is exact in both engines, where 1/3-tertiles would ride a
+# non-representable float); docs too short to score (no bigrams) get
+# their own 'short' bucket instead of polluting tail.
+#
+# Scale shape: the LM chain runs ONCE; its doc-grain output joins
+# documents' (doc_id, source) co-keyed, then immediately reduces to the
+# (source, pred_ppm_mean) HISTOGRAM grain — scoped_persist'd (bounded:
+# |sources| × ≤1e6 distinct ppm means, never corpus-grain) — which
+# feeds BOTH the weighted exact-quantile thresholds (the count_col
+# path of operators/buckets.exact_quantile_disc) and the bucket
+# rollup. Thresholds broadcast back onto the histogram; the output is
+# ≤ |sources| × 4 rows.
+# ---------------------------------------------------------------------------
+
+
+def _ccnet_oracle() -> str:
+    from .queries import _REGISTRY
+
+    lm_sql = _REGISTRY["x_lm_bigram_predictability"][1]
+    return f"""
+WITH lmscore AS ({lm_sql}),
+s AS (
+  SELECT d.source, l.pred_ppm_mean, l.n_bigrams
+  FROM documents d JOIN lmscore l ON d.doc_id = l.doc_id
+),
+thr AS (
+  SELECT source, quantile_disc(pred_ppm_mean, 0.25) AS p25,
+         quantile_disc(pred_ppm_mean, 0.75) AS p75
+  FROM s GROUP BY source
+)
+SELECT s.source,
+       CASE WHEN s.n_bigrams = 0 THEN 'short'
+            WHEN s.pred_ppm_mean >= thr.p75 THEN 'head'
+            WHEN s.pred_ppm_mean < thr.p25 THEN 'tail'
+            ELSE 'middle' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(s.n_bigrams) AS BIGINT) AS n_bigrams_total
+FROM s JOIN thr ON s.source = thr.source
+GROUP BY 1, 2
+"""
+
+
+@register("x_ccnet_perplexity_buckets", _ccnet_oracle())
+def x_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.buckets import exact_quantile_disc
+
+    scores = x_lm_bigram_predictability(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # histogram grain: pred_ppm_mean is NULL exactly when n_bigrams = 0
+    # (the oracle's 'short' test), so the bucket CASE is well-defined
+    # per (source, mean) cell
+    g = scoped_persist(
+        src.join(scores, "doc_id")
+        .groupBy("source", "pred_ppm_mean")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("n_bigrams_total"),
+        )
+    )
+    thr = exact_quantile_disc(
+        g.select("source", "pred_ppm_mean", "n_docs"),
+        "pred_ppm_mean",
+        {"p25": (1, 4), "p75": (3, 4)},
+        group_by=("source",),
+        count_col="n_docs",
+    )
+    bucket = (
+        F.when(F.col("pred_ppm_mean").isNull(), F.lit("short"))
+        .when(F.col("pred_ppm_mean") >= F.col("p75"), F.lit("head"))
+        .when(F.col("pred_ppm_mean") < F.col("p25"), F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        g.join(F.broadcast(thr), "source")
+        .select("source", bucket.alias("bucket"), "n_docs", "n_bigrams_total")
+        .groupBy("source", "bucket")
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams_total").cast("bigint").alias("n_bigrams_total"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Budget-constrained quality selection — "give me the best docs that
 # fit a token budget": rank by the frozen classifier logit (the same
 # IEEE expression tree as x_quality_classifier_score — fixed evaluation

@@ -1049,3 +1049,29 @@ def test_source_overlap_two_pruned_scans_no_corpus_selfjoin(spark):
         assert "BroadcastHashJoin" in tree, tree
     finally:
         query_scope.release()
+
+
+def test_ccnet_buckets_lm_chain_runs_once_via_histogram_cache(spark):
+    # the LM chain (5 pruned scans) plus the (doc_id, source) attach
+    # run ONCE inside the cached histogram's build plan; BOTH the
+    # weighted-quantile thresholds and the bucket rollup read the
+    # InMemoryRelation. The only sort-merge join is the intended
+    # co-keyed doc-grain attach of sources onto scores; thresholds
+    # broadcast back. No cartesian, no Python.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        lm_tree = tree_of(spark, "x_lm_bigram_predictability")
+        lm_scans = len(set(re.findall(r"Scan parquet\s+\((\d+)\)", lm_tree)))
+        query_scope.release()
+        tree = tree_of(spark, "x_ccnet_perplexity_buckets")
+        scans = len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree)))
+        assert scans == lm_scans + 1, (scans, lm_scans, tree)
+        assert "InMemoryTableScan" in tree, tree
+        assert tree.count("SortMergeJoin") <= 1, tree
+        assert "CartesianProduct" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+    finally:
+        query_scope.release()

@@ -154,6 +154,41 @@ def test_exact_quantile_disc_model(spark, vals, qn_qd):
 
 
 @given(
+    hist=st.lists(
+        st.tuples(
+            st.integers(min_value=-20, max_value=20),
+            st.integers(min_value=0, max_value=5),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    qn_qd=st.sampled_from([(1, 2), (1, 4), (3, 4), (9, 10)]),
+)
+@_SETTINGS
+def test_exact_quantile_disc_weighted_equals_exploded(spark, hist, qn_qd):
+    """count_col semantics: feeding a (value, multiplicity) histogram
+    must give exactly the per-row result of exploding it back to raw
+    rows — including zero multiplicities contributing nothing and the
+    all-zero edge yielding NULL."""
+    import math as _m
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.buckets import (
+        exact_quantile_disc,
+    )
+
+    qn, qd = qn_qd
+    df = spark.createDataFrame(hist, "v int, n int").repartition(3)
+    got = exact_quantile_disc(
+        df, "v", {"q": (qn, qd)}, count_col="n"
+    ).collect()[0]["q"]
+    exploded = sorted(v for v, n in hist for _ in range(n))
+    want = (
+        exploded[_m.ceil(qn / qd * len(exploded)) - 1] if exploded else None
+    )
+    assert got == want, (hist, qn, qd, got, want)
+
+
+@given(
     vals=st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=40),
     parts=st.integers(min_value=1, max_value=6),
 )
@@ -2037,3 +2072,67 @@ def test_source_overlap_jaccard_matches_python_model(
         ).collect()
     }
     assert got == model, (rows, got, model)
+
+
+def test_ccnet_buckets_consistent_with_lm_query(spark):
+    """The bucket cells must be recomputable from
+    x_lm_bigram_predictability's own output plus python quartiles
+    (1-based ceil(q*N) pick on the sorted non-NULL means, the
+    exact_quantile_disc contract) — pins the composition to the SAME
+    LM owner on real data and the quartile gates to the documented
+    semantics."""
+    import math as _m
+    from collections import Counter
+
+    import duckdb
+
+    from conftest import SF_SMOKE
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    scores = {
+        r["doc_id"]: (r["pred_ppm_mean"], r["n_bigrams"])
+        for r in catalog.queries()["x_lm_bigram_predictability"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    src_of = dict(
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, source FROM read_parquet('{SF_SMOKE}/documents.parquet')"
+        )
+        .fetchall()
+    )
+    means = {}
+    for d, (m, _) in scores.items():
+        if m is not None:
+            means.setdefault(src_of[d], []).append(m)
+    thr = {}
+    for s, vs in means.items():
+        vs.sort()
+        thr[s] = (
+            vs[_m.ceil(len(vs) / 4) - 1],
+            vs[_m.ceil(3 * len(vs) / 4) - 1],
+        )
+    want = Counter()
+    for d, (m, nb) in scores.items():
+        s = src_of[d]
+        if m is None:
+            b = "short"
+        elif m >= thr[s][1]:
+            b = "head"
+        elif m < thr[s][0]:
+            b = "tail"
+        else:
+            b = "middle"
+        n, t = want.get((s, b), (0, 0))
+        want[(s, b)] = (n + 1, t + nb)
+    got = {
+        (r["source"], r["bucket"]): (r["n_docs"], r["n_bigrams_total"])
+        for r in catalog.queries()["x_ccnet_perplexity_buckets"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == dict(want), (got, dict(want))

@@ -78,6 +78,8 @@ SENSITIVE = [
     # prefix-cosine rank boundaries (round-6 ties) move with corpus size
     "x_ann_matryoshka_topk",
     "x_ann_matryoshka_recall",
+    # quartile pick positions and LM vocab move with corpus size
+    "x_ccnet_perplexity_buckets",
 ]
 
 
