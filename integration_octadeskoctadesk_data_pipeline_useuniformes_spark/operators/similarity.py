@@ -553,3 +553,76 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def kcenter_select(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    round_digits: int = 6,
+    debug_frames: list | None = None,
+) -> list[tuple[int, int, float | None, list[float]]]:
+    """Greedy k-center (farthest-point) selection — the coreset /
+    diversity-sampling rule: seed with the lowest-id vector, then
+    repeatedly take the vector FARTHEST from everything selected so
+    far (max over candidates of min squared-L2 distance to the
+    selected set, rounded to ``round_digits``; ties to the lowest id).
+
+    Returns ``[(rank, id, min_dist_sq, vector), ...]`` with
+    ``min_dist_sq`` None for the seed. ``emb`` must carry DOUBLE
+    vectors in ``vec_col`` and SHOULD be persisted by the caller — the
+    loop runs ``k`` jobs against it.
+
+    Scale shape: each iteration is ONE scan of the (cached) corpus —
+    the selected vectors travel as a packed single-row broadcast (the
+    k-means ``_assign_in_row`` idiom, so codegen compiles one plan
+    shape for every iteration, not one per round) and the argmax is a
+    TakeOrdered over (d DESC, id ASC), never a global sort. Driver
+    traffic is one row per round — the k-means-centroid metadata
+    class. The loop stops early if the corpus has fewer than ``k``
+    vectors.
+    """
+    spark = emb.sparkSession
+    seed_rows = emb.orderBy(F.col(id_col).asc()).limit(1).collect()
+    if not seed_rows:
+        return []
+    seed = seed_rows[0]
+    selected = [(1, seed[id_col], None, list(seed[vec_col]))]
+    for r in range(2, k + 1):
+        cents = spark.createDataFrame(
+            [(v,) for (_, _, _, v) in selected], "cv array<double>"
+        )
+        packed = cents.agg(F.collect_list("cv").alias("cents"))
+        dmin = F.round(
+            F.array_min(
+                F.transform(
+                    F.col("cents"),
+                    lambda cv: F.aggregate(
+                        F.zip_with(
+                            F.col(vec_col), cv, lambda x, y: (x - y) * (x - y)
+                        ),
+                        F.lit(0.0),
+                        lambda acc, d: acc + d,
+                    ),
+                )
+            ),
+            round_digits,
+        )
+        cand = (
+            emb.filter(~F.col(id_col).isin([s[1] for s in selected]))
+            .crossJoin(F.broadcast(packed))
+            .select(F.col(id_col), dmin.alias("d"), F.col(vec_col))
+        )
+        if debug_frames is not None:
+            debug_frames.append(cand)
+        rows = (
+            cand.orderBy(F.col("d").desc(), F.col(id_col).asc())
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            break
+        row = rows[0]
+        selected.append((r, row[id_col], row["d"], list(row[vec_col])))
+    return selected

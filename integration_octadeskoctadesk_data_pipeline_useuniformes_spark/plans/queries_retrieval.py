@@ -639,3 +639,72 @@ def x_hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("cos_sim").desc(), F.col("doc_id").asc())
     return scored.withColumn("final_rank", F.row_number().over(w).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Greedy k-center (farthest-point) diverse sample — the coreset /
+# diversity-selection rule embedding pipelines use to pick a maximally
+# spread subset (eval probes, annotation batches, cluster seeds): seed
+# with the lowest-id vector, then k−1 rounds of "take the vector
+# farthest (max-min squared L2, round-6, id tie-break) from everything
+# selected so far". The 2-approximation guarantee of this greedy rule
+# is the textbook Gonzalez algorithm.
+#
+# Scale shape (operators/similarity.kcenter_select): each round is ONE
+# scan of the scoped-persisted corpus projection — the selected set
+# travels as a packed 1-row broadcast (the k-means _assign_in_row
+# idiom: values ride the broadcast, not plan literals, so codegen
+# compiles ONE plan shape for all rounds) and the argmax plans as
+# TakeOrdered, never a global sort. Driver traffic = 1 row/round (the
+# k-means-centroid metadata class); the k-row result materializes as a
+# local relation, like the merge-steps table of x_bpe_merge_steps.
+# Oracle: k unrolled CTE rounds (the BPE-trainer idiom), each an
+# identical least()-of-distances argmax over the ev base.
+# ---------------------------------------------------------------------------
+
+_KC_K = 8
+
+
+def _kcenter_oracle(k: int = _KC_K) -> str:
+    dist = (
+        "list_sum(list_transform(generate_series(1, {dim}), "
+        "i -> (a.v[i] - c{j}.cv[i]) * (a.v[i] - c{j}.cv[i])))"
+    )
+    ctes = [
+        "ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS v FROM embeddings)",
+        "c1 AS (SELECT vec_id, v AS cv, CAST(NULL AS DOUBLE) AS d"
+        " FROM ev ORDER BY vec_id ASC LIMIT 1)",
+    ]
+    for r in range(2, k + 1):
+        prev = ", ".join(f"c{j}" for j in range(1, r))
+        terms = ", ".join(dist.format(dim=_DIM, j=j) for j in range(1, r))
+        dmin = f"least({terms})" if r > 2 else terms
+        excl = " AND ".join(f"a.vec_id <> c{j}.vec_id" for j in range(1, r))
+        ctes.append(
+            f"c{r} AS (SELECT a.vec_id, a.v AS cv, round({dmin}, 6) AS d"
+            f" FROM ev a, {prev} WHERE {excl}"
+            f" ORDER BY d DESC, a.vec_id ASC LIMIT 1)"
+        )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS rank, vec_id, d AS min_dist_sq FROM c{r}"
+        for r in range(1, k + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + sel
+
+
+@register("x_kcenter_diverse_sample", _kcenter_oracle())
+def x_kcenter_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import similarity as S
+
+    emb = scoped_persist(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    sel = S.kcenter_select(emb, k=_KC_K)
+    return spark.createDataFrame(
+        [(r, i, d) for (r, i, d, _) in sel],
+        "rank bigint, vec_id bigint, min_dist_sq double",
+    )

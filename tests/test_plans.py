@@ -1075,3 +1075,52 @@ def test_ccnet_buckets_lm_chain_runs_once_via_histogram_cache(spark):
         assert "BatchEvalPython" not in tree, tree
     finally:
         query_scope.release()
+
+
+def test_kcenter_iteration_is_takeordered_over_cached_corpus(spark):
+    # each greedy round must be ONE scan of the cached corpus
+    # projection with the selected set as a packed 1-row broadcast
+    # (BroadcastNestedLoopJoin of a single-row relation, the k-means
+    # _assign_in_row idiom) and the argmax as TakeOrdered — a global
+    # Sort or a re-scan of the parquet per round would not survive a
+    # large corpus. The registered query's own plan is the k-row local
+    # relation (covered by the catalog-wide sweep); this test drives
+    # the OPERATOR's iteration frame directly.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators import (
+        similarity as S,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    try:
+        emb = query_scope.scoped_persist(
+            load_table(spark, SF, "embeddings").select(
+                "vec_id",
+                F.transform(
+                    F.col("embedding"), lambda x: x.cast("double")
+                ).alias("v"),
+            )
+        )
+        frames = []
+        S.kcenter_select(emb, k=3, debug_frames=frames)
+        assert len(frames) == 2
+        it = frames[-1].orderBy(F.col("d").desc(), F.col("vec_id").asc()).limit(1)
+        tree = spark._jvm.PythonSQLUtils.explainString(
+            it._jdf.queryExecution(), "formatted"
+        ).split("\n\n", 1)[0]
+        assert "TakeOrderedAndProject" in tree, tree
+        assert "InMemoryTableScan" in tree, tree
+        assert "BroadcastNestedLoopJoin" in tree, tree
+        assert "CartesianProduct" not in tree, tree
+        # the only exchanges are the collect_list packing of the <=k-row
+        # selected set (one shuffle + its BroadcastExchange) — the
+        # corpus branch reads the cache straight into the join
+        assert tree.count("Exchange") <= 2, tree
+        assert "BatchEvalPython" not in tree, tree
+    finally:
+        query_scope.release()

@@ -2136,3 +2136,57 @@ def test_ccnet_buckets_consistent_with_lm_query(spark):
         ).collect()
     }
     assert got == dict(want), (got, dict(want))
+
+
+def test_kcenter_diverse_sample_matches_python_model(spark, tmp_path_factory):
+    """Full-chain greedy k-center semantics against a direct python
+    model. Components are k/64 binary fractions (exact in float32 AND
+    float64), so every squared-L2 distance is an exact dyadic m/4096
+    that python reproduces bit-for-bit; the model additionally asserts
+    no distance is a .5-at-6-decimals halfway case, so round(6)
+    agrees across python/Spark/DuckDB rounding modes. Also covers the
+    fewer-than-k early stop."""
+    import math
+
+    def vec(i):
+        return [((i * 13 + d * 3 + (i * d) % 5) % 64) / 64 for d in range(64)]
+
+    def model(ids, k):
+        by_id = {i: vec(i) for i in ids}
+        sel = [(1, min(ids), None)]
+        chosen = {min(ids)}
+        while len(sel) < k and len(chosen) < len(ids):
+            best = None
+            for i in sorted(set(ids) - chosen):
+                dmin = min(
+                    sum((x - y) * (x - y) for x, y in zip(by_id[i], by_id[j]))
+                    for _, j, _ in sel
+                )
+                # no halfway case at 6 decimals (model self-check)
+                assert abs(dmin * 1e6 - math.floor(dmin * 1e6) - 0.5) > 1e-9
+                d6 = round(dmin, 6)
+                if best is None or d6 > best[0]:
+                    best = (d6, i)
+            sel.append((len(sel) + 1, best[1], best[0]))
+            chosen.add(best[1])
+        return sel
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    for tag, ids in (("full", list(range(20))), ("short", [3, 7, 11, 40, 41])):
+        tmp = tmp_path_factory.mktemp(f"kc_{tag}")
+        spark.createDataFrame(
+            [(i, vec(i)) for i in ids], "vec_id long, embedding array<float>"
+        ).write.mode("overwrite").parquet(str(tmp / "embeddings.parquet"))
+        got = sorted(
+            (r["rank"], r["vec_id"], r["min_dist_sq"])
+            for r in catalog.queries()["x_kcenter_diverse_sample"](
+                spark, str(tmp)
+            ).collect()
+        )
+        want = model(ids, 8)
+        assert got == want, (tag, got, want)
+        if tag == "short":
+            assert len(got) == len(ids)  # early stop at |corpus|

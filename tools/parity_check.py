@@ -80,6 +80,8 @@ SENSITIVE = [
     "x_ann_matryoshka_recall",
     # quartile pick positions and LM vocab move with corpus size
     "x_ccnet_perplexity_buckets",
+    # greedy argmax boundaries (round-6 distance ties) move with corpus
+    "x_kcenter_diverse_sample",
 ]
 
 
