@@ -1039,3 +1039,72 @@ def x_quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("clf_keep", "gopher_keep")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Length-bucketed batching padding waste — the OTHER batching strategy
+# next to x_pack_sequences' concat-packing: dynamic batching groups
+# sequences into power-of-two length buckets and pads each to its
+# bucket cap (the fairseq/HF dynamic-batching shape). This reports what
+# that padding costs per bucket — the report a training-infra team
+# reads to pick bucket granularity vs pad-to-max.
+#
+# The bucket cap is INTEGER-EXACT in both engines: cap(n) = 1 for
+# n <= 1 else 1 << length(bin(n-1)) — the smallest power of two >= n,
+# computed from the binary-string length (bin() agrees between Spark
+# and DuckDB), never float log2 (the repo-wide rule against
+# transcendentals in hashed output). Scale shape: one pruned scan, the
+# cap is a narrow projection, and the only exchange is the map-side-
+# combined rollup to the <= ~40-bucket grain. waste_ppm = padded·1e6
+# div capacity; capacity >= n_docs >= 1 per emitted bucket, so ANSI
+# div is safe.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_length_bucket_padding",
+    """
+WITH b AS (
+  SELECT CASE WHEN n_chars <= 1 THEN 1
+              ELSE 1 << length(bin(n_chars - 1)) END AS bucket_cap,
+         n_chars
+  FROM documents
+)
+SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(*) * bucket_cap - sum(n_chars) AS BIGINT) AS padded_chars,
+       CAST((count(*) * bucket_cap - sum(n_chars)) * 1000000
+            // (count(*) * bucket_cap) AS BIGINT) AS waste_ppm
+FROM b GROUP BY bucket_cap
+""",
+)
+def x_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("n_chars")
+    cap = F.when(F.col("n_chars") <= 1, F.lit(1)).otherwise(
+        # F.shiftleft takes a python int for numBits; the column-typed
+        # shift lives in SQL
+        F.expr("shiftleft(1, length(bin(n_chars - 1)))")
+    )
+    return (
+        d.select(cap.cast("bigint").alias("bucket_cap"), "n_chars")
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "total_chars",
+            (F.col("n_docs") * F.col("bucket_cap") - F.col("total_chars"))
+            .cast("bigint")
+            .alias("padded_chars"),
+            F.expr(
+                "((n_docs * bucket_cap - total_chars) * 1000000)"
+                " div (n_docs * bucket_cap)"
+            )
+            .cast("bigint")
+            .alias("waste_ppm"),
+        )
+    )

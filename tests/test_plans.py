@@ -1124,3 +1124,14 @@ def test_kcenter_iteration_is_takeordered_over_cached_corpus(spark):
         assert "BatchEvalPython" not in tree, tree
     finally:
         query_scope.release()
+
+
+def test_length_bucket_padding_single_scan_one_exchange(spark):
+    # pure scan -> narrow cap projection -> ONE map-side-combined
+    # rollup to the ~40-bucket grain; no joins, no window, no Python
+    tree = tree_of(spark, "x_length_bucket_padding")
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("HashAggregate") == 2, tree  # partial + final
+    assert "Join" not in tree, tree
+    assert "BatchEvalPython" not in tree, tree

@@ -2190,3 +2190,57 @@ def test_kcenter_diverse_sample_matches_python_model(spark, tmp_path_factory):
         assert got == want, (tag, got, want)
         if tag == "short":
             assert len(got) == len(ids)  # early stop at |corpus|
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=10_000), min_size=1, max_size=60)
+)
+@_SETTINGS
+def test_length_bucket_padding_matches_python_model(
+    spark, sizes, tmp_path_factory
+):
+    """x_length_bucket_padding == a direct model: bucket cap is the
+    smallest power of two >= n_chars (cap 1 for n <= 1 — covers the
+    n=0 and n=1 edges), padding is capacity minus content, waste is
+    ppm floor. Exercises exact powers of two, zeros, and singleton
+    buckets."""
+    from collections import defaultdict
+
+    tmp = tmp_path_factory.mktemp("lbp")
+    rows = [(i, n) for i, n in enumerate(sizes)]
+    spark.createDataFrame(rows, "doc_id long, n_chars long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    def cap(n):
+        c = 1
+        while c < n:
+            c <<= 1
+        return c
+
+    agg = defaultdict(lambda: [0, 0])
+    for _, n in rows:
+        a = agg[cap(n)]
+        a[0] += 1
+        a[1] += n
+    want = {
+        c: (nd, tc, nd * c - tc, (nd * c - tc) * 1_000_000 // (nd * c))
+        for c, (nd, tc) in agg.items()
+    }
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    got = {
+        r["bucket_cap"]: (
+            r["n_docs"],
+            r["total_chars"],
+            r["padded_chars"],
+            r["waste_ppm"],
+        )
+        for r in catalog.queries()["x_length_bucket_padding"](
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == want, (sizes, got, want)
