@@ -70,129 +70,83 @@ def register(name: str, oracle: str | None):
 #: registry entries per round (observed: CORRECTNESS_r01/r02 == the
 #: first 50 names in registration order), so each round the window
 #: rotates to the queries that most need a fresh driver row. Earlier
-#: rounds' rows persist in CORRECTNESS_r{N}.json. Round-4 window
-#: (VERDICT r3 item 1): changed/new queries lead (ADVICE r2 standing
-#: rule) — the weighting tier (DSIR importance, per-source quality
-#: threshold, budget apportionment), the BPE train/encode pair and the
-#: bigram-LM predictability filter are new this round, the SimHash pair
-#: verify got its size-gated broadcast, and exact_quantile_disc's group
-#: re-attach went null-safe — then the FULL 14-query backlog
-#: (after which every one of the 181 registered queries has at least
-#: one green driver row; the late-r4 additions —
-#: x_duplicate_span_fraction, x_dedup_survivors, x_split_leakage_safe
-#: — are themselves in-window), then the bench headliners and the
-#: scale/cache-heavy tier for second hard rows in the spare slots.
+#: rounds' rows persist in CORRECTNESS_r{N}.json; after round 4 every
+#: registered query has at least one green row.
+#:
+#: Round-5 window: changed/new queries lead (ADVICE r2 standing rule) —
+#: six NEW queries (matryoshka top-k + recall, source-overlap Jaccard,
+#: CCNet perplexity buckets, k-center diverse sample, length-bucket
+#: padding), plus x_dedup_simhash_hamming_pairs (per-width broadcast
+#: caps, r4 ADVICE) and the two exact_quantile_disc consumers
+#: (x_exact_quantiles_chars, x_quality_threshold_by_source — the
+#: operator gained the count_col weighted-histogram path; default path
+#: behavior-identical, re-verified strictly at all three SFs anyway).
+#: The remaining 41 slots give SECOND hard rows to the round-1-green
+#: queries — the oldest single-row cohort in the catalog (43 queries
+#: whose only driver row is from r1, four rounds of code churn ago).
 DRIVER_WINDOW: list[str] = [
     # changed or new this round (re-verify first)
-    "x_dsir_hashed_importance",
-    "x_quality_threshold_by_source",
-    "x_mixture_apportion_budget",
-    "x_bpe_merge_steps",
-    "x_bpe_encode_docs",
-    "x_bpe_fertility_by_lang",
-    "x_lm_bigram_predictability",
-    "x_budget_select_topquality",
-    "x_ann_hard_negatives",
+    "x_ann_matryoshka_topk",
+    "x_ann_matryoshka_recall",
+    "x_source_overlap_jaccard",
+    "x_ccnet_perplexity_buckets",
+    "x_kcenter_diverse_sample",
+    "x_length_bucket_padding",
     "x_dedup_simhash_hamming_pairs",
     "x_exact_quantiles_chars",
-    "x_duplicate_span_fraction",
-    "x_dedup_survivors",
-    "x_dedup_clusters",
-    "x_split_leakage_safe",
-    "x_split_train_val",
-    "x_quality_gopher_rules",
-    "x_word_pmi_pairs",
-    "x_pagerank_dup_graph",
-    "x_sample_uniform_k",
-    "x_retrieval_mrr",
-    "x_ann_cosine_topk",
-    "x_bpe_vocab_usage",
-    "x_quality_signal_agreement",
-    "x_retrieval_ndcg",
-    "x_ann_pq_topk",
-    "x_ann_pq_recall",
-    "x_wordpiece_encode_docs",
-    "x_bpe_compression_curve",
-    # round-3 backlog: the 5 remaining r3 additions
-    "x_bpe_pair_counts",
-    "x_word_entropy_quality",
-    "x_ann_recall_at_k",
-    "x_dedup_exact_substring",
-    "x_quality_classifier_score",
-    # round-3 backlog: the 8 deferred low-risk queries
-    "x_corpus_datacard",
-    "x_langid_mismatch_by_source",
-    "x_text_sentiment",
-    "x_fuzzy_name_match",
-    "x_sample_by_quality",
-    "x_profile_documents",
-    "x_length_histogram",
-    "x_packing_efficiency",
-    # bench headliners (minus the ones displaced by the late-r4
-    # additions — see the trailing comment)
-    "x_dedup_minhash_lsh_pairs",
-    "x_curation_pipeline",
-    "x_kmeans_semantic_clusters",
-    "x_bm25_search",
-    # scale tier + cache-heavy queries (query_scope dedupe touched the
-    # persist path every one of these exercises)
-    "x_global_running_revenue",
-    "x_constraint_audit",
-    "x_vocab_coverage",
-    "x_multimodal_audio_energy",
+    "x_quality_threshold_by_source",
+    # second hard rows for the r1-green-once cohort (oldest rows in
+    # the catalog; includes the bench headliners j1/f1/f5/c13/j3)
+    "c11_custom_fields_extract",
+    "f1_range_filter_events",
+    "f5_first_match_per_chat",
+    "j1_full_outer_integrate",
+    "j3_anti_dedup",
+    "a3_dedup_removed_count",
+    "u1_union_by_name",
+    "c13_pivot_event_types",
+    "c7_try_cast_fallback",
+    "p7_null_key_fill",
+    "p3_sanitize_columns",
+    "x_text_stats",
+    "x_text_quality",
+    "x_text_langid",
+    "x_text_fingerprint",
+    "x_dedup_exact",
+    "x_dedup_simhash",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_embedding_cosine",
+    "x_ann_lsh_buckets",
+    "x_ann_lsh_topk",
+    "x_ann_ivf_topk",
+    "x_ann_lsh_multiprobe_topk",
+    "x_ann_rp_topk",
+    "x_multimodal_features",
+    "x_multimodal_frames",
+    "c1_iso_format",
+    "c4_sliding_lookback",
+    "c14_json_flatten",
+    "o1_sort_limit_topn",
+    "o3_point_lookup",
+    "a2_distinct_collection",
+    "c13_dynamic_pivot_flags",
+    "c5_regex_normalize_values",
+    "pipeline_integrate_full",
+    "j2_left_join_enrich",
+    "j4_zip_custom_fields",
+    "f2_equality_filter",
+    "f4_membership_filter",
+    "c10_coalesce_chain",
+    "p2_missing_column_backfill",
 ]
-# The weighting tier (x_dsir_hashed_importance,
-# x_quality_threshold_by_source, x_mixture_apportion_budget) and
-# x_bpe_fertility_by_lang took the slots of four second-hard-row
-# re-verifications (table_checksum, the two approx sketches, and
-# global_row_number — unchanged since their r3 green rows and still
-# covered by the full-catalog strict gate; the prefix-sum machinery
-# behind global_row_number is exercised in-window by
-# x_budget_select_topquality and x_global_running_revenue), so the
-# window stays at 50 with every NEW query inside it.
-# The late-r4 additions (x_duplicate_span_fraction, x_dedup_survivors,
-# x_split_leakage_safe) — plus x_dedup_clusters and x_split_train_val,
-# whose ORACLES/implementations were restructured onto shared owners
-# (_CC_LABELS_CTES; _split_case_sql/split_assignment — changed queries
-# re-verify first, even for a provably-equivalent refactor) — took the
-# slots of the x_text_quality, f1_range_filter_events,
-# c13_pivot_event_types, j3_anti_dedup and agg_pricing_summary
-# headliner re-verifications: the displaced queries are simple plans
-# unchanged since their r1 green rows (c13 has TWO r1 rows), not on
-# the cache/persist path the rest of the tail re-verifies, and still
-# covered by the full-catalog strict gate.
-# The last seven r4 additions (x_quality_gopher_rules,
-# x_word_pmi_pairs, x_pagerank_dup_graph, x_sample_uniform_k,
-# x_retrieval_mrr — whose _ANN_TOPK_CTES owner restructures the
-# x_ann_cosine_topk oracle, so that query re-verifies in-window per
-# the changed-queries rule — x_bpe_vocab_usage and
-# x_quality_signal_agreement) took the agg_regional_revenue,
-# f5_first_match_per_chat, x_pack_sequences, x_ann_ivf_topk,
-# x_ngram_novelty, x_outlier_mad_by_source and
-# agg_funnel_view_click_purchase headliner re-verification slots: all
-# displaced queries are unchanged since their r1-r3 green rows and
-# stay covered by the full-catalog strict gate. x_retrieval_ndcg took
-# the j1_full_outer_integrate second-row slot on the same grounds
-# (r1-green, a pure-join plan with no persist/cache interaction, and
-# its join machinery is exercised in-window by the curation and dedup
-# headliners); x_ann_pq_topk took the x_cms_heavy_hitters slot
-# (r3-green, a pure one-pass sketch with no scoped_persist anywhere in
-# its plan, so the query_scope change the scale tier re-verifies
-# cannot touch it), and x_ann_pq_recall the x_skew_salted_agg slot on
-# the same no-persist grounds (salted_aggregate is a pure two-stage
-# aggregate, r3-green via the D3 driver row).
-# x_wordpiece_encode_docs took the flagship_unresolved_distinct
-# second-row slot: the flagship is the ONE query the driver verifies
-# every round regardless of the window (the entry() smoke runs it and
-# checks rows + schema), r1-green, trivial 7-node plan, no persist.
-# x_bpe_compression_curve took the x_bloom_prune_join slot: bloom is
-# r3-green and its second-row purpose — re-verifying the changed
-# scoped_persist path — is already served by the many in-window
-# queries that persist (the whole BPE tier, the weighting tier,
-# x_ann_pq_recall, x_global_running_revenue, ...).
-# No rotation backlog after round 4: the r3 backlog (8 deferred +
-# 6 r3 additions) is fully inside this window, so every registered
-# query has a green driver row once CORRECTNESS_r04 lands.
+# Two r1-green queries stay OUT to keep the window at 50:
+# flagship_unresolved_distinct (the driver's entry() smoke verifies it
+# every round regardless of the window — rows + schema) and
+# p1_project_rename (a trivial rename projection with no persist/join
+# machinery, still covered by the full-catalog strict sf0.01 gate).
+# The round-5 scoped_persist change is a pure warning on the warm-skip
+# path (first level wins either way); the persist-heavy tier keeps its
+# r3/r4 rows and the full-catalog strict gate re-proves values.
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
