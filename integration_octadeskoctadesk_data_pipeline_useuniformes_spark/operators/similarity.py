@@ -36,6 +36,20 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def sq_dist(a: Column, b: Column) -> Column:
+    """Squared L2 distance — sequential zip fold in element order, the
+    same doubles as DuckDB's list_sum(list_transform(...)) form. THE
+    owner of the column-vs-column distance fold: k-means assignment
+    (plans/queries_retrieval._assign_in_row) and kcenter_select both
+    build on this one expression, so their bit-for-bit oracle
+    agreement cannot desynchronize."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, d: acc + d,
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -583,6 +597,8 @@ def kcenter_select(
     class. The loop stops early if the corpus has fewer than ``k``
     vectors.
     """
+    if k < 1:
+        return []
     spark = emb.sparkSession
     seed_rows = emb.orderBy(F.col(id_col).asc()).limit(1).collect()
     if not seed_rows:
@@ -598,13 +614,7 @@ def kcenter_select(
             F.array_min(
                 F.transform(
                     F.col("cents"),
-                    lambda cv: F.aggregate(
-                        F.zip_with(
-                            F.col(vec_col), cv, lambda x, y: (x - y) * (x - y)
-                        ),
-                        F.lit(0.0),
-                        lambda acc, d: acc + d,
-                    ),
+                    lambda cv: sq_dist(F.col(vec_col), cv),
                 )
             ),
             round_digits,

@@ -1038,7 +1038,7 @@ def x_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH fs AS (
   SELECT DISTINCT source,
          md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
-  FROM documents
+  FROM documents WHERE text IS NOT NULL
 ), sz AS (
   SELECT source, CAST(count(*) AS BIGINT) AS n FROM fs GROUP BY source
 ), inter AS (
@@ -1057,7 +1057,15 @@ LEFT JOIN inter i ON i.s1 = a.source AND i.s2 = b.source
 """,
 )
 def x_source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL-text docs carry no content fingerprint and are excluded
+    # UP FRONT on both engine sides — without the filter Spark's
+    # count_distinct skips the NULL fp while the pair branch's groupBy
+    # keeps it (and the oracle does the exact opposite), which can even
+    # drive the Jaccard denominator negative (self-review r5; pinned by
+    # test_source_overlap_jaccard_ignores_null_text).
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
     fp = T.fingerprint(F.col("text"))
     # size branch: one pruned scan, count-distinct per source. The
     # ≤|sources|-row result feeds BOTH sides of the all-pairs frame, so

@@ -412,12 +412,10 @@ def _kmeans_oracle() -> str:
     )
 
 
-def _sq_dist(v, cv) -> F.Column:
-    return F.aggregate(
-        F.zip_with(v, cv, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, d: acc + d,
-    )
+# the column-vs-column squared-L2 fold has ONE owner in
+# operators/similarity (shared with kcenter_select — self-review r5
+# hoist; byte-identical lambda, so k-means values are unchanged)
+from ..operators.similarity import sq_dist as _sq_dist  # noqa: E402
 
 
 def _assign_in_row(ev: DataFrame, cents_df: DataFrame) -> DataFrame:

@@ -867,7 +867,7 @@ def x_lm_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape: the LM chain runs ONCE; its doc-grain output joins
 # documents' (doc_id, source) co-keyed, then immediately reduces to the
-# (source, pred_ppm_mean) HISTOGRAM grain — scoped_persist'd (bounded:
+# (source, pred_ppm_mean, is_short) HISTOGRAM grain — scoped_persist'd (bounded:
 # |sources| × ≤1e6 distinct ppm means, never corpus-grain) — which
 # feeds BOTH the weighted exact-quantile thresholds (the count_col
 # path of operators/buckets.exact_quantile_disc) and the bucket
@@ -909,12 +909,20 @@ def x_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     scores = x_lm_bigram_predictability(spark, sf_dir)
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    # histogram grain: pred_ppm_mean is NULL exactly when n_bigrams = 0
-    # (the oracle's 'short' test), so the bucket CASE is well-defined
-    # per (source, mean) cell
+    # histogram grain keyed by (source, mean, is_short): the short flag
+    # must ride the grain explicitly — NULL mean is NOT equivalent to
+    # n_bigrams = 0 (a wordless LM train split makes v = 0 and every
+    # scored doc's mean NULL while n_bigrams > 0; the oracle buckets
+    # those 'middle' via NULL threshold comparisons, never 'short').
+    # Self-review r5 finding; pinned by
+    # test_ccnet_buckets_empty_train_vocab_edge.
     g = scoped_persist(
         src.join(scores, "doc_id")
-        .groupBy("source", "pred_ppm_mean")
+        .groupBy(
+            "source",
+            "pred_ppm_mean",
+            (F.col("n_bigrams") == 0).alias("is_short"),
+        )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_bigrams").cast("bigint").alias("n_bigrams_total"),
@@ -928,7 +936,7 @@ def x_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_col="n_docs",
     )
     bucket = (
-        F.when(F.col("pred_ppm_mean").isNull(), F.lit("short"))
+        F.when(F.col("is_short"), F.lit("short"))
         .when(F.col("pred_ppm_mean") >= F.col("p75"), F.lit("head"))
         .when(F.col("pred_ppm_mean") < F.col("p25"), F.lit("tail"))
         .otherwise(F.lit("middle"))
@@ -1050,7 +1058,8 @@ def x_quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reads to pick bucket granularity vs pad-to-max.
 #
 # The bucket cap is INTEGER-EXACT in both engines: cap(n) = 1 for
-# n <= 1 else 1 << length(bin(n-1)) — the smallest power of two >= n,
+# n <= 1 else 1L << length(bin(n-1)) — the smallest power of two
+# >= n (BIGINT shift, exact for n_chars up to 2^62),
 # computed from the binary-string length (bin() agrees between Spark
 # and DuckDB), never float log2 (the repo-wide rule against
 # transcendentals in hashed output). Scale shape: one pruned scan, the
@@ -1065,8 +1074,8 @@ def x_quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     "x_length_bucket_padding",
     """
 WITH b AS (
-  SELECT CASE WHEN n_chars <= 1 THEN 1
-              ELSE 1 << length(bin(n_chars - 1)) END AS bucket_cap,
+  SELECT CASE WHEN n_chars <= 1 THEN CAST(1 AS BIGINT)
+              ELSE CAST(1 AS BIGINT) << length(bin(n_chars - 1)) END AS bucket_cap,
          n_chars
   FROM documents
 )
@@ -1082,9 +1091,13 @@ FROM b GROUP BY bucket_cap
 def x_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("n_chars")
     cap = F.when(F.col("n_chars") <= 1, F.lit(1)).otherwise(
-        # F.shiftleft takes a python int for numBits; the column-typed
-        # shift lives in SQL
-        F.expr("shiftleft(1, length(bin(n_chars - 1)))")
+        # column-typed shift lives in SQL (F.shiftleft takes a python
+        # int for numBits); the shifted 1 is a BIGINT on both engine
+        # sides — a 32-bit base silently wraps negative in Spark at
+        # n_chars > 2^30 while DuckDB throws (self-review r5; pinned by
+        # test_length_bucket_padding_survives_huge_docs). Valid up to
+        # n_chars <= 2^62.
+        F.expr("shiftleft(cast(1 as bigint), length(bin(n_chars - 1)))")
     )
     return (
         d.select(cap.cast("bigint").alias("bucket_cap"), "n_chars")

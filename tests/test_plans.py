@@ -1106,6 +1106,7 @@ def test_kcenter_iteration_is_takeordered_over_cached_corpus(spark):
                 ).alias("v"),
             )
         )
+        assert S.kcenter_select(emb, k=0) == []  # k<1 contract
         frames = []
         S.kcenter_select(emb, k=3, debug_frames=frames)
         assert len(frames) == 2

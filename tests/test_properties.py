@@ -2244,3 +2244,143 @@ def test_length_bucket_padding_matches_python_model(
         ).collect()
     }
     assert got == want, (sizes, got, want)
+
+
+def test_ccnet_buckets_empty_train_vocab_edge(spark, tmp_path_factory):
+    """Self-review r5 regression: with a wordless LM train half (every
+    doc hash-splits OUT of the 80% lmtrain partition), v = 0 makes
+    every scored doc's pred_ppm_mean NULL even though n_bigrams > 0 —
+    those docs must bucket 'middle' (NULL threshold comparisons), NOT
+    'short'. A Spark-side mean-IS-NULL short test silently diverged
+    from the oracle's n_bigrams = 0 here; both engines must agree."""
+    import duckdb
+
+    # ids whose md5('lmtrain:'||id) prefix is >= '80' (train half empty)
+    ids = [3, 4, 9, 11, 12]
+    rows = [(i, "alpha beta gamma", "s1") for i in ids]
+    rows.append((13, "solo", "s1"))  # 1 word -> n_bigrams = 0 -> short
+    tmp = tmp_path_factory.mktemp("ccnet_edge")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    got = {
+        (r["source"], r["bucket"]): (r["n_docs"], r["n_bigrams_total"])
+        for r in catalog.queries()["x_ccnet_perplexity_buckets"](
+            spark, str(tmp)
+        ).collect()
+    }
+    want = {("s1", "middle"): (5, 10), ("s1", "short"): (1, 0)}
+    assert got == want, got
+    # and the oracle agrees on the same corpus
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp}/documents.parquet/*.parquet')"
+    )
+    oracle = dict()
+    for s, b, nd, nb in con.execute(
+        catalog.oracle_sql()["x_ccnet_perplexity_buckets"]
+    ).fetchall():
+        oracle[(s, b)] = (nd, nb)
+    assert oracle == want, oracle
+
+
+def test_source_overlap_jaccard_ignores_null_text(spark, tmp_path_factory):
+    """Self-review r5 regression: NULL-text docs carry no content
+    fingerprint and must be excluded on BOTH engine sides — before the
+    fix Spark's count_distinct skipped the NULL fp while its pair
+    branch counted the NULL-fp group as an intersection (denominator
+    could even go negative), and the oracle did the opposite."""
+    import duckdb
+
+    rows = [
+        (0, None, "s1"),
+        (1, None, "s2"),  # two all-NULL... plus real content below
+        (2, "shared text", "s1"),
+        (3, "shared text", "s2"),
+        (4, None, "s3"),  # s3 has ONLY null text -> empty fp set
+    ]
+    tmp = tmp_path_factory.mktemp("srcovl_null")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    got = {
+        (r["source_a"], r["source_b"]): (
+            r["n_a"],
+            r["n_b"],
+            r["n_inter"],
+            r["jaccard_ppm"],
+        )
+        for r in catalog.queries()["x_source_overlap_jaccard"](
+            spark, str(tmp)
+        ).collect()
+    }
+    # s3 contributes no fingerprints, so no s3 pair can exist (its
+    # size row is absent after the NULL filter); s1/s2 share their one
+    # fingerprint exactly
+    want = {("s1", "s2"): (1, 1, 1, 1_000_000)}
+    assert got == want, got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        (a, b): (na, nb, ni, j)
+        for a, b, na, nb, ni, j in con.execute(
+            catalog.oracle_sql()["x_source_overlap_jaccard"]
+        ).fetchall()
+    }
+    assert oracle == want, oracle
+
+
+def test_length_bucket_padding_survives_huge_docs(spark, tmp_path_factory):
+    """Self-review r5 regression: the bucket cap must shift a BIGINT —
+    a 32-bit shiftleft wraps negative for n_chars > 2^30 in Spark
+    (DuckDB throws instead). Pin caps across the 2^30..2^40 range."""
+    import duckdb
+
+    sizes = [(1 << 30) + 1, (1 << 31) + 5, (1 << 40) - 3]
+    tmp = tmp_path_factory.mktemp("lbp_huge")
+    spark.createDataFrame(
+        [(i, n) for i, n in enumerate(sizes)], "doc_id long, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    got = {
+        r["bucket_cap"]: (r["n_docs"], r["padded_chars"])
+        for r in catalog.queries()["x_length_bucket_padding"](
+            spark, str(tmp)
+        ).collect()
+    }
+    want = {
+        1 << 31: (1, (1 << 31) - ((1 << 30) + 1)),
+        1 << 32: (1, (1 << 32) - ((1 << 31) + 5)),
+        1 << 40: (1, 3),
+    }
+    assert got == want, got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        c: (nd, pc)
+        for c, nd, _, pc, _ in con.execute(
+            catalog.oracle_sql()["x_length_bucket_padding"]
+        ).fetchall()
+    }
+    assert oracle == want, oracle
