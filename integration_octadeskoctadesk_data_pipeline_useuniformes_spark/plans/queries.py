@@ -74,16 +74,17 @@ def register(name: str, oracle: str | None):
 #: registered query has at least one green row.
 #:
 #: Round-5 window: changed/new queries lead (ADVICE r2 standing rule) —
-#: six NEW queries (matryoshka top-k + recall, source-overlap Jaccard,
-#: CCNet perplexity buckets, k-center diverse sample, length-bucket
-#: padding), plus x_dedup_simhash_hamming_pairs (per-width broadcast
-#: caps, r4 ADVICE) and the two exact_quantile_disc consumers
-#: (x_exact_quantiles_chars, x_quality_threshold_by_source — the
-#: operator gained the count_col weighted-histogram path; default path
-#: behavior-identical, re-verified strictly at all three SFs anyway).
-#: The remaining 41 slots give SECOND hard rows to the round-1-green
-#: queries — the oldest single-row cohort in the catalog (43 queries
-#: whose only driver row is from r1, four rounds of code churn ago).
+#: seven NEW queries (matryoshka top-k + recall, source-overlap
+#: Jaccard, CCNet perplexity buckets, k-center diverse sample,
+#: length-bucket padding, embedding top component), plus
+#: x_dedup_simhash_hamming_pairs (per-width broadcast caps, r4 ADVICE)
+#: and the two exact_quantile_disc consumers (x_exact_quantiles_chars,
+#: x_quality_threshold_by_source — the operator gained the count_col
+#: weighted-histogram path; default path behavior-identical,
+#: re-verified strictly at all three SFs anyway). The remaining 40
+#: slots give SECOND hard rows to the round-1-green queries — the
+#: oldest single-row cohort in the catalog (43 queries whose only
+#: driver row is from r1, four rounds of code churn ago).
 DRIVER_WINDOW: list[str] = [
     # changed or new this round (re-verify first)
     "x_ann_matryoshka_topk",
@@ -95,6 +96,7 @@ DRIVER_WINDOW: list[str] = [
     "x_dedup_simhash_hamming_pairs",
     "x_exact_quantiles_chars",
     "x_quality_threshold_by_source",
+    "x_embedding_top_component",
     # second hard rows for the r1-green-once cohort (oldest rows in
     # the catalog; includes the bench headliners j1/f1/f5/c13/j3)
     "c11_custom_fields_extract",
@@ -137,13 +139,14 @@ DRIVER_WINDOW: list[str] = [
     "f2_equality_filter",
     "f4_membership_filter",
     "c10_coalesce_chain",
-    "p2_missing_column_backfill",
 ]
-# Two r1-green queries stay OUT to keep the window at 50:
+# Three r1-green queries stay OUT to keep the window at 50:
 # flagship_unresolved_distinct (the driver's entry() smoke verifies it
-# every round regardless of the window — rows + schema) and
-# p1_project_rename (a trivial rename projection with no persist/join
-# machinery, still covered by the full-catalog strict sf0.01 gate).
+# every round regardless of the window — rows + schema),
+# p1_project_rename and p2_missing_column_backfill (trivial
+# projections with no persist/join machinery, still covered by the
+# full-catalog strict sf0.01 gate; p2's slot went to the late-r5
+# x_embedding_top_component).
 # The round-5 scoped_persist change is a pure warning on the warm-skip
 # path (first level wins either way); the persist-heavy tier keeps its
 # r3/r4 rows and the full-catalog strict gate re-proves values.

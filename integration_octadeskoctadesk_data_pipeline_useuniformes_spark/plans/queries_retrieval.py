@@ -706,3 +706,174 @@ def x_kcenter_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(r, i, d) for (r, i, d, _) in sel],
         "rank bigint, vec_id bigint, min_dist_sq double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Top principal direction of the embedding matrix via power iteration —
+# the spectral diagnostic behind "all-but-the-top" (ABTT) anisotropy
+# correction: embedding sets concentrate variance in one dominant
+# common direction, and anisotropy_ppm (top eigenvalue over the trace
+# of the second-moment matrix) is the number practitioners read before
+# deciding to project it out. Three unrolled iterations of
+# w ← Σ_rows (x·v)·x, with the per-dim matvec result snapped to e4
+# fixed point (floor(x·1e4 + 0.5) — the x_embedding_centroid contract:
+# identical IEEE ops in both engines, and the 1e-4 grid absorbs
+# summation-order differences) and the normalization computed from the
+# EXACT integer e4s (w_e4 / sqrt(Σ w_e4²) — BIGINT→DOUBLE casts and
+# sqrt/division are correctly-rounded, so both engines and the python
+# driver produce bit-identical unit vectors). floor(x+0.5) everywhere,
+# never round(): HALF_UP vs half-even can never diverge.
+#
+# Scale shape: the (vec_id, v) projection is scoped_persisted once and
+# feeds the trace pass + each iteration's matvec (posexplode →
+# map-side-combined (pos) sum — the shuffle carries 64 rows per
+# partition); per-iteration driver traffic is 64 integers (the
+# k-means-centroid metadata class); the result materializes as a
+# 64-row local relation. BIGINT headroom: Σ w_e4² needs per-dim
+# |w| ≲ 3.8e4 (e4 scale ≲ 3.8e8) — holds for corpora to ~10M rows of
+# unit-scale embeddings; production swaps DECIMAL(38,0) into the same
+# plan. A corpus orthogonal to the e1 seed yields NULL components
+# (dead iteration), mirrored exactly by NULL propagation in the
+# oracle's unrolled CTEs; an EMPTY corpus yields zero rows.
+# ---------------------------------------------------------------------------
+
+_PI_ITERS = 3
+
+
+def _pi_matvec(ev: DataFrame, v: list) -> DataFrame:
+    """One power-iteration matvec: per dim, floor(1e4·Σ_rows (x·v)·x_i
+    + 0.5) as BIGINT. The single owner the query loop and the plan test
+    both drive; ``v`` travels as plan literals (64 doubles)."""
+    from ..operators.similarity import dot as _dot
+
+    vlit = F.array(*[F.lit(x) for x in v])
+    return (
+        ev.select(
+            _dot(F.col("v"), vlit).alias("s"),
+            F.posexplode("v").alias("pos0", "val"),
+        )
+        .select(
+            (F.col("pos0") + 1).alias("pos"),
+            (F.col("s") * F.col("val")).alias("sv"),
+        )
+        .groupBy("pos")
+        .agg(
+            F.floor(F.sum("sv") * 10000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("w_e4")
+        )
+    )
+
+
+def _pi_oracle(iters: int = _PI_ITERS) -> str:
+    seed = ", ".join("CAST(1.0 AS DOUBLE)" if i == 0 else "CAST(0.0 AS DOUBLE)"
+                     for i in range(_DIM))
+    dotv = (
+        "list_sum(list_transform(generate_series(1, {dim}),"
+        " i -> e.v[i] * p{prev}.vv[i]))"
+    )
+    ctes = [
+        "ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS v FROM embeddings)",
+        "tr AS (SELECT CAST(floor(sum(list_sum(list_transform(v, x -> x * x)))"
+        " * 10000 + 0.5) AS BIGINT) AS t_e4 FROM ev)",
+        f"p0 AS (SELECT [{seed}] AS vv)",
+    ]
+    for t in range(1, iters + 1):
+        d = dotv.format(dim=_DIM, prev=t - 1)
+        ctes.append(
+            f"w{t} AS (SELECT pos,"
+            f" CAST(floor(sum(s * val) * 10000 + 0.5) AS BIGINT) AS w_e4"
+            f" FROM (SELECT {d} AS s, unnest(e.v) AS val,"
+            f" generate_subscripts(e.v, 1) AS pos FROM ev e, p{t - 1})"
+            f" GROUP BY pos)"
+        )
+        ctes.append(
+            f"n{t} AS (SELECT CAST(sum(w_e4 * w_e4) AS BIGINT) AS ss FROM w{t})"
+        )
+        if t < iters:
+            ctes.append(
+                f"p{t} AS (SELECT list(CASE WHEN n{t}.ss = 0 THEN NULL"
+                f" ELSE CAST(w_e4 AS DOUBLE) / sqrt(CAST(n{t}.ss AS DOUBLE)) END"
+                f" ORDER BY pos) AS vv FROM w{t}, n{t})"
+            )
+    k = iters
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(w.pos AS BIGINT) AS dim,
+       CASE WHEN n{k}.ss = 0 THEN NULL
+            ELSE CAST(floor(CAST(w.w_e4 AS DOUBLE)
+                            / sqrt(CAST(n{k}.ss AS DOUBLE)) * 1000000 + 0.5)
+                 AS BIGINT) END AS comp_e6,
+       CASE WHEN n{k}.ss = 0 THEN NULL
+            ELSE CAST(floor(sqrt(CAST(n{k}.ss AS DOUBLE)) + 0.5) AS BIGINT)
+       END AS lambda_e4,
+       tr.t_e4 AS trace_e4,
+       CASE WHEN n{k}.ss = 0 OR tr.t_e4 <= 0 THEN NULL
+            ELSE CAST(floor(1000000.0 * sqrt(CAST(n{k}.ss AS DOUBLE))
+                            / CAST(tr.t_e4 AS DOUBLE) + 0.5) AS BIGINT)
+       END AS anisotropy_ppm
+FROM w{k} w, n{k}, tr
+"""
+    )
+
+
+@register("x_embedding_top_component", _pi_oracle())
+def x_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from ..operators.similarity import dot as _dot
+
+    ev = scoped_persist(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+    )
+    t_rows = ev.agg(
+        F.floor(F.sum(_dot(F.col("v"), F.col("v"))) * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("t_e4")
+    ).collect()
+    t_e4 = t_rows[0]["t_e4"]
+
+    schema = (
+        "dim bigint, comp_e6 bigint, lambda_e4 bigint,"
+        " trace_e4 bigint, anisotropy_ppm bigint"
+    )
+    if t_e4 is None:  # empty corpus: the oracle's final FROM is empty
+        return spark.createDataFrame([], schema)
+
+    v = [1.0] + [0.0] * (_DIM - 1)
+    wl, ss = None, None
+    for _ in range(_PI_ITERS):
+        rows = _pi_matvec(ev, v).collect()
+        by_pos = {r["pos"]: r["w_e4"] for r in rows}
+        wl = [by_pos.get(i + 1, 0) for i in range(_DIM)]
+        ss = sum(x * x for x in wl)
+        if ss == 0:  # dead direction: NULLs, like the oracle's CASE
+            break
+        nrm = math.sqrt(float(ss))
+        v = [x / nrm for x in wl]
+
+    if ss == 0:
+        out = [(i + 1, None, None, t_e4, None) for i in range(_DIM)]
+    else:
+        nrm = math.sqrt(float(ss))
+        lam = int(math.floor(nrm + 0.5))
+        aniso = (
+            int(math.floor(1_000_000.0 * nrm / float(t_e4) + 0.5))
+            if t_e4 > 0
+            else None
+        )
+        out = [
+            (
+                i + 1,
+                int(math.floor(wl[i] / nrm * 1_000_000 + 0.5)),
+                lam,
+                t_e4,
+                aniso,
+            )
+            for i in range(_DIM)
+        ]
+    return spark.createDataFrame(out, schema)

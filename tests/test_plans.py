@@ -1136,3 +1136,40 @@ def test_length_bucket_padding_single_scan_one_exchange(spark):
     assert tree.count("HashAggregate") == 2, tree  # partial + final
     assert "Join" not in tree, tree
     assert "BatchEvalPython" not in tree, tree
+
+
+def test_power_iteration_matvec_is_one_pass_over_cache(spark):
+    # each power-iteration matvec must be ONE pass over the cached
+    # corpus projection: posexplode (Generate) -> partial aggregate ->
+    # one (pos)-keyed exchange -> final aggregate. 64 rows per mapper
+    # cross the wire; no joins, no Python, no second scan.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries_retrieval as qr,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.tables import (
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    try:
+        ev = query_scope.scoped_persist(
+            load_table(spark, SF, "embeddings").select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            )
+        )
+        it = qr._pi_matvec(ev, [1.0] + [0.0] * 63)
+        tree = spark._jvm.PythonSQLUtils.explainString(
+            it._jdf.queryExecution(), "formatted"
+        ).split("\n\n", 1)[0]
+        assert "InMemoryTableScan" in tree, tree
+        assert "Generate" in tree, tree
+        assert tree.count("HashAggregate") == 2, tree  # partial + final
+        assert tree.count("Exchange") == 1, tree
+        assert "Join" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+    finally:
+        query_scope.release()

@@ -2384,3 +2384,91 @@ def test_length_bucket_padding_survives_huge_docs(spark, tmp_path_factory):
         ).fetchall()
     }
     assert oracle == want, oracle
+
+
+def test_embedding_top_component_matches_python_model(spark, tmp_path_factory):
+    """Full-chain power-iteration semantics against a direct python
+    model on exact binary-fraction vectors (k/16 components → all dots,
+    scaled sums and e4 snaps are exact dyadics, so the model reproduces
+    the engines bit-for-bit; floor(x+0.5) is mode-divergence-free even
+    at exact midpoints). Covers the normal path, the seed-orthogonal
+    dead corpus (NULL components), and the empty corpus (zero rows)."""
+    import math
+
+    DIM = 64
+
+    def run(rows, tag, tmp_path_factory=tmp_path_factory):
+        tmp = tmp_path_factory.mktemp(f"pi_{tag}")
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).write.mode("overwrite").parquet(str(tmp / "embeddings.parquet"))
+        from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+            queries as catalog,
+        )
+
+        return sorted(
+            (
+                r["dim"],
+                r["comp_e6"],
+                r["lambda_e4"],
+                r["trace_e4"],
+                r["anisotropy_ppm"],
+            )
+            for r in catalog.queries()["x_embedding_top_component"](
+                spark, str(tmp)
+            ).collect()
+        )
+
+    def model(vecs):
+        if not vecs:
+            return []
+        t_e4 = int(math.floor(sum(x * x for v in vecs for x in v) * 1e4 + 0.5))
+        v = [1.0] + [0.0] * (DIM - 1)
+        wl = ss = None
+        for _ in range(3):
+            w = [0.0] * DIM
+            for x in vecs:
+                s = 0.0
+                for i in range(DIM):
+                    s += x[i] * v[i]
+                for i in range(DIM):
+                    w[i] += s * x[i]
+            wl = [int(math.floor(wi * 1e4 + 0.5)) for wi in w]
+            ss = sum(x * x for x in wl)
+            if ss == 0:
+                break
+            nrm = math.sqrt(float(ss))
+            v = [x / nrm for x in wl]
+        if ss == 0:
+            return [(i + 1, None, None, t_e4, None) for i in range(DIM)]
+        nrm = math.sqrt(float(ss))
+        lam = int(math.floor(nrm + 0.5))
+        an = int(math.floor(1e6 * nrm / float(t_e4) + 0.5))
+        return [
+            (i + 1, int(math.floor(wl[i] / nrm * 1e6 + 0.5)), lam, t_e4, an)
+            for i in range(DIM)
+        ]
+
+    # normal corpus: binary-fraction mixes with a dominant direction
+    def vec(i):
+        v = [0.0] * DIM
+        v[0] = ((i % 5) + 4) / 16
+        v[1] = (i % 3) / 16
+        v[16] = ((i * 7) % 11) / 16
+        return v
+
+    vecs = [vec(i) for i in range(9)]
+    got = run(list(enumerate(vecs)), "norm")
+    assert got == model(vecs), (got[:3], model(vecs)[:3])
+    assert got[0][4] is not None and 0 < got[0][4] <= 1_000_000
+
+    # seed-orthogonal corpus: dim 1 is zero everywhere -> dead at iter 1
+    dead = [[0.0] * DIM for _ in range(4)]
+    for j, d in enumerate(dead):
+        d[5 + j] = 0.5
+    got_dead = run(list(enumerate(dead)), "dead")
+    assert got_dead == model(dead)
+    assert all(r[1] is None and r[4] is None for r in got_dead)
+
+    # empty corpus -> zero rows (matches the oracle's empty final FROM)
+    assert run([], "empty") == []

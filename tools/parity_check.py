@@ -82,6 +82,8 @@ SENSITIVE = [
     "x_ccnet_perplexity_buckets",
     # greedy argmax boundaries (round-6 distance ties) move with corpus
     "x_kcenter_diverse_sample",
+    # e4 matvec snap boundaries move with corpus size (float-sum grid)
+    "x_embedding_top_component",
 ]
 
 
