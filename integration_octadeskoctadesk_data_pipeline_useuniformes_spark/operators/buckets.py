@@ -98,10 +98,15 @@ def exact_quantile_disc(
     keys = list(group_by)
     groups = df.select(*keys).distinct() if keys else None
     df = df.filter(F.col(col).isNotNull())
-    weight = (
-        F.coalesce(F.col(count_col), F.lit(0)) if count_col else F.lit(1)
+    # default path keeps the original count(1) aggregate (plan tests pin
+    # its partial_count map-side combine); the weighted path sums the
+    # caller's multiplicities instead
+    cnt = (
+        F.sum(F.coalesce(F.col(count_col), F.lit(0)))
+        if count_col
+        else F.count(F.lit(1))
     )
-    hist = df.groupBy(*keys, col).agg(F.sum(weight).alias("__cnt"))
+    hist = df.groupBy(*keys, col).agg(cnt.alias("__cnt"))
     w_cum = (
         Window.partitionBy(*keys)
         .orderBy(col)
