@@ -773,8 +773,16 @@ def _pi_oracle(iters: int = _PI_ITERS) -> str:
         " i -> e.v[i] * p{prev}.vv[i]))"
     )
     ctes = [
+        # NULL-bearing vectors are excluded up front on BOTH engine
+        # sides: the two engines' NULL-arithmetic rules differ in
+        # several places along the chain (SQL SUM skips NULL inputs
+        # where Spark's aggregate fold poisons the whole dot), and the
+        # python driver would crash on a NULL per-dim sum — a dense
+        # non-NULL contract, made explicit (self-review r5 #2; pinned
+        # by test_embedding_top_component_skips_null_vectors)
         "ev AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
-        " AS v FROM embeddings)",
+        " AS v FROM embeddings WHERE embedding IS NOT NULL"
+        " AND len(list_filter(embedding, x -> x IS NULL)) = 0)",
         "tr AS (SELECT CAST(floor(sum(list_sum(list_transform(v, x -> x * x)))"
         " * 10000 + 0.5) AS BIGINT) AS t_e4 FROM ev)",
         f"p0 AS (SELECT [{seed}] AS vv)",
@@ -825,7 +833,12 @@ def x_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import dot as _dot
 
     ev = scoped_persist(
-        load_table(spark, sf_dir, "embeddings").select(
+        load_table(spark, sf_dir, "embeddings")
+        .filter(
+            F.col("embedding").isNotNull()
+            & ~F.exists("embedding", lambda x: x.isNull())
+        )
+        .select(
             "vec_id",
             F.transform("embedding", lambda x: x.cast("double")).alias("v"),
         )

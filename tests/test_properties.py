@@ -2388,11 +2388,16 @@ def test_length_bucket_padding_survives_huge_docs(spark, tmp_path_factory):
 
 def test_embedding_top_component_matches_python_model(spark, tmp_path_factory):
     """Full-chain power-iteration semantics against a direct python
-    model on exact binary-fraction vectors (k/16 components → all dots,
-    scaled sums and e4 snaps are exact dyadics, so the model reproduces
-    the engines bit-for-bit; floor(x+0.5) is mode-divergence-free even
-    at exact midpoints). Covers the normal path, the seed-orthogonal
-    dead corpus (NULL components), and the empty corpus (zero rows)."""
+    model. Binary-fraction components (k/16) make ITERATION 1 exact
+    dyadic end to end; iterations 2-3 accumulate rounded doubles whose
+    cross-row sum order CAN differ between the model and the engines —
+    exactly the divergence the e4 snap grid absorbs — so the model
+    additionally asserts every per-dim sum sits FAR from a snap
+    boundary (margin >> reorder error), turning "happens to agree"
+    into a checked precondition. floor(x+0.5) is mode-divergence-free
+    even at exact midpoints. Covers the normal path, the
+    seed-orthogonal dead corpus (NULL components), and the empty
+    corpus (zero rows)."""
     import math
 
     DIM = 64
@@ -2433,6 +2438,9 @@ def test_embedding_top_component_matches_python_model(spark, tmp_path_factory):
                     s += x[i] * v[i]
                 for i in range(DIM):
                     w[i] += s * x[i]
+            for wi in w:  # snap-boundary margin (see docstring)
+                frac = (wi * 1e4 + 0.5) % 1.0
+                assert min(frac, 1.0 - frac) > 1e-6, wi
             wl = [int(math.floor(wi * 1e4 + 0.5)) for wi in w]
             ss = sum(x * x for x in wl)
             if ss == 0:
@@ -2472,3 +2480,54 @@ def test_embedding_top_component_matches_python_model(spark, tmp_path_factory):
 
     # empty corpus -> zero rows (matches the oracle's empty final FROM)
     assert run([], "empty") == []
+
+
+def test_embedding_top_component_skips_null_vectors(spark, tmp_path_factory):
+    """Self-review r5 #2: NULL-bearing vectors must be excluded up
+    front on BOTH engine sides — the engines' NULL-arithmetic rules
+    diverge along the chain (SQL SUM skips NULL inputs; Spark's
+    aggregate fold poisons the dot) and the python driver would crash
+    squaring a NULL per-dim sum. A corpus with NULL rows/elements must
+    give exactly the dense-subset answer in both engines."""
+    import duckdb
+
+    def vec(i):
+        v = [0.0] * 64
+        v[0] = ((i % 5) + 4) / 16
+        v[16] = ((i * 7) % 11) / 16
+        return v
+
+    rows = [(i, vec(i)) for i in range(6)]
+    rows.append((100, None))  # NULL array
+    bad = vec(7)
+    bad[3] = None  # NULL element
+    rows.append((101, bad))
+    tmp = tmp_path_factory.mktemp("pi_null")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(tmp / "embeddings.parquet"))
+    dense = tmp_path_factory.mktemp("pi_dense")
+    spark.createDataFrame(
+        rows[:6], "vec_id long, embedding array<float>"
+    ).write.mode("overwrite").parquet(str(dense / "embeddings.parquet"))
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    fn = catalog.queries()["x_embedding_top_component"]
+    got = sorted(tuple(r) for r in fn(spark, str(tmp)).collect())
+    want = sorted(tuple(r) for r in fn(spark, str(dense)).collect())
+    assert got == want and len(got) == 64
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{tmp}/embeddings.parquet/*.parquet')"
+    )
+    oracle = sorted(
+        tuple(r)
+        for r in con.execute(
+            catalog.oracle_sql()["x_embedding_top_component"]
+        ).fetchall()
+    )
+    assert oracle == want, oracle[:3]
