@@ -686,3 +686,129 @@ def x_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return row.selectExpr(
         f"stack({_BPE_STEPS + 1}, {stack_args}) AS (n_merges, n_tokens)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth curve (Heaps' law) — distinct-word count as a
+# function of corpus size, the curve tokenizer teams extrapolate to
+# decide whether more data justifies a bigger vocabulary. Corpus
+# prefixes are DETERMINISTIC NESTED subsets via the md5-prefix idiom
+# ('growth:' salt, 2-hex stages at 64/128/192/256 of the hash space ≈
+# 25/50/75/100%) — nested by construction, so the curve is a real
+# growth curve, not four unrelated samples.
+#
+# Scale shape — the reason this query exists in this form: the naive
+# count(DISTINCT word) FILTER (WHERE stage <= t) per stage EXPANDS the
+# token stream once per stage (4x the shuffle). Instead the corpus
+# reduces ONCE to the word grain carrying min(stage) ("the first
+# prefix in which this word appears" — min is partial-aggregable, so
+# the token exchange is map-side combined), the per-stage NEW-word
+# counts aggregate that vocab grain, and the cumulative sums run on
+# the 4-row stage spine (post-reduction single-partition window, the
+# documented offsets precedent). Doc/token totals ride a second
+# map-side-combined pass on the doc grain. The 4-row stage spine is a
+# literal frame so stages stay present (zeros) even when empty.
+# ---------------------------------------------------------------------------
+
+_GROWTH_STAGES = [("40", 1), ("80", 2), ("c0", 3)]  # else stage 4
+
+
+def _growth_stage_sql(col: str) -> str:
+    pfx = f"substr(md5('growth:' || CAST({col} AS VARCHAR)), 1, 2)"
+    whens = " ".join(
+        f"WHEN {pfx} < '{t}' THEN {s}" for t, s in _GROWTH_STAGES
+    )
+    return f"CASE {whens} ELSE 4 END"
+
+
+def _growth_stage_col(col: str) -> F.Column:
+    pfx = F.substring(
+        F.md5(F.concat(F.lit("growth:"), F.col(col).cast("string"))), 1, 2
+    )
+    out = F.lit(4)
+    for t, s in reversed(_GROWTH_STAGES):
+        out = F.when(pfx < t, F.lit(s)).otherwise(out)
+    return out
+
+
+@register(
+    "x_vocab_growth_curve",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_growth_stage_sql("doc_id")} AS stage,
+         list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                     w -> w <> '') AS ws
+  FROM documents
+),
+spine AS (SELECT unnest([1, 2, 3, 4]) AS stage),
+docs_g AS (
+  SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(ws)) AS BIGINT) AS n_tokens
+  FROM d GROUP BY stage
+),
+words_g AS (
+  SELECT first_stage AS stage, CAST(count(*) AS BIGINT) AS n_new_words
+  FROM (
+    SELECT word, min(stage) AS first_stage
+    FROM (SELECT stage, unnest(ws) AS word FROM d)
+    GROUP BY word
+  ) GROUP BY first_stage
+)
+SELECT CAST(s.stage AS BIGINT) AS stage,
+       CAST(sum(coalesce(dg.n_docs, 0)) OVER w AS BIGINT) AS n_docs_cum,
+       CAST(sum(coalesce(dg.n_tokens, 0)) OVER w AS BIGINT) AS n_tokens_cum,
+       CAST(coalesce(wg.n_new_words, 0) AS BIGINT) AS n_new_words,
+       CAST(sum(coalesce(wg.n_new_words, 0)) OVER w AS BIGINT)
+         AS n_distinct_words_cum
+FROM spine s
+LEFT JOIN docs_g dg ON dg.stage = s.stage
+LEFT JOIN words_g wg ON wg.stage = s.stage
+WINDOW w AS (ORDER BY s.stage ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+""",
+)
+def x_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"), lambda w: w != F.lit("")
+    )
+    d = docs.select(
+        _growth_stage_col("doc_id").alias("stage"), ws.alias("ws")
+    )
+    docs_g = d.groupBy("stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("ws")).cast("bigint").alias("n_tokens"),
+    )
+    words_g = (
+        d.select("stage", F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.min("stage").alias("first_stage"))
+        .groupBy(F.col("first_stage").alias("stage"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_words"))
+    )
+    spine = spark.createDataFrame([(s,) for s in (1, 2, 3, 4)], "stage int")
+    w = Window.orderBy("stage").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(F.broadcast(docs_g), "stage", "left")
+        .join(F.broadcast(words_g), "stage", "left")
+        .select(
+            F.col("stage").cast("bigint").alias("stage"),
+            F.sum(F.coalesce("n_docs", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("n_docs_cum"),
+            F.sum(F.coalesce("n_tokens", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("n_tokens_cum"),
+            F.coalesce("n_new_words", F.lit(0))
+            .cast("bigint")
+            .alias("n_new_words"),
+            F.sum(F.coalesce("n_new_words", F.lit(0)))
+            .over(w)
+            .cast("bigint")
+            .alias("n_distinct_words_cum"),
+        )
+    )

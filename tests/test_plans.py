@@ -1173,3 +1173,19 @@ def test_power_iteration_matvec_is_one_pass_over_cache(spark):
         assert "BatchEvalPython" not in tree, tree
     finally:
         query_scope.release()
+
+
+def test_vocab_growth_reduces_to_word_grain_not_per_stage_distincts(spark):
+    # the scale contract: ONE token exchange (map-side combined to the
+    # word grain carrying min(stage)) instead of a per-stage
+    # count-distinct Expand (4x the shuffle); doc/token totals ride a
+    # second pruned scan; cumulative sums run on the 4-row spine
+    # (post-reduction window). Broadcast spine joins, no sort-merge, no
+    # cartesian, no Expand.
+    tree = tree_of(spark, "x_vocab_growth_curve")
+    assert "Expand" not in tree, tree
+    assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 2, tree
+    assert "SortMergeJoin" not in tree, tree
+    assert "CartesianProduct" not in tree, tree
+    assert "Window" in tree, tree
+    assert "BatchEvalPython" not in tree, tree

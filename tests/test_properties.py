@@ -2531,3 +2531,73 @@ def test_embedding_top_component_skips_null_vectors(spark, tmp_path_factory):
         ).fetchall()
     )
     assert oracle == want, oracle[:3]
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=14),
+        min_size=1,
+        max_size=14,
+    )
+)
+@_SETTINGS
+def test_vocab_growth_curve_matches_python_model(
+    spark, texts, tmp_path_factory
+):
+    """x_vocab_growth_curve == a direct model: md5-prefix stages
+    ('growth:' salt; 40/80/c0 cut points), per-stage doc/token
+    cumulative totals, and NEW distinct lowercased words per stage
+    (first stage in which the word appears). Also asserts the curve's
+    defining property: every cumulative column is non-decreasing and
+    stage 4 equals the whole-corpus totals."""
+    import hashlib
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    tmp = tmp_path_factory.mktemp("heaps")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    def stage(i):
+        p = hashlib.md5(f"growth:{i}".encode()).hexdigest()[:2]
+        return 1 if p < "40" else 2 if p < "80" else 3 if p < "c0" else 4
+
+    def toks(t):
+        return [w for w in t.lower().strip().split() if w]
+
+    per_stage_docs = {s: 0 for s in (1, 2, 3, 4)}
+    per_stage_toks = {s: 0 for s in (1, 2, 3, 4)}
+    first = {}
+    for i, t in rows:
+        s = stage(i)
+        ws = toks(t)
+        per_stage_docs[s] += 1
+        per_stage_toks[s] += len(ws)
+        for w in ws:
+            first[w] = min(first.get(w, 5), s)
+    new_words = {s: sum(1 for v in first.values() if v == s) for s in (1, 2, 3, 4)}
+    want, dc, tc, wc = {}, 0, 0, 0
+    for s in (1, 2, 3, 4):
+        dc += per_stage_docs[s]
+        tc += per_stage_toks[s]
+        wc += new_words[s]
+        want[s] = (dc, tc, new_words[s], wc)
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    got = {
+        r["stage"]: (
+            r["n_docs_cum"],
+            r["n_tokens_cum"],
+            r["n_new_words"],
+            r["n_distinct_words_cum"],
+        )
+        for r in catalog.queries()["x_vocab_growth_curve"](
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == want, (texts, got, want)
+    assert got[4][0] == len(rows)
+    assert got[4][3] == len(first)
