@@ -82,10 +82,11 @@ def register(name: str, oracle: str | None):
 #: x_quality_threshold_by_source — the operator gained the count_col
 #: weighted-histogram path; default path behavior-identical,
 #: re-verified strictly at all three SFs anyway; the late additions
-#: x_embedding_top_component and x_vocab_growth_curve are also here).
-#: The remaining 39 slots give SECOND hard rows to the round-1-green
-#: queries — the oldest single-row cohort in the catalog (43 queries
-#: whose only driver row is from r1, four rounds of code churn ago).
+#: x_embedding_top_component, x_vocab_growth_curve and
+#: x_dedup_lsh_band_tuning are also here). The remaining 38 slots give
+#: SECOND hard rows to the round-1-green queries — the oldest
+#: single-row cohort in the catalog (43 queries whose only driver row
+#: is from r1, four rounds of code churn ago).
 DRIVER_WINDOW: list[str] = [
     # changed or new this round (re-verify first)
     "x_ann_matryoshka_topk",
@@ -99,6 +100,7 @@ DRIVER_WINDOW: list[str] = [
     "x_quality_threshold_by_source",
     "x_embedding_top_component",
     "x_vocab_growth_curve",
+    "x_dedup_lsh_band_tuning",
     # second hard rows for the r1-green-once cohort (oldest rows in
     # the catalog; includes the bench headliners j1/f1/f5/c13/j3)
     "c11_custom_fields_extract",
@@ -139,15 +141,16 @@ DRIVER_WINDOW: list[str] = [
     "j2_left_join_enrich",
     "j4_zip_custom_fields",
     "f2_equality_filter",
-    "f4_membership_filter",
 ]
-# Four r1-green queries stay OUT to keep the window at 50:
+# Five r1-green queries stay OUT to keep the window at 50:
 # flagship_unresolved_distinct (the driver's entry() smoke verifies it
 # every round regardless of the window — rows + schema),
-# p1_project_rename, p2_missing_column_backfill and c10_coalesce_chain
-# (trivial projections with no persist/join machinery, still covered
-# by the full-catalog strict sf0.01 gate; p2's and c10's slots went to
-# the late-r5 x_embedding_top_component and x_vocab_growth_curve).
+# p1_project_rename, p2_missing_column_backfill, c10_coalesce_chain
+# and f4_membership_filter (trivial projections/filters with no
+# persist/join machinery, still covered by the full-catalog strict
+# sf0.01 gate; their slots went to the late-r5 additions
+# x_embedding_top_component, x_vocab_growth_curve and
+# x_dedup_lsh_band_tuning).
 # The round-5 scoped_persist change is a pure warning on the warm-skip
 # path (first level wins either way); the persist-heavy tier keeps its
 # r3/r4 rows and the full-catalog strict gate re-proves values.

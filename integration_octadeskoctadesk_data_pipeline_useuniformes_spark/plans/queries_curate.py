@@ -1125,3 +1125,151 @@ def x_source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("jaccard_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH band-tuning table — the S-curve tradeoff dedup engineers tune by:
+# with the SAME 8 minhashes, (bands × rows) = (8×1) fires buckets on
+# any single matching hash (high recall, many candidates), (2×4)
+# requires 4-hash runs (high precision, few candidates). This query
+# runs the full banding→verify pipeline at rows_per_band ∈ {1, 2, 4}
+# against ONE exact-Jaccard truth set and reports candidates /
+# est-verified / found / recall / precision per config — three rows.
+#
+# Scale shape: evaluated on the doc_id<100 sample, the
+# x_dedup_lsh_recall_sample convention — tuning tables are measured on
+# samples precisely because the exact-truth side is quadratic; the
+# signature frame is computed ONCE for all three configs (the operator
+# scoped_persists it and the cache manager dedupes the identical
+# plan), and every pair frame is sample-bounded. Ratio columns are
+# integer pct via ANSI div, CASE-guarded for empty denominators.
+# ---------------------------------------------------------------------------
+
+_TUNING_ROWS_PER_BAND = (1, 2, 4)
+
+
+def _band_tuning_oracle() -> str:
+    from .queries_ext import _SIGS_CTE
+
+    ctes = [
+        "documents AS (SELECT * FROM main.documents WHERE doc_id < 100)",
+        _SIGS_CTE,
+        f"g AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh"
+        " FROM documents)",
+        """exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+               AS DOUBLE) >= 0.5
+)""",
+    ]
+    selects = []
+    for r in _TUNING_ROWS_PER_BAND:
+        nb = 8 // r
+        key = " || '|' || ".join(f"sig[{r} * b.band + {j}]" for j in range(1, r + 1))
+        ctes.append(
+            f"""bands{r} AS (
+  SELECT doc_id, sig, b.band, md5({key}) AS bucket
+  FROM sigs, (SELECT unnest(generate_series(0, {nb - 1})) AS band) b
+)"""
+        )
+        ctes.append(
+            f"""cand{r} AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands{r} a JOIN bands{r} b
+    ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id
+)"""
+        )
+        ctes.append(
+            f"""ver{r} AS (
+  SELECT id_a, id_b
+  FROM cand{r}
+  JOIN sigs sa ON sa.doc_id = id_a
+  JOIN sigs sb ON sb.doc_id = id_b
+  WHERE len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) >= 4
+)"""
+        )
+        selects.append(
+            f"""SELECT CAST({r} AS BIGINT) AS rows_per_band,
+       CAST({nb} AS BIGINT) AS n_bands,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand{r}) AS n_candidates,
+       (SELECT CAST(count(*) AS BIGINT) FROM ver{r}) AS n_verified,
+       (SELECT CAST(count(*) AS BIGINT) FROM exact e
+         JOIN ver{r} v ON e.id_a = v.id_a AND e.id_b = v.id_b) AS n_found,
+       (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_true_pairs,
+       CASE WHEN (SELECT count(*) FROM exact) > 0
+            THEN CAST((SELECT count(*) FROM exact e JOIN ver{r} v
+                        ON e.id_a = v.id_a AND e.id_b = v.id_b) * 100
+                      // (SELECT count(*) FROM exact) AS BIGINT)
+       END AS recall_pct,
+       CASE WHEN (SELECT count(*) FROM ver{r}) > 0
+            THEN CAST((SELECT count(*) FROM exact e JOIN ver{r} v
+                        ON e.id_a = v.id_a AND e.id_b = v.id_b) * 100
+                      // (SELECT count(*) FROM ver{r}) AS BIGINT)
+       END AS precision_pct"""
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register("x_dedup_lsh_band_tuning", _band_tuning_oracle())
+def x_dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sample = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    g = sample.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(D.word_shingles(F.col("text")), lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    ).transform(scoped_persist)
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    union = (F.size("sha") + F.size("shb")).cast("double") - inter
+    exact = scoped_persist(
+        ga.join(F.broadcast(gb), F.col("id_a") < F.col("id_b"))
+        .filter(inter / union >= 0.5)
+        .select("id_a", "id_b")
+    )
+    out = None
+    for r in _TUNING_ROWS_PER_BAND:
+        pairs = scoped_persist(
+            D.lsh_candidate_pairs(sample, rows_per_band=r, min_jaccard_est=0.0)
+        )
+        ver = pairs.filter(F.col("jaccard_est") >= 0.5).select("id_a", "id_b")
+        row = (
+            pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+            .crossJoin(
+                ver.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
+            )
+            .crossJoin(
+                exact.join(ver, ["id_a", "id_b"]).agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n_found")
+                )
+            )
+            .crossJoin(
+                exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+            )
+            .select(
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                F.lit(8 // r).cast("bigint").alias("n_bands"),
+                "n_candidates",
+                "n_verified",
+                "n_found",
+                "n_true_pairs",
+                F.expr(
+                    "CASE WHEN n_true_pairs > 0"
+                    " THEN (n_found * 100) div n_true_pairs END"
+                )
+                .cast("bigint")
+                .alias("recall_pct"),
+                F.expr(
+                    "CASE WHEN n_verified > 0"
+                    " THEN (n_found * 100) div n_verified END"
+                )
+                .cast("bigint")
+                .alias("precision_pct"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -115,3 +115,43 @@ def test_minhash_signature_null_and_empty_text_get_sentinel(spark):
         r["doc_id"]: r["minhash"] for r in minhash_signatures(df).collect()
     }
     assert agg_rows == expr_rows  # both forms agree, including sentinels
+
+
+def test_lsh_band_tuning_consistent_with_recall_sample_and_monotone(spark):
+    """The r=2 row must reproduce x_dedup_lsh_recall_sample's counts
+    exactly (same sample, same truth, same est-verify rule — pins the
+    tuning table to the established owners), and the S-curve
+    invariants must hold across configs: fewer rows per band (more,
+    looser bands) never yields fewer candidates, and verified/found
+    are bounded by candidates/truth."""
+    from conftest import SF_SMOKE
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    try:
+        rows = {
+            r["rows_per_band"]: r
+            for r in catalog.queries()["x_dedup_lsh_band_tuning"](
+                spark, SF_SMOKE
+            ).collect()
+        }
+        rs = catalog.queries()["x_dedup_lsh_recall_sample"](
+            spark, SF_SMOKE
+        ).collect()[0]
+    finally:
+        query_scope.release()
+    assert set(rows) == {1, 2, 4}
+    r2 = rows[2]
+    assert r2["n_verified"] == rs["n_lsh_pairs"]
+    assert r2["n_found"] == rs["n_found"]
+    assert r2["n_true_pairs"] == rs["n_true_pairs"]
+    # looser banding (smaller rows_per_band) can only ADD candidates
+    assert rows[1]["n_candidates"] >= rows[2]["n_candidates"] >= rows[4]["n_candidates"]
+    for r in rows.values():
+        assert r["n_verified"] <= r["n_candidates"]
+        assert r["n_found"] <= min(r["n_verified"], r["n_true_pairs"])

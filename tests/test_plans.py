@@ -1189,3 +1189,23 @@ def test_vocab_growth_reduces_to_word_grain_not_per_stage_distincts(spark):
     assert "CartesianProduct" not in tree, tree
     assert "Window" in tree, tree
     assert "BatchEvalPython" not in tree, tree
+
+
+def test_lsh_band_tuning_shares_caches_two_scans(spark):
+    # all three banding configs read the SAME cached signature frame
+    # (the operator's scoped_persist + cache-manager dedup) and the one
+    # exact-truth side its own pruned scan: exactly two distinct
+    # parquet scans for a 3-config x 4-metric table. Pair frames are
+    # sample-bounded; no cartesian, no Python.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_dedup_lsh_band_tuning")
+        assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 2, tree
+        assert "InMemoryTableScan" in tree, tree
+        assert "CartesianProduct" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+    finally:
+        query_scope.release()
