@@ -76,6 +76,18 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     return F.transform(zipped, lambda s: F.concat_ws(" ", *[s[str(j)] for j in range(k)]))
 
 
+def hashed_shingle_set(text) -> "Column":
+    """Distinct xxhash64-hashed word shingles of ``text`` — the exact-
+    Jaccard set representation (hashes instead of strings: cheaper set
+    ops, same set SIZES assuming no within-doc collisions). ONE owner
+    for the three exact-Jaccard consumers (estimate-error QA, the
+    recall sample, the band-tuning table) so the truth representation
+    cannot drift between them (third r5 review)."""
+    return F.array_distinct(
+        F.transform(word_shingles(text), lambda s: F.xxhash64(s))
+    )
+
+
 def minhash_signature(text: Column, num_hashes: int = 8, k: int = 3) -> Column:
     """MinHash signature: per seed j, min over shingles of md5(j ':' shingle).
 

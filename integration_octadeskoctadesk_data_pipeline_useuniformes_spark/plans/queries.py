@@ -81,9 +81,10 @@ def register(name: str, oracle: str | None):
 #: and the two exact_quantile_disc consumers (x_exact_quantiles_chars,
 #: x_quality_threshold_by_source — the operator gained the count_col
 #: weighted-histogram path; default path behavior-identical,
-#: re-verified strictly at all three SFs anyway; the late additions
-#: x_embedding_top_component, x_vocab_growth_curve and
-#: x_dedup_lsh_band_tuning are also here). The remaining 38 slots give
+#: re-verified strictly at all three SFs anyway). Slot arithmetic:
+#: 9 new (matryoshka pair, source overlap, ccnet, kcenter, length
+#: buckets, top component, vocab growth, band tuning) + simhash +
+#: 2 quantile consumers = 12 changed/new. The remaining 38 slots give
 #: SECOND hard rows to the round-1-green queries — the oldest
 #: single-row cohort in the catalog (43 queries whose only driver row
 #: is from r1, four rounds of code churn ago).

@@ -33,8 +33,10 @@ from .queries_ext import (
     _CC_LABELS_CTES,
     _LSH_PAIRS_CTES,
     _SHINGLES_SQL,
+    _SIGS_CTE,
     _WORDS_SQL,
     _langid_oracle,
+    _lsh_pairs_ctes_sql,
 )
 from .queries_train import (
     _QC_LOGIT_SQL,
@@ -543,12 +545,7 @@ def x_dedup_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     g = (
         docs.join(F.broadcast(ids), "doc_id")
-        .select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(D.word_shingles(F.col("text")), lambda s: F.xxhash64(s))
-            ).alias("sh"),
-        )
+        .select("doc_id", D.hashed_shingle_set(F.col("text")).alias("sh"))
         .transform(scoped_persist)
     )
     ga = g.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
@@ -795,12 +792,13 @@ def x_category_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "x_dedup_lsh_recall_sample",
-    f"""
-WITH documents AS (SELECT * FROM main.documents WHERE doc_id < 100),
-{_LSH_PAIRS_CTES},
-g AS (
+#: exact hashed-shingle-Jaccard >= 0.5 ground truth over the sampled
+#: documents CTE — ONE owner shared by the recall-sample and the
+#: band-tuning oracles (third-review hoist; byte-identical lift of the
+#: recall-sample text, so that query's registered SQL is unchanged). A
+#: drifting copy here would make the two reports measure against
+#: different truths while each still passes its own parity.
+_EXACT_TRUTH_CTES = f"""g AS (
   SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents
 ),
 exact AS (
@@ -808,7 +806,35 @@ exact AS (
   FROM g a JOIN g b ON a.doc_id < b.doc_id
   WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) >= 0.5
-)
+)"""
+
+
+def _exact_jaccard_truth(sample: DataFrame) -> "DataFrame":
+    """Spark twin of _EXACT_TRUTH_CTES: (id_a, id_b) pairs of sampled
+    docs whose exact hashed-shingle Jaccard >= 0.5. The hashed shingle
+    sets come from the D.hashed_shingle_set owner and are
+    scoped_persisted (two self-join references); the inequality join
+    broadcasts one side — sample-bounded by contract."""
+    g = sample.select(
+        "doc_id", D.hashed_shingle_set(F.col("text")).alias("sh")
+    ).transform(scoped_persist)
+    ga = g.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    gb = g.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    union = (F.size("sha") + F.size("shb")).cast("double") - inter
+    return (
+        ga.join(F.broadcast(gb), F.col("id_a") < F.col("id_b"))
+        .filter(inter / union >= 0.5)
+        .select("id_a", "id_b")
+    )
+
+
+@register(
+    "x_dedup_lsh_recall_sample",
+    f"""
+WITH documents AS (SELECT * FROM main.documents WHERE doc_id < 100),
+{_LSH_PAIRS_CTES},
+{_EXACT_TRUTH_CTES}
 SELECT (SELECT count(*) FROM exact) AS n_true_pairs,
        (SELECT count(*) FROM verified) AS n_lsh_pairs,
        (SELECT count(*) FROM exact e JOIN verified v
@@ -821,24 +847,7 @@ SELECT (SELECT count(*) FROM exact) AS n_true_pairs,
 def x_dedup_lsh_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     found = D.lsh_candidate_pairs(sample, min_jaccard_est=0.5).select("id_a", "id_b")
-    g = (
-        sample.select(
-            "doc_id",
-            F.array_distinct(
-                F.transform(D.word_shingles(F.col("text")), lambda s: F.xxhash64(s))
-            ).alias("sh"),
-        )
-        .transform(scoped_persist)
-    )
-    ga = g.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
-    gb = g.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
-    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
-    union = (F.size("sha") + F.size("shb")).cast("double") - inter
-    exact = (
-        ga.join(F.broadcast(gb), F.col("id_a") < F.col("id_b"))
-        .filter(inter / union >= 0.5)
-        .select("id_a", "id_b")
-    )
+    exact = _exact_jaccard_truth(sample)
     n_true = exact.agg(F.count(F.lit(1)).alias("n_true_pairs"))
     n_lsh = found.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
     n_found = exact.join(found, ["id_a", "id_b"]).agg(
@@ -1149,65 +1158,36 @@ _TUNING_ROWS_PER_BAND = (1, 2, 4)
 
 
 def _band_tuning_oracle() -> str:
-    from .queries_ext import _SIGS_CTE
-
     ctes = [
         "documents AS (SELECT * FROM main.documents WHERE doc_id < 100)",
         _SIGS_CTE,
-        f"g AS (SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh"
-        " FROM documents)",
-        """exact AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM g a JOIN g b ON a.doc_id < b.doc_id
-  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        / CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
-               AS DOUBLE) >= 0.5
-)""",
+        _EXACT_TRUTH_CTES,
     ]
     selects = []
     for r in _TUNING_ROWS_PER_BAND:
-        nb = 8 // r
-        key = " || '|' || ".join(f"sig[{r} * b.band + {j}]" for j in range(1, r + 1))
+        # every config derives from the SAME parameterized generator
+        # that owns _LSH_PAIRS_CTES (r=2) — a banding-scheme edit hits
+        # all consumers at once (third-review hoist)
         ctes.append(
-            f"""bands{r} AS (
-  SELECT doc_id, sig, b.band, md5({key}) AS bucket
-  FROM sigs, (SELECT unnest(generate_series(0, {nb - 1})) AS band) b
-)"""
-        )
-        ctes.append(
-            f"""cand{r} AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands{r} a JOIN bands{r} b
-    ON a.band = b.band AND a.bucket = b.bucket
-  WHERE a.doc_id < b.doc_id
-)"""
-        )
-        ctes.append(
-            f"""ver{r} AS (
-  SELECT id_a, id_b
-  FROM cand{r}
-  JOIN sigs sa ON sa.doc_id = id_a
-  JOIN sigs sb ON sb.doc_id = id_b
-  WHERE len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) >= 4
-)"""
+            _lsh_pairs_ctes_sql(rows_per_band=r, suffix=str(r), include_sigs=False)
         )
         selects.append(
             f"""SELECT CAST({r} AS BIGINT) AS rows_per_band,
-       CAST({nb} AS BIGINT) AS n_bands,
+       CAST({8 // r} AS BIGINT) AS n_bands,
        (SELECT CAST(count(*) AS BIGINT) FROM cand{r}) AS n_candidates,
-       (SELECT CAST(count(*) AS BIGINT) FROM ver{r}) AS n_verified,
+       (SELECT CAST(count(*) AS BIGINT) FROM verified{r}) AS n_verified,
        (SELECT CAST(count(*) AS BIGINT) FROM exact e
-         JOIN ver{r} v ON e.id_a = v.id_a AND e.id_b = v.id_b) AS n_found,
+         JOIN verified{r} v ON e.id_a = v.id_a AND e.id_b = v.id_b) AS n_found,
        (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_true_pairs,
        CASE WHEN (SELECT count(*) FROM exact) > 0
-            THEN CAST((SELECT count(*) FROM exact e JOIN ver{r} v
+            THEN CAST((SELECT count(*) FROM exact e JOIN verified{r} v
                         ON e.id_a = v.id_a AND e.id_b = v.id_b) * 100
                       // (SELECT count(*) FROM exact) AS BIGINT)
        END AS recall_pct,
-       CASE WHEN (SELECT count(*) FROM ver{r}) > 0
-            THEN CAST((SELECT count(*) FROM exact e JOIN ver{r} v
+       CASE WHEN (SELECT count(*) FROM verified{r}) > 0
+            THEN CAST((SELECT count(*) FROM exact e JOIN verified{r} v
                         ON e.id_a = v.id_a AND e.id_b = v.id_b) * 100
-                      // (SELECT count(*) FROM ver{r}) AS BIGINT)
+                      // (SELECT count(*) FROM verified{r}) AS BIGINT)
        END AS precision_pct"""
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
@@ -1216,21 +1196,7 @@ def _band_tuning_oracle() -> str:
 @register("x_dedup_lsh_band_tuning", _band_tuning_oracle())
 def x_dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
-    g = sample.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(D.word_shingles(F.col("text")), lambda s: F.xxhash64(s))
-        ).alias("sh"),
-    ).transform(scoped_persist)
-    ga = g.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
-    gb = g.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
-    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
-    union = (F.size("sha") + F.size("shb")).cast("double") - inter
-    exact = scoped_persist(
-        ga.join(F.broadcast(gb), F.col("id_a") < F.col("id_b"))
-        .filter(inter / union >= 0.5)
-        .select("id_a", "id_b")
-    )
+    exact = scoped_persist(_exact_jaccard_truth(sample))
     out = None
     for r in _TUNING_ROWS_PER_BAND:
         pairs = scoped_persist(

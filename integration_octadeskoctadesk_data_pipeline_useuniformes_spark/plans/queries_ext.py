@@ -379,28 +379,49 @@ def x_dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-#: sigs → bands → candidate pairs → signature-verified pairs, shared by
-#: the pair query and the cluster query
-_LSH_PAIRS_CTES = f"""{_SIGS_CTE},
-bands AS (
+def _lsh_pairs_ctes_sql(
+    rows_per_band: int = 2, suffix: str = "", include_sigs: bool = True
+) -> str:
+    """Banding/verify CTE chain, parameterized on rows_per_band — THE
+    oracle-side owner of the LSH banding scheme (bucket key, band
+    count, est-verify rule). ``_LSH_PAIRS_CTES`` below is exactly the
+    rows_per_band=2 instantiation (byte-identical to the literal it
+    replaced — pinned by tests/test_units.py::
+    test_lsh_pairs_ctes_is_the_r2_generator_output), and the band-
+    tuning oracle (queries_curate) derives every config from the SAME
+    generator, so a banding-scheme edit cannot leave one consumer on
+    the old scheme. ``suffix`` namespaces the CTEs when several
+    configs share one statement; ``include_sigs=False`` omits the
+    shared sigs CTE for all but the first."""
+    r, nb = rows_per_band, 8 // rows_per_band
+    key = " || '|' || ".join(f"sig[{r}*b.band + {j}]" for j in range(1, r + 1))
+    bands = ", ".join(str(b) for b in range(nb))
+    head = f"{_SIGS_CTE},\n" if include_sigs else ""
+    return f"""{head}bands{suffix} AS (
   SELECT doc_id, sig, b.band,
-         md5(sig[2*b.band + 1] || '|' || sig[2*b.band + 2]) AS bucket
-  FROM sigs, (SELECT unnest([0, 1, 2, 3]) AS band) b
+         md5({key}) AS bucket
+  FROM sigs, (SELECT unnest([{bands}]) AS band) b
 ),
-cand AS (
+cand{suffix} AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+  FROM bands{suffix} a JOIN bands{suffix} b ON a.band = b.band AND a.bucket = b.bucket
   WHERE a.doc_id < b.doc_id
 ),
-verified AS (
+verified{suffix} AS (
   SELECT id_a, id_b,
          CAST(len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 8.0
            AS jaccard_est
-  FROM cand
+  FROM cand{suffix}
   JOIN sigs sa ON sa.doc_id = id_a
   JOIN sigs sb ON sb.doc_id = id_b
   WHERE CAST(len(list_filter(generate_series(1, 8), i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 8.0 >= 0.5
 )"""
+
+
+#: sigs → bands → candidate pairs → signature-verified pairs, shared by
+#: the pair query and the cluster query — the generator's default
+#: (rows_per_band=2) instantiation
+_LSH_PAIRS_CTES = _lsh_pairs_ctes_sql()
 
 
 #: verified pairs → symmetric edges → min-label transitive closure →

@@ -234,3 +234,22 @@ def test_sensitive_sf01_set_resolves_and_is_oracle_backed():
     assert not missing, missing
     oracles = oracle_sql()
     assert [n for n in SENSITIVE if n not in oracles] == []
+
+
+def test_lsh_pairs_ctes_is_the_r2_generator_output():
+    """_LSH_PAIRS_CTES (consumed by the pair/cluster/survivor/leakage/
+    pagerank/recall oracles) must be EXACTLY the rows_per_band=2
+    instantiation of the parameterized banding generator — the
+    third-review hoist was byte-identical, and this test keeps any
+    future generator edit an explicit, re-verified change to every
+    consumer rather than a silent drift."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries_ext as qe,
+    )
+
+    assert qe._LSH_PAIRS_CTES == qe._lsh_pairs_ctes_sql(
+        rows_per_band=2, suffix="", include_sigs=True
+    )
+    # and the key structural facts of the r=2 scheme stay pinned
+    assert "md5(sig[2*b.band + 1] || '|' || sig[2*b.band + 2])" in qe._LSH_PAIRS_CTES
+    assert "unnest([0, 1, 2, 3])" in qe._LSH_PAIRS_CTES
