@@ -43,7 +43,17 @@ HEADLINE = [
 ]
 
 
+#: 1-min loadavg sampled before the Spark JVM exists (set by main();
+#: see the output-block comment).
+_LOAD_PRE: float | None = None
+
+
 def main() -> None:
+    global _LOAD_PRE
+    try:
+        _LOAD_PRE = round(os.getloadavg()[0], 2)
+    except OSError:
+        _LOAD_PRE = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="bench")
@@ -118,6 +128,18 @@ def main() -> None:
         warm[name] = min(reps)
 
     total = round(sum(times.values()), 3)
+    # Machine-state self-annotation (VERDICT r5 #2): the documented
+    # ±4 s cold / ±1.5 s warm machine noise means a single capture is
+    # only interpretable with the host load attached — a top-of-range
+    # total with high loadavg is the known contamination signature,
+    # not a regression. loadavg_1m_pre is sampled by main() BEFORE the
+    # JVM starts (this process's own executors dominate the 1-min
+    # average by the time the sweep ends); _post is the end-of-run
+    # value for completeness.
+    try:
+        load_post = round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg: annotate as unknown
+        load_post = None
     print(
         json.dumps(
             {
@@ -129,6 +151,8 @@ def main() -> None:
                 "value_warm": round(sum(warm.values()), 3),
                 "queries_warm": warm,
                 "queries_warm_reps": warm_reps,
+                "loadavg_1m_pre": _LOAD_PRE,
+                "loadavg_1m_post": load_post,
             }
         )
     )

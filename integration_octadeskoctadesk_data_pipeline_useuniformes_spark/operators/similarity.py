@@ -569,6 +569,14 @@ def pq_topk(
     )
 
 
+#: Ceiling on ``kcenter_select``'s k (overridable per call): each
+#: selection round is ONE sequential Spark job, so runtime is Θ(k)
+#: scheduler round-trips — the algorithm's cost model, not a tunable.
+#: A caller wanting 10⁴+ centers needs a different algorithm (parallel
+#: Gonzalez over per-partition coresets), not a bigger cap.
+KCENTER_MAX_K = 1024
+
+
 def kcenter_select(
     emb: DataFrame,
     k: int,
@@ -576,6 +584,7 @@ def kcenter_select(
     vec_col: str = "v",
     round_digits: int = 6,
     debug_frames: list | None = None,
+    max_k: int = KCENTER_MAX_K,
 ) -> list[tuple[int, int, float | None, list[float]]]:
     """Greedy k-center (farthest-point) selection — the coreset /
     diversity-sampling rule: seed with the lowest-id vector, then
@@ -596,7 +605,21 @@ def kcenter_select(
     traffic is one row per round — the k-means-centroid metadata
     class. The loop stops early if the corpus has fewer than ``k``
     vectors.
+
+    The loop is INHERENTLY SERIAL (each round conditions on the
+    previous selection), so ``k`` is capped at ``max_k`` — a ``k``
+    past the cap would schedule thousands of sequential jobs, which is
+    the wrong algorithm, not a bigger parameter (the pivot-domain
+    guard's class; VERDICT r5 #4). Raise the cap explicitly only if
+    you accept Θ(k) scheduler round-trips.
     """
+    if k > max_k:
+        raise ValueError(
+            f"kcenter_select k={k} exceeds max_k={max_k}: each round is a "
+            "sequential Spark job (Θ(k) scheduler round-trips); use a "
+            "parallel coreset algorithm for k this large, or pass an "
+            "explicit max_k to accept the serial cost"
+        )
     if k < 1:
         return []
     spark = emb.sparkSession

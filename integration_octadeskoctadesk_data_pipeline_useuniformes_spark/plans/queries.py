@@ -73,88 +73,91 @@ def register(name: str, oracle: str | None):
 #: rounds' rows persist in CORRECTNESS_r{N}.json; after round 4 every
 #: registered query has at least one green row.
 #:
-#: Round-5 window: changed/new queries lead (ADVICE r2 standing rule) —
-#: seven NEW queries (matryoshka top-k + recall, source-overlap
-#: Jaccard, CCNet perplexity buckets, k-center diverse sample,
-#: length-bucket padding, embedding top component), plus
-#: x_dedup_simhash_hamming_pairs (per-width broadcast caps, r4 ADVICE)
-#: and the two exact_quantile_disc consumers (x_exact_quantiles_chars,
-#: x_quality_threshold_by_source — the operator gained the count_col
-#: weighted-histogram path; default path behavior-identical,
-#: re-verified strictly at all three SFs anyway). Slot arithmetic:
-#: 9 new (matryoshka pair, source overlap, ccnet, kcenter, length
-#: buckets, top component, vocab growth, band tuning) + simhash +
-#: 2 quantile consumers = 12 changed/new. The remaining 38 slots give
-#: SECOND hard rows to the round-1-green queries — the oldest
-#: single-row cohort in the catalog (43 queries whose only driver row
-#: is from r1, four rounds of code churn ago).
+#: Round-6 window (VERDICT r5 #1): changed/new queries lead (ADVICE r2
+#: standing rule) — two NEW queries (x_lm_trigram_predictability,
+#: x_contamination_removal) plus three changed: x_length_bucket_padding
+#: (waste_ppm moved to 128-bit-capable types, r5 ADVICE),
+#: x_kcenter_diverse_sample and x_embedding_top_component (iterative-
+#: bound guards, VERDICT #4 — behavior-identical for the registered
+#: parameters and re-verified strictly at all three SFs, re-windowed
+#: per the stricter r5 precedent anyway). The remaining 45 slots go to
+#: the stale cohort the verdict names: the 47 queries whose newest
+#: green row is r2 (the agg_*/fn_* tier plus w1, s10,
+#: pipeline_update_selection, x_pack_sequences, x_ngram_novelty,
+#: x_outlier_mad_by_source, x_dedup_minhash_signatures) and the four
+#: r1-only stragglers (p1, p2, c10, f4 — held out twice already, due
+#: now). 5 + 51 = 56 candidates for 50 slots: six fn_* batteries are
+#: carried to r7 (rationale in the trailing comment).
 DRIVER_WINDOW: list[str] = [
     # changed or new this round (re-verify first)
-    "x_ann_matryoshka_topk",
-    "x_ann_matryoshka_recall",
-    "x_source_overlap_jaccard",
-    "x_ccnet_perplexity_buckets",
-    "x_kcenter_diverse_sample",
+    "x_lm_trigram_predictability",
+    "x_contamination_removal",
     "x_length_bucket_padding",
-    "x_dedup_simhash_hamming_pairs",
-    "x_exact_quantiles_chars",
-    "x_quality_threshold_by_source",
+    "x_kcenter_diverse_sample",
     "x_embedding_top_component",
-    "x_vocab_growth_curve",
-    "x_dedup_lsh_band_tuning",
-    # second hard rows for the r1-green-once cohort (oldest rows in
-    # the catalog; includes the bench headliners j1/f1/f5/c13/j3)
-    "c11_custom_fields_extract",
-    "f1_range_filter_events",
-    "f5_first_match_per_chat",
-    "j1_full_outer_integrate",
-    "j3_anti_dedup",
-    "a3_dedup_removed_count",
-    "u1_union_by_name",
-    "c13_pivot_event_types",
-    "c7_try_cast_fallback",
-    "p7_null_key_fill",
-    "p3_sanitize_columns",
-    "x_text_stats",
-    "x_text_quality",
-    "x_text_langid",
-    "x_text_fingerprint",
-    "x_dedup_exact",
-    "x_dedup_simhash",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_embedding_cosine",
-    "x_ann_lsh_buckets",
-    "x_ann_lsh_topk",
-    "x_ann_ivf_topk",
-    "x_ann_lsh_multiprobe_topk",
-    "x_ann_rp_topk",
-    "x_multimodal_features",
-    "x_multimodal_frames",
-    "c1_iso_format",
-    "c4_sliding_lookback",
-    "c14_json_flatten",
-    "o1_sort_limit_topn",
-    "o3_point_lookup",
-    "a2_distinct_collection",
-    "c13_dynamic_pivot_flags",
-    "c5_regex_normalize_values",
-    "pipeline_integrate_full",
-    "j2_left_join_enrich",
-    "j4_zip_custom_fields",
-    "f2_equality_filter",
+    # the four r1-only stragglers (oldest rows in the catalog)
+    "p1_project_rename",
+    "p2_missing_column_backfill",
+    "c10_coalesce_chain",
+    "f4_membership_filter",
+    # the r2-green-once cohort (newest row three rounds of churn old)
+    "agg_cohort_retention",
+    "agg_cube_status_segment",
+    "agg_cust_order_distribution",
+    "agg_daily_active_users",
+    "agg_disjunctive_revenue",
+    "agg_dominant_suppliers",
+    "agg_forecast_revenue",
+    "agg_funnel_view_click_purchase",
+    "agg_grouping_sets_mixed",
+    "agg_idle_rich_customers",
+    "agg_important_parts",
+    "agg_large_order_customers",
+    "agg_market_share",
+    "agg_min_price_supplier",
+    "agg_nation_volume_pairs",
+    "agg_order_priority_exists",
+    "agg_part_margin_by_nation_year",
+    "agg_pricing_summary",
+    "agg_priority_class_counts",
+    "agg_promo_revenue_share",
+    "agg_regional_revenue",
+    "agg_returned_top_customers",
+    "agg_rollup_status_priority",
+    "agg_shipping_priority_topk",
+    "agg_small_qty_revenue",
+    "agg_supplier_cnt_by_part",
+    "agg_top_supplier_revenue",
+    "agg_value_percentiles",
+    "agg_waiting_suppliers",
+    "fn_unpivot_measures",
+    "fn_window_lag_gap",
+    "fn_window_rank_tiles",
+    "fn_window_running_total",
+    "fn_string_battery",
+    "w1_latest_event_per_chat",
+    "s10_sql_entry_parameterized",
+    "pipeline_update_selection",
+    "x_dedup_minhash_signatures",
+    "x_ngram_novelty",
+    "x_outlier_mad_by_source",
+    "x_pack_sequences",
 ]
-# Five r1-green queries stay OUT to keep the window at 50:
-# flagship_unresolved_distinct (the driver's entry() smoke verifies it
-# every round regardless of the window — rows + schema),
-# p1_project_rename, p2_missing_column_backfill, c10_coalesce_chain
-# and f4_membership_filter (trivial projections/filters with no
-# persist/join machinery, still covered by the full-catalog strict
-# sf0.01 gate; their slots went to the late-r5 additions
-# x_embedding_top_component, x_vocab_growth_curve and
-# x_dedup_lsh_band_tuning).
-# The round-5 scoped_persist change is a pure warning on the warm-skip
-# path (first level wins either way); the persist-heavy tier keeps its
-# r3/r4 rows and the full-catalog strict gate re-proves values.
+# Slot arithmetic: 5 changed/new + 4 r1 stragglers + 41 of the 47
+# r2-cohort members = 50. Six r2-cohort fn_* batteries are CARRIED to
+# round 7 — fn_array_battery, fn_date_battery, fn_json_battery,
+# fn_null_battery, fn_set_except, fn_set_intersect — chosen because
+# they are single-scan codegen projection batteries with no
+# persist/join/window machinery (the lowest-regression-risk class in
+# the cohort; the window-function and unpivot batteries, which DO
+# exercise Window/Expand machinery, went in). All six stay covered by
+# the full-catalog strict sf0.01 gate every round.
+# flagship_unresolved_distinct stays out as always: the driver's
+# entry() smoke verifies it every round regardless of the window.
+# The round-6 scoped_persist change only REMOVES a spurious warning on
+# the foreign-cache warm path (comparison baseline moved from the live
+# cache's level to the first REQUESTED level); persist behavior is
+# byte-identical, so the persist-heavy tier keeps its r3-r5 rows.
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:

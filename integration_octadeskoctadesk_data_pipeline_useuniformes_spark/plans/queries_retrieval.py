@@ -664,6 +664,16 @@ _KC_K = 8
 
 
 def _kcenter_oracle(k: int = _KC_K) -> str:
+    # Same guard class as operators/similarity.kcenter_select: the
+    # unrolled oracle text grows O(k²) (round r inlines r-1 distance
+    # terms), so a large k is a different oracle design, not a longer
+    # string. 64 unrolled rounds ≈ 2k distance terms — already far past
+    # anything the parity fixtures exercise.
+    if not 1 <= k <= 64:
+        raise ValueError(
+            f"_kcenter_oracle k={k} outside [1, 64]: the unrolled CTE "
+            "text is quadratic in k — see kcenter_select's max_k note"
+        )
     dist = (
         "list_sum(list_transform(generate_series(1, {dim}), "
         "i -> (a.v[i] - c{j}.cv[i]) * (a.v[i] - c{j}.cv[i])))"
@@ -738,6 +748,13 @@ def x_kcenter_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _PI_ITERS = 3
+#: Ceiling on unrolled power-iteration rounds: each round is one
+#: sequential driver job AND one more unrolled CTE block in the oracle
+#: text — both grow linearly and serially, so a large round count is
+#: the wrong tool (use a convergence-checked solver off the parity
+#: path), not a bigger constant (VERDICT r5 #4, the kcenter guard's
+#: class).
+_PI_MAX_ITERS = 16
 
 
 def _pi_matvec(ev: DataFrame, v: list) -> DataFrame:
@@ -766,6 +783,12 @@ def _pi_matvec(ev: DataFrame, v: list) -> DataFrame:
 
 
 def _pi_oracle(iters: int = _PI_ITERS) -> str:
+    if not 1 <= iters <= _PI_MAX_ITERS:
+        raise ValueError(
+            f"power-iteration round count {iters} outside [1, "
+            f"{_PI_MAX_ITERS}]: rounds are sequential driver jobs and "
+            "unrolled oracle CTEs — see _PI_MAX_ITERS"
+        )
     seed = ", ".join("CAST(1.0 AS DOUBLE)" if i == 0 else "CAST(0.0 AS DOUBLE)"
                      for i in range(_DIM))
     dotv = (

@@ -269,6 +269,84 @@ def x_contamination_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Decontamination removal report (VERDICT r5 #6) — the operational
+# companion every eval-decontam run publishes: per source, how many
+# train docs the contamination flag removes and how much data is lost.
+# ZERO new truth logic: the flag comes from the REGISTERED
+# x_contamination_3gram on both engine sides (the CCNet-buckets
+# composition precedent — no copied flag chain to drift), the loss
+# measure is the table's own n_chars, and the ppm ratios are integer
+# division (n_docs >= 1 per emitted group; chars_lost_ppm is gated on
+# chars_total > 0 for the all-empty-docs source, where DuckDB's `//`
+# would NULL and Spark's ANSI div would throw). Scale shape: the flag
+# query's own plan plus ONE doc-grain equi-join onto the pruned
+# (doc_id, source, n_chars) projection and a map-side-combined rollup
+# to the source grain.
+# ---------------------------------------------------------------------------
+
+
+def _contamination_removal_oracle() -> str:
+    from .queries import _REGISTRY
+
+    flag_sql = _REGISTRY["x_contamination_3gram"][1]
+    return f"""
+WITH flags AS ({flag_sql})
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN f.flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       CAST((1000000 * sum(CASE WHEN f.flagged THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS removed_ppm,
+       CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(CASE WHEN f.flagged THEN d.n_chars ELSE 0 END) AS BIGINT)
+         AS chars_lost,
+       CASE WHEN sum(d.n_chars) > 0
+            THEN CAST((1000000 * sum(CASE WHEN f.flagged THEN d.n_chars
+                                          ELSE 0 END)) // sum(d.n_chars)
+                      AS BIGINT)
+            ELSE NULL END AS chars_lost_ppm
+FROM flags f JOIN documents d ON f.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
+@register("x_contamination_removal", _contamination_removal_oracle())
+def x_contamination_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = x_contamination_3gram(spark, sf_dir).select("doc_id", "flagged")
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    lost = F.when(F.col("flagged"), F.col("n_chars")).otherwise(F.lit(0))
+    return (
+        # inner join: the flag query emits exactly the train docs, so
+        # the bench slice drops out here like the oracle's
+        flags.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.col("flagged").cast("bigint")).cast("bigint").alias("n_removed"),
+            F.sum("n_chars").cast("bigint").alias("chars_total"),
+            F.sum(lost).cast("bigint").alias("chars_lost"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_removed",
+            F.expr("(1000000 * n_removed) div n_docs")
+            .cast("bigint")
+            .alias("removed_ppm"),
+            "chars_total",
+            "chars_lost",
+            F.when(
+                F.col("chars_total") > 0,
+                F.expr("(1000000 * chars_lost) div chars_total"),
+            )
+            .cast("bigint")
+            .alias("chars_lost_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # End-to-end training pipeline — quality gate → fingerprint dedup →
 # mixture resample → sequence pack, ONE lazy plan (the training-tier
 # analogue of x_curation_pipeline). The mixture rates are computed on
@@ -852,6 +930,267 @@ def x_lm_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interpolated trigram predictability (VERDICT r5 #5) — the one-step
+# stronger LM signal next to x_lm_bigram_predictability: a λ-weighted
+# trigram/bigram/unigram Laplace mixture over the SAME deterministic
+# 'lmtrain' hash-split train half. The λs are DYADIC (1/2, 1/4, 1/4 —
+# exact ppm integers with one owner, _LM3_W, formatted into both
+# engine texts, the PageRank-constants idiom), so every per-trigram
+# term stays a BIGINT integer division and the whole mixture sums to
+# exactly 1e6 ppm of probability mass:
+#
+#   seen component:  λ·(c_gram + 1) div (c_context + V)
+#   unseen floor:    λ div V for the trigram/bigram components
+#                    (the bigram query's unknown-context convention),
+#                    λ div (N + V) for the unigram component
+#                    (N = train token count; its true Laplace form,
+#                    since the unigram context is the whole corpus)
+#
+# Scale shape — ONE tagged-union score join instead of three: every
+# scored trigram (w1,w2,w3) explodes into exactly three lookup keys
+# ('3'·SEP·w1·SEP·w2·SEP·w3, '2'·SEP·w2·SEP·w3, '1'·SEP·w3), and the
+# three Laplace tables union into ONE unique-keyed LM whose per-key
+# term is pre-divided at TRAIN time (LM-grain folds: trigram⋈context-
+# bigram, bigram⋈context-unigram — corpus-size independent, and every
+# fold divisor carries c ≥ 1 and V ≥ 1 by construction, so ANSI div
+# cannot throw there). The corpus-sized stream therefore crosses
+# exactly ONE co-partitioned equi-join (3 rows per trigram, AQE
+# handles hot stopword-key skew) — the same score-once contract the
+# bigram query pins, where three separate lookups would triple the
+# join count. V and N ride as a 1-row broadcast scalar. Docs with <3
+# words emit (0, 0, NULL, 0) via the doc-grain left join; a wordless
+# train half (V = 0) makes every unseen floor NULL (DuckDB `// 0`) —
+# Spark's ANSI div THROWS, so the floors are gated on v > 0 exactly
+# like the bigram query's unseen term.
+# ---------------------------------------------------------------------------
+
+#: Mixture weights in ppm — dyadic λ = (1/2, 1/4, 1/4), single owner
+#: for both engine texts; must sum to exactly 1_000_000.
+_LM3_W = {"tri": 500_000, "bi": 250_000, "uni": 250_000}
+
+
+@register(
+    "x_lm_trigram_predictability",
+    f"""
+WITH ws AS (
+  SELECT doc_id, {_LM_WORDS} AS ws,
+         {_hash_split_pred_sql("lmtrain", "doc_id", "80")} AS is_train
+  FROM documents
+), uni AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(ws) AS word FROM ws WHERE is_train) GROUP BY word
+), vv AS (
+  SELECT CAST(count(*) AS BIGINT) AS v,
+         CAST(coalesce(sum(c1), 0) AS BIGINT) AS n
+  FROM uni
+), bi AS (
+  SELECT bg, CAST(count(*) AS BIGINT) AS c12
+  FROM (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                      i -> ws[i] || chr(1) || ws[i + 1])) AS bg
+        FROM ws WHERE is_train) GROUP BY bg
+), tri AS (
+  SELECT tg, CAST(count(*) AS BIGINT) AS c123
+  FROM (SELECT unnest(list_transform(generate_series(1, len(ws) - 2),
+                      i -> ws[i] || chr(1) || ws[i + 1] || chr(1) || ws[i + 2]))
+               AS tg
+        FROM ws WHERE is_train) GROUP BY tg
+), lm AS (
+  SELECT '3' || chr(1) || t.tg AS k,
+         CAST(({_LM3_W["tri"]} * (t.c123 + 1)) // (b.c12 + vv.v) AS BIGINT)
+           AS term
+  FROM tri t JOIN bi b
+    ON array_to_string(string_split(t.tg, chr(1))[1:2], chr(1)) = b.bg, vv
+  UNION ALL
+  SELECT '2' || chr(1) || b.bg,
+         CAST(({_LM3_W["bi"]} * (b.c12 + 1)) // (u.c1 + vv.v) AS BIGINT)
+  FROM bi b JOIN uni u ON string_split(b.bg, chr(1))[1] = u.word, vv
+  UNION ALL
+  SELECT '1' || chr(1) || u.word,
+         CAST(({_LM3_W["uni"]} * (u.c1 + 1)) // (vv.n + vv.v) AS BIGINT)
+  FROM uni u, vv
+), ks AS (
+  SELECT doc_id,
+         unnest(flatten(list_transform(generate_series(1, len(ws) - 2),
+           i -> ['3' || chr(1) || ws[i] || chr(1) || ws[i + 1] || chr(1)
+                     || ws[i + 2],
+                 '2' || chr(1) || ws[i + 1] || chr(1) || ws[i + 2],
+                 '1' || chr(1) || ws[i + 2]]))) AS k
+  FROM ws
+), sc AS (
+  SELECT ks.doc_id,
+         CAST(sum(CASE WHEN substr(ks.k, 1, 1) = '3' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_trigrams,
+         CAST(sum(coalesce(lm.term,
+              CASE substr(ks.k, 1, 1)
+                WHEN '3' THEN {_LM3_W["tri"]} // vv.v
+                WHEN '2' THEN {_LM3_W["bi"]} // vv.v
+                ELSE {_LM3_W["uni"]} // (vv.n + vv.v) END)) AS BIGINT)
+           AS mix_ppm_total,
+         CAST(sum(CASE WHEN substr(ks.k, 1, 1) = '3' AND lm.term IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_unseen
+  FROM ks LEFT JOIN lm ON ks.k = lm.k, vv
+  GROUP BY ks.doc_id
+)
+SELECT doc.doc_id,
+       CAST(coalesce(sc.n_trigrams, 0) AS BIGINT) AS n_trigrams,
+       CAST(coalesce(sc.mix_ppm_total, 0) AS BIGINT) AS mix_ppm_total,
+       CASE WHEN sc.n_trigrams > 0
+            THEN CAST(sc.mix_ppm_total // sc.n_trigrams AS BIGINT)
+            ELSE NULL END AS mix_ppm_mean,
+       CAST(coalesce(sc.n_unseen, 0) AS BIGINT) AS n_unseen
+FROM documents doc LEFT JOIN sc ON doc.doc_id = sc.doc_id
+""",
+)
+def x_lm_trigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import SEP  # one source of truth for chr(1)
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"),
+        lambda w: (w != F.lit("")) & ~w.contains(SEP),
+    )
+    is_train = hash_split_pred("lmtrain", "doc_id", "80")
+    base = d.select("doc_id", words.alias("ws"), is_train.alias("is_train"))
+    train = base.filter("is_train")
+
+    def gram(i: F.Column, n: int) -> F.Column:
+        parts: list[F.Column] = []
+        for off in range(n):
+            if off:
+                parts.append(F.lit(SEP))
+            parts.append(F.element_at(F.col("ws"), i + off))
+        return F.concat(*parts)
+
+    def grams(n: int) -> F.Column:
+        return F.when(
+            F.size("ws") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                lambda i: gram(i, n),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # uni (3 consumers: vv, bi-fold, unigram LM) and bi (2 consumers:
+    # tri-fold context, bigram LM) are POST-AGGREGATION type-grain
+    # frames — far smaller than the corpus — so caching them collapses
+    # ~7 train-half tokenize passes into 3 (uni, bi, tri each tokenize
+    # once; ks scores from the raw scan). This is NOT the corpus-grain
+    # cache the r2 bm25 lesson forbids.
+    uni = scoped_persist(
+        train.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
+    )
+    vv = uni.agg(
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+        F.coalesce(F.sum("c1"), F.lit(0)).cast("bigint").alias("n"),
+    )
+    bi = scoped_persist(
+        train.select(F.explode(grams(2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+    )
+    tri = (
+        train.select(F.explode(grams(3)).alias("tg"))
+        .groupBy("tg")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c123"))
+    )
+
+    # TRAIN-time LM-grain folds: every divisor has c >= 1 and v >= 1 by
+    # construction (a context row exists because the gram itself came
+    # from the train half), so ANSI div cannot throw here.
+    lm3 = (
+        tri.join(bi, F.substring_index("tg", SEP, 2) == F.col("bg"))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            F.concat(F.lit("3" + SEP), "tg").alias("k"),
+            F.expr(f"({_LM3_W['tri']} * (c123 + 1)) div (c12 + v)")
+            .cast("bigint")
+            .alias("term"),
+        )
+    )
+    lm2 = (
+        bi.join(uni, F.substring_index("bg", SEP, 1) == F.col("word"))
+        .crossJoin(F.broadcast(vv))
+        .select(
+            F.concat(F.lit("2" + SEP), "bg").alias("k"),
+            F.expr(f"({_LM3_W['bi']} * (c12 + 1)) div (c1 + v)")
+            .cast("bigint")
+            .alias("term"),
+        )
+    )
+    lm1 = uni.crossJoin(F.broadcast(vv)).select(
+        F.concat(F.lit("1" + SEP), "word").alias("k"),
+        F.expr(f"({_LM3_W['uni']} * (c1 + 1)) div (n + v)")
+        .cast("bigint")
+        .alias("term"),
+    )
+    lm = lm3.unionByName(lm2).unionByName(lm1)
+
+    ks = base.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("ws") >= 3,
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("ws") - 2),
+                        lambda i: F.array(
+                            F.concat(F.lit("3" + SEP), gram(i, 3)),
+                            F.concat(
+                                F.lit("2" + SEP),
+                                F.element_at(F.col("ws"), i + 1),
+                                F.lit(SEP),
+                                F.element_at(F.col("ws"), i + 2),
+                            ),
+                            F.concat(
+                                F.lit("1" + SEP),
+                                F.element_at(F.col("ws"), i + 2),
+                            ),
+                        ),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("k"),
+    )
+
+    tag = F.substring("k", 1, 1)
+    # unseen floors mirror DuckDB's `// 0 -> NULL` under a wordless
+    # train half: gated on v > 0 (Spark ANSI div throws), the bigram
+    # query's exact convention
+    floor_term = (
+        F.when(tag == "3", F.when(F.col("v") > 0, F.expr(f"{_LM3_W['tri']} div v")))
+        .when(tag == "2", F.when(F.col("v") > 0, F.expr(f"{_LM3_W['bi']} div v")))
+        .otherwise(F.when(F.col("v") > 0, F.expr(f"{_LM3_W['uni']} div (n + v)")))
+    )
+    sc = (
+        ks.join(lm, "k", "left")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            (tag == "3").cast("bigint").alias("is3"),
+            F.coalesce(F.col("term"), floor_term).cast("bigint").alias("contrib"),
+            ((tag == "3") & F.col("term").isNull()).cast("bigint").alias("unseen"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("is3").cast("bigint").alias("n_trigrams"),
+            F.sum("contrib").cast("bigint").alias("mix_ppm_total"),
+            F.sum("unseen").cast("bigint").alias("n_unseen"),
+        )
+    )
+    return d.select("doc_id").join(sc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias("n_trigrams"),
+        F.coalesce("mix_ppm_total", F.lit(0)).cast("bigint").alias("mix_ppm_total"),
+        F.when(
+            F.col("n_trigrams") > 0, F.expr("mix_ppm_total div n_trigrams")
+        ).cast("bigint").alias("mix_ppm_mean"),
+        F.coalesce("n_unseen", F.lit(0)).cast("bigint").alias("n_unseen"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # CCNet-style perplexity buckets — the published CCNet pipeline splits
 # each source's documents into head/middle/tail by LM perplexity and
 # trains mostly on the head. Here the LM signal is the catalog's
@@ -1067,6 +1406,20 @@ def x_quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 # combined rollup to the <= ~40-bucket grain. waste_ppm = padded·1e6
 # div capacity; capacity >= n_docs >= 1 per emitted bucket, so ANSI
 # div is safe.
+#
+# AGGREGATE capacity bounds (ADVICE r5 — the per-row 2^62 cap bound is
+# NOT the binding one): capacity = n_docs·bucket_cap and padded_chars
+# are BIGINT, exact while capacity <= 2^63 - 1 (~9.2e18 chars ≈ 9 EB of
+# text in ONE bucket — beyond any physical corpus, so BIGINT is the
+# right type for the output columns). The ppm product, however, would
+# overflow BIGINT at capacity > ~9.2e12 (≈ 9 TB in one bucket — very
+# reachable at the 100 TB design point), so it rides 128-bit-capable
+# types on BOTH sides: DECIMAL(38,0)·1e6 div capacity in Spark (div on
+# decimals is integral, returns BIGINT) and HUGEINT·1e6 // capacity in
+# DuckDB — both floor for the non-negative operands here, verified
+# equal on the 9e12/9.2e12 probe. DECIMAL(38,0) `//` in DuckDB is NOT
+# integral division (it returns the fractional quotient, which a cast
+# then ROUNDS) — hence HUGEINT on the oracle side.
 # ---------------------------------------------------------------------------
 
 
@@ -1083,7 +1436,7 @@ SELECT CAST(bucket_cap AS BIGINT) AS bucket_cap,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        CAST(count(*) * bucket_cap - sum(n_chars) AS BIGINT) AS padded_chars,
-       CAST((count(*) * bucket_cap - sum(n_chars)) * 1000000
+       CAST(CAST(count(*) * bucket_cap - sum(n_chars) AS HUGEINT) * 1000000
             // (count(*) * bucket_cap) AS BIGINT) AS waste_ppm
 FROM b GROUP BY bucket_cap
 """,
@@ -1114,8 +1467,8 @@ def x_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("padded_chars"),
             F.expr(
-                "((n_docs * bucket_cap - total_chars) * 1000000)"
-                " div (n_docs * bucket_cap)"
+                "(CAST(n_docs * bucket_cap - total_chars AS DECIMAL(38,0))"
+                " * 1000000) div (n_docs * bucket_cap)"
             )
             .cast("bigint")
             .alias("waste_ppm"),

@@ -55,11 +55,18 @@ from pyspark.storagelevel import StorageLevel
 __all__ = ["scoped_persist", "defer", "release", "enter", "exit_scope"]
 
 _ACTIVE_CACHES: list[DataFrame] = []
-#: semanticHash of every plan WE persisted — the skip-if-cached fast
+#: semanticHash of every plan WE persisted → the StorageLevel the
+#: caller REQUESTED at first scoped persist. The skip-if-cached fast
 #: path must only fire for caches this scope owns, never adopt a cache
 #: a direct operator user created outside the scope (which release()
-#: must still clear, per the module contract above).
-_ACTIVE_HASHES: set[int] = set()
+#: must still clear, per the module contract above). The recorded
+#: value is the requested level, NOT the live cache's level: on the
+#: supported foreign-cache path the live entry keeps the foreign
+#: level (e.g. plain ``persist()``'s MEMORY_AND_DISK_DESER), and the
+#: mismatch warning must fire only for a genuine two-level request
+#: within one scope — not for every warm re-entry over a foreign
+#: cache (ADVICE r5).
+_ACTIVE_HASHES: dict[int, StorageLevel] = {}
 _DEFERRED: list[Callable[[], Any]] = []
 _DEPTH: int = 0
 _CURRENT_TAG: str | None = None
@@ -119,8 +126,15 @@ def scoped_persist(
     recompute mid-query, a perf cliff no caller actually wants. A
     mismatching request is therefore a caller bug (the same plan asked
     for at two levels within one query); the skip path compares the
-    requested level against the live cache's and warns loudly instead
-    of silently returning (ADVICE r4).
+    requested level against the level REQUESTED at the first scoped
+    persist and warns loudly instead of silently returning (ADVICE
+    r4). The comparison baseline is the recorded request, not the live
+    cache's level: a foreign-created cache (plain ``persist()``,
+    MEMORY_AND_DISK_DESER) that this scope registered would otherwise
+    make every warm re-entry with the default level warn spuriously
+    (ADVICE r5) — the warning exists to flag two DIFFERENT requests
+    from the caller, and a foreign level the caller never asked for is
+    not one.
     """
     # semanticHash first: the membership test is a local set lookup, so
     # the storageLevel JVM roundtrip is paid ONLY when this scope
@@ -133,17 +147,19 @@ def scoped_persist(
     if h in _ACTIVE_HASHES:
         lvl = df.storageLevel
         if lvl.useMemory or lvl.useDisk or lvl.useOffHeap:
-            if lvl != level:
+            first_requested = _ACTIVE_HASHES[h]
+            if level != first_requested:
                 warnings.warn(
-                    "scoped_persist: plan already cached by this scope at "
-                    f"{lvl}; requested {level} is ignored (first persist's "
-                    "level wins for the scope's lifetime — see docstring)",
+                    "scoped_persist: plan already persisted by this scope "
+                    f"with requested level {first_requested}; requested "
+                    f"{level} is ignored (first persist's level wins for "
+                    "the scope's lifetime — see docstring)",
                     stacklevel=2,
                 )
             return df
     out = df.persist(level)
     _ACTIVE_CACHES.append(out)
-    _ACTIVE_HASHES.add(h)
+    _ACTIVE_HASHES[h] = level
     return out
 
 

@@ -716,6 +716,35 @@ def test_lm_predictability_folds_unigrams_and_joins_lm_once(spark):
         query_scope.release()
 
 
+def test_lm_trigram_scores_through_one_tagged_union_join(spark):
+    # scale contract (VERDICT r5 #5): the three Laplace components are
+    # pre-divided at TRAIN time into ONE tagged-union LM (two LM-grain
+    # fold joins, corpus-size independent), so the corpus-sized key
+    # stream crosses exactly ONE co-partitioned equi-join — three
+    # separate lookups would triple it. Equi-joins in the whole lazy
+    # plan: tri-fold + bi-fold + score + the final doc left join = 4;
+    # the V/N scalar rides as 1-row broadcasts (BNLJ), never a
+    # cartesian; uni and bi are the scoped caches (type-grain, not the
+    # corpus-grain class the r2 bm25 lesson forbids).
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_lm_trigram_predictability")
+        assert "CartesianProduct" not in tree, tree
+        n_equi = sum(
+            tree.count(j)
+            for j in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        )
+        assert n_equi == 4, tree
+        assert "BroadcastNestedLoopJoin" in tree, tree
+        assert "InMemoryTableScan" in tree, tree  # uni/bi type-grain caches
+        assert "BatchEvalPython" not in tree, tree
+    finally:
+        query_scope.release()
+
+
 def test_budget_select_uses_distributed_prefix_sum(spark):
     # the budget cut must come from the two-level prefix sum: local
     # windows keyed by __pid, NEVER a single-partition global window

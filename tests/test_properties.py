@@ -2347,10 +2347,17 @@ def test_source_overlap_jaccard_ignores_null_text(spark, tmp_path_factory):
 def test_length_bucket_padding_survives_huge_docs(spark, tmp_path_factory):
     """Self-review r5 regression: the bucket cap must shift a BIGINT —
     a 32-bit shiftleft wraps negative for n_chars > 2^30 in Spark
-    (DuckDB throws instead). Pin caps across the 2^30..2^40 range."""
+    (DuckDB throws instead). Pin caps across the 2^30..2^44 range.
+
+    ADVICE r5: the waste_ppm product padded·1e6 must not ride BIGINT —
+    it overflows at padded > ~9.2e12 (≈ 9 TB in one bucket, reachable
+    at the 100 TB design point) while capacity itself is still tiny
+    against BIGINT. The 2^44+1 doc below puts padded·1e6 ≈ 1.76e19
+    past 2^63−1; both engines must return the exact floor ppm via
+    their 128-bit-capable types (DECIMAL(38,0) div / HUGEINT //)."""
     import duckdb
 
-    sizes = [(1 << 30) + 1, (1 << 31) + 5, (1 << 40) - 3]
+    sizes = [(1 << 30) + 1, (1 << 31) + 5, (1 << 40) - 3, (1 << 44) + 1]
     tmp = tmp_path_factory.mktemp("lbp_huge")
     spark.createDataFrame(
         [(i, n) for i, n in enumerate(sizes)], "doc_id long, n_chars long"
@@ -2360,17 +2367,24 @@ def test_length_bucket_padding_survives_huge_docs(spark, tmp_path_factory):
         queries as catalog,
     )
 
+    def exact(cap, n):
+        return (1, cap - n, ((cap - n) * 1000000) // cap)
+
     got = {
-        r["bucket_cap"]: (r["n_docs"], r["padded_chars"])
+        r["bucket_cap"]: (r["n_docs"], r["padded_chars"], r["waste_ppm"])
         for r in catalog.queries()["x_length_bucket_padding"](
             spark, str(tmp)
         ).collect()
     }
     want = {
-        1 << 31: (1, (1 << 31) - ((1 << 30) + 1)),
-        1 << 32: (1, (1 << 32) - ((1 << 31) + 5)),
-        1 << 40: (1, 3),
+        1 << 31: exact(1 << 31, (1 << 30) + 1),
+        1 << 32: exact(1 << 32, (1 << 31) + 5),
+        1 << 40: exact(1 << 40, (1 << 40) - 3),
+        1 << 45: exact(1 << 45, (1 << 44) + 1),
     }
+    # sanity: the last bucket's ppm product really exceeds BIGINT, and
+    # its exact ppm is NOT a rounding fixed point (floor != round).
+    assert want[1 << 45][1] * 1000000 > (1 << 63) - 1
     assert got == want, got
     con = duckdb.connect()
     con.execute(
@@ -2378,8 +2392,8 @@ def test_length_bucket_padding_survives_huge_docs(spark, tmp_path_factory):
         f" read_parquet('{tmp}/documents.parquet/*.parquet')"
     )
     oracle = {
-        c: (nd, pc)
-        for c, nd, _, pc, _ in con.execute(
+        c: (nd, pc, wp)
+        for c, nd, _, pc, wp in con.execute(
             catalog.oracle_sql()["x_length_bucket_padding"]
         ).fetchall()
     }
@@ -2601,3 +2615,197 @@ def test_vocab_growth_curve_matches_python_model(
     assert got == want, (texts, got, want)
     assert got[4][0] == len(rows)
     assert got[4][3] == len(first)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=3),
+            min_size=0,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SETTINGS
+def test_lm_trigram_predictability_matches_python_model(
+    spark, docs, tmp_path_factory
+):
+    """x_lm_trigram_predictability == a direct model: λ-weighted
+    (1/2, 1/4, 1/4 ppm) trigram/bigram/unigram Laplace mixture over
+    the 'lmtrain' hash-split train half, integer-ppm terms, per-
+    component unseen floors (λ//V for trigram/bigram, λ//(N+V) for
+    unigram), per-doc rollup, (0, 0, NULL, 0) for <3-word docs."""
+    import hashlib
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_train import (
+        _LM3_W,
+    )
+
+    tmp = tmp_path_factory.mktemp("lm3")
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    def words_of(text):
+        return [w.lower() for w in text.strip().split() if w]
+
+    def is_train(doc_id):
+        return hashlib.md5(f"lmtrain:{doc_id}".encode()).hexdigest()[:2] < "80"
+
+    from collections import Counter
+
+    uni, big, tri = Counter(), Counter(), Counter()
+    for i, text in rows:
+        if is_train(i):
+            ws = words_of(text)
+            uni.update(ws)
+            big.update(zip(ws, ws[1:]))
+            tri.update(zip(ws, ws[1:], ws[2:]))
+    v = len(uni)
+    n = sum(uni.values())
+    l3, l2, l1 = _LM3_W["tri"], _LM3_W["bi"], _LM3_W["uni"]
+    want = {}
+    for i, text in rows:
+        ws = words_of(text)
+        tgs = list(zip(ws, ws[1:], ws[2:]))
+        total = unseen = 0
+        for tg in tgs:
+            # v == 0 (wordless train half): every floor divides by 0 —
+            # NULL in both engines, sum() skips -> total coalesces to 0
+            # and the mean (NULL div n) is NULL; mirror with 0 here
+            if tg in tri:
+                total += (l3 * (tri[tg] + 1)) // (big[tg[:2]] + v)
+            else:
+                total += l3 // v if v else 0
+                unseen += 1
+            bg = tg[1:]
+            if bg in big:
+                total += (l2 * (big[bg] + 1)) // (uni[bg[0]] + v)
+            else:
+                total += l2 // v if v else 0
+            w = tg[2]
+            if w in uni:
+                total += (l1 * (uni[w] + 1)) // (n + v)
+            else:
+                total += l1 // (n + v) if v else 0
+        k = len(tgs)
+        mean = (total // k) if (k and v) else None
+        want[i] = (k, total, mean, unseen)
+
+    got = {
+        r["doc_id"]: (
+            r["n_trigrams"],
+            r["mix_ppm_total"],
+            r["mix_ppm_mean"],
+            r["n_unseen"],
+        )
+        for r in catalog.queries()["x_lm_trigram_predictability"](
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == want, (docs, got, want)
+
+
+def test_lm_trigram_predictability_empty_train_half(spark, tmp_path_factory):
+    """v = 0 edge: a wordless train half makes every unseen floor
+    divide by zero — DuckDB's // yields NULL, Spark's ANSI div THROWS
+    unless gated on v > 0 (the bigram query's convention). Fixtures
+    can never reach this, so pin it: totals coalesce to 0, means stay
+    NULL, trigram unseen counts survive."""
+    import duckdb
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    tmp = tmp_path_factory.mktemp("lm3_v0")
+    rows = [(0, ""), (1, " "), (2, ""), (3, "a b c d")]  # train docs wordless
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+    got = sorted(
+        tuple(r)
+        for r in catalog.queries()["x_lm_trigram_predictability"](
+            spark, str(tmp)
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM read_parquet("
+        f"'{tmp}/documents.parquet/*.parquet')"
+    )
+    want = sorted(
+        tuple(w)
+        for w in con.execute(
+            catalog.oracle_sql()["x_lm_trigram_predictability"]
+        ).fetchall()
+    )
+    assert got == want, (got, want)
+    assert got[3] == (3, 2, 0, None, 2)  # 2 trigrams unseen, NULL mean
+
+
+def test_contamination_removal_consistent_with_flag_query(spark):
+    """The per-source removal report must be recomputable from
+    x_contamination_3gram's own output plus the documents table's
+    n_chars — pins the composition to the SAME flag owner on real data
+    (zero new truth logic) and the ppm ratios to integer-floor
+    division."""
+    import duckdb
+
+    from conftest import SF_SMOKE
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    flags = {
+        r["doc_id"]: r["flagged"]
+        for r in catalog.queries()["x_contamination_3gram"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    meta = duckdb.connect().execute(
+        f"SELECT doc_id, source, n_chars FROM"
+        f" read_parquet('{SF_SMOKE}/documents.parquet')"
+    ).fetchall()
+    agg = {}
+    for doc_id, source, n_chars in meta:
+        if doc_id not in flags:  # bench slice: not scored, not reported
+            continue
+        n, rm, ct, cl = agg.get(source, (0, 0, 0, 0))
+        f = flags[doc_id]
+        agg[source] = (n + 1, rm + f, ct + n_chars, cl + (n_chars if f else 0))
+    want = {
+        s: (
+            n,
+            rm,
+            (1000000 * rm) // n,
+            ct,
+            cl,
+            (1000000 * cl) // ct if ct > 0 else None,
+        )
+        for s, (n, rm, ct, cl) in agg.items()
+    }
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_removed"],
+            r["removed_ppm"],
+            r["chars_total"],
+            r["chars_lost"],
+            r["chars_lost_ppm"],
+        )
+        for r in catalog.queries()["x_contamination_removal"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == want, (got, want)
+    # the composition is non-degenerate on the smoke fixture: at least
+    # one source, and every train doc accounted for exactly once
+    assert got and sum(v[0] for v in got.values()) == len(flags)

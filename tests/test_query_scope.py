@@ -124,7 +124,15 @@ def test_scoped_persist_registers_foreign_caches(spark):
     (direct df.persist() by an operator user) must still be registered
     when scoped_persist sees the same plan — skipping it would leave an
     unbounded-lifetime cache substituting into later queries' plans.
-    Only caches THIS scope created take the skip-if-cached fast path."""
+    Only caches THIS scope created take the skip-if-cached fast path.
+
+    ADVICE r5: the live entry keeps the FOREIGN level (plain persist()'s
+    MEMORY_AND_DISK_DESER, not scoped_persist's MEMORY_AND_DISK
+    default), so the level-mismatch warning must compare against the
+    level the caller REQUESTED at first scoped persist — the warm
+    re-entry below repeats that same request and must stay silent."""
+    import warnings as _warnings
+
     query_scope.release()
     base = spark.range(100).selectExpr("id", "id * 2 AS v")
     foreign = base.persist()
@@ -134,10 +142,15 @@ def test_scoped_persist_registers_foreign_caches(spark):
         assert same_plan.storageLevel.useMemory  # cache-manager hit
         out = query_scope.scoped_persist(same_plan)
         assert len(query_scope._ACTIVE_CACHES) == 1  # registered, not skipped
-        # re-running the SAME scoped persist now takes the fast path
-        again = query_scope.scoped_persist(
-            spark.range(100).selectExpr("id", "id * 2 AS v")
-        )
+        # re-running the SAME scoped persist now takes the fast path —
+        # silently: the caller's request matches its own first request,
+        # and the foreign level the caller never asked for is not a
+        # mismatch (errors on any warning).
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            again = query_scope.scoped_persist(
+                spark.range(100).selectExpr("id", "id * 2 AS v")
+            )
         assert len(query_scope._ACTIVE_CACHES) == 1
         query_scope.release()
         assert not out.storageLevel.useMemory  # release cleared the entry

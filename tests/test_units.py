@@ -253,3 +253,36 @@ def test_lsh_pairs_ctes_is_the_r2_generator_output():
     # and the key structural facts of the r=2 scheme stay pinned
     assert "md5(sig[2*b.band + 1] || '|' || sig[2*b.band + 2])" in qe._LSH_PAIRS_CTES
     assert "unnest([0, 1, 2, 3])" in qe._LSH_PAIRS_CTES
+
+
+def test_iterative_query_bounds_are_guarded():
+    """VERDICT r5 #4: the two sequential-job loops must reject
+    out-of-class arguments instead of silently scheduling thousands of
+    serial jobs (kcenter) or generating unbounded oracle text (the
+    unrolled CTE builders) — the pivot-domain guard's class."""
+    import pytest
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators import (
+        similarity as S,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries_retrieval as qr,
+    )
+
+    with pytest.raises(ValueError, match="sequential Spark job"):
+        S.kcenter_select(None, k=S.KCENTER_MAX_K + 1)
+    # the cap is overridable for a caller who accepts the serial cost
+    # (k<1 short-circuits before any Spark work, so None is safe here)
+    assert S.kcenter_select(None, k=0, max_k=0) == []
+
+    with pytest.raises(ValueError, match="quadratic in k"):
+        qr._kcenter_oracle(65)
+    with pytest.raises(ValueError, match="sequential driver jobs"):
+        qr._pi_oracle(0)
+    with pytest.raises(ValueError, match="sequential driver jobs"):
+        qr._pi_oracle(qr._PI_MAX_ITERS + 1)
+    # the registered constants themselves sit inside the guards
+    assert 1 <= qr._PI_ITERS <= qr._PI_MAX_ITERS
+    assert 1 <= qr._KC_K <= 64
+    assert qr._pi_oracle(qr._PI_ITERS)
+    assert qr._kcenter_oracle(qr._KC_K)

@@ -84,6 +84,12 @@ SENSITIVE = [
     "x_kcenter_diverse_sample",
     # e4 matvec snap boundaries move with corpus size (float-sum grid)
     "x_embedding_top_component",
+    # round-6 addition: trigram/bigram/unigram mixture — LM-grain
+    # joins and unseen-floor boundaries move with corpus size, the
+    # bigram query's class (x_contamination_removal is a source-grain
+    # rollup of an already-SENSITIVE-adjacent flag and is not volume-
+    # sensitive beyond its inputs)
+    "x_lm_trigram_predictability",
 ]
 
 
