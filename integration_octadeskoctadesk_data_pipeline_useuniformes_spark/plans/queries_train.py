@@ -809,13 +809,42 @@ _LM_WORDS = (
     " w -> lower(w)), w -> w <> '' AND NOT contains(w, chr(1)))"
 )
 
+#: LM train-half hash-split parameters (prefix, threshold ≈ 50%) —
+#: shared by the bigram and trigram queries so the two LMs provably
+#: train on the SAME half (r6 self-review: the pair was hand-
+#: duplicated in four places).
+_LM_SPLIT = ("lmtrain", "80")
+
+
+def _lm_words_col() -> F.Column:
+    """Spark-side owner of the LM tokenizer — _LM_WORDS' mirror:
+    lowercase, \\s+ split, drop empties and SEP-bearing words (r6
+    self-review hoist: the expression was byte-duplicated between the
+    bigram and trigram queries — the copy-drift class per-query parity
+    cannot catch)."""
+    from ..operators.bpe import SEP  # one source of truth for chr(1)
+
+    return F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"),
+        lambda w: (w != F.lit("")) & ~w.contains(SEP),
+    )
+
+
+def _lm_base(d: DataFrame) -> DataFrame:
+    """(doc_id, ws, is_train) — the shared LM scoring base frame."""
+    return d.select(
+        "doc_id",
+        _lm_words_col().alias("ws"),
+        hash_split_pred(_LM_SPLIT[0], "doc_id", _LM_SPLIT[1]).alias("is_train"),
+    )
+
 
 @register(
     "x_lm_bigram_predictability",
     f"""
 WITH ws AS (
   SELECT doc_id, {_LM_WORDS} AS ws,
-         {_hash_split_pred_sql("lmtrain", "doc_id", "80")} AS is_train
+         {_hash_split_pred_sql(_LM_SPLIT[0], "doc_id", _LM_SPLIT[1])} AS is_train
   FROM documents
 ), bg AS (
   SELECT doc_id, is_train,
@@ -856,10 +885,6 @@ def x_lm_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import SEP  # one source of truth for chr(1)
 
     d = load_table(spark, sf_dir, "documents")
-    words = F.filter(
-        F.split(F.trim(F.lower("text")), r"\s+"),
-        lambda w: (w != F.lit("")) & ~w.contains(SEP),
-    )
     bigrams = F.when(
         F.size("ws") > 1,
         F.transform(
@@ -871,8 +896,7 @@ def x_lm_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    is_train = hash_split_pred("lmtrain", "doc_id", "80")
-    base = d.select("doc_id", words.alias("ws"), is_train.alias("is_train"))
+    base = _lm_base(d)
 
     train_words = base.filter("is_train").select(F.explode("ws").alias("word"))
     uni = train_words.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c1"))
@@ -974,7 +998,7 @@ _LM3_W = {"tri": 500_000, "bi": 250_000, "uni": 250_000}
     f"""
 WITH ws AS (
   SELECT doc_id, {_LM_WORDS} AS ws,
-         {_hash_split_pred_sql("lmtrain", "doc_id", "80")} AS is_train
+         {_hash_split_pred_sql(_LM_SPLIT[0], "doc_id", _LM_SPLIT[1])} AS is_train
   FROM documents
 ), uni AS (
   SELECT word, CAST(count(*) AS BIGINT) AS c1
@@ -1045,12 +1069,7 @@ def x_lm_trigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import SEP  # one source of truth for chr(1)
 
     d = load_table(spark, sf_dir, "documents")
-    words = F.filter(
-        F.split(F.trim(F.lower("text")), r"\s+"),
-        lambda w: (w != F.lit("")) & ~w.contains(SEP),
-    )
-    is_train = hash_split_pred("lmtrain", "doc_id", "80")
-    base = d.select("doc_id", words.alias("ws"), is_train.alias("is_train"))
+    base = _lm_base(d)
     train = base.filter("is_train")
 
     def gram(i: F.Column, n: int) -> F.Column:
@@ -1137,16 +1156,8 @@ def x_lm_trigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.sequence(F.lit(1), F.size("ws") - 2),
                         lambda i: F.array(
                             F.concat(F.lit("3" + SEP), gram(i, 3)),
-                            F.concat(
-                                F.lit("2" + SEP),
-                                F.element_at(F.col("ws"), i + 1),
-                                F.lit(SEP),
-                                F.element_at(F.col("ws"), i + 2),
-                            ),
-                            F.concat(
-                                F.lit("1" + SEP),
-                                F.element_at(F.col("ws"), i + 2),
-                            ),
+                            F.concat(F.lit("2" + SEP), gram(i + 1, 2)),
+                            F.concat(F.lit("1" + SEP), gram(i + 2, 1)),
                         ),
                     )
                 ),

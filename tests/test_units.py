@@ -286,3 +286,27 @@ def test_iterative_query_bounds_are_guarded():
     assert 1 <= qr._KC_K <= 64
     assert qr._pi_oracle(qr._PI_ITERS)
     assert qr._kcenter_oracle(qr._KC_K)
+
+
+def test_lm3_mixture_weights_are_a_dyadic_unit_partition():
+    """The trigram mixture's correctness premise: λ weights are exact
+    ppm integers that partition 1e6 (so per-trigram mass sums to
+    exactly one millionth grid) and each is a dyadic fraction of 1e6
+    (the reason integer division stays engine-portable)."""
+    # plans.queries first: queries_train is not a supported direct
+    # entry (partial-init ImportError via queries_curate)
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (  # noqa: F401
+        queries,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_train import (
+        _LM3_W,
+        _LM_SPLIT,
+    )
+
+    assert sum(_LM3_W.values()) == 1_000_000
+    for w in _LM3_W.values():
+        # dyadic: 1e6/w is a power of two
+        q, r = divmod(1_000_000, w)
+        assert r == 0 and (q & (q - 1)) == 0, _LM3_W
+    # the two LMs train on the SAME hash-split half (single owner)
+    assert _LM_SPLIT == ("lmtrain", "80")

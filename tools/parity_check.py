@@ -25,7 +25,9 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 #: sensitive to data volume (float accumulation order, sketch
 #: saturation, window/prefix grain, cache scope) — every round re-runs
 #: these at sf0.1, not just sf0.01. Includes the round-3 additions
-#: (VERDICT r3 item 6) and round 4's iterative BPE.
+#: (VERDICT r3 item 6), round 4's iterative BPE, the round-5 additions
+#: and round 6's trigram LM — 43 members as of round 6 (registry-sync
+#: pinned by tests/test_units.py), against a 194-query catalog.
 SENSITIVE = [
     # scale tier (sketches, prefix sums, checksums, quantiles)
     "x_bloom_prune_join",
