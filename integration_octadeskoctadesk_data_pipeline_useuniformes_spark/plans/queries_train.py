@@ -986,6 +986,18 @@ def x_lm_bigram_predictability(spark: SparkSession, sf_dir: str) -> DataFrame:
 # train half (V = 0) makes every unseen floor NULL (DuckDB `// 0`) —
 # Spark's ANSI div THROWS, so the floors are gated on v > 0 exactly
 # like the bigram query's unseen term.
+#
+# Measured A/B vs a three-separate-lookup-join variant (fair protocol:
+# fresh session per variant, neutral warmup, interleaved processes,
+# identical checksums, sf0.1 warm reps 2-5): union [2.20, 2.08, 1.91,
+# 2.05] / [2.18, 1.77, 1.94, 2.07] vs three [3.15, 2.22, 2.14, 2.29] /
+# [2.20, 2.03, 1.77, 1.69] — union slightly ahead in round 1, a wash
+# in round 2 (both LM sides broadcast at this scale, so the variants
+# converge). The union is kept for the structural reason, which only
+# appears when the LM outgrows broadcast: total shuffled bytes are
+# equal (3 joins x 1 row/trigram vs 1 join x 3 rows/trigram), but the
+# union is ONE SMJ stage (one sort of the stream, one AQE skew
+# decision) where the variant is three sequential join stages.
 # ---------------------------------------------------------------------------
 
 #: Mixture weights in ppm — dyadic λ = (1/2, 1/4, 1/4), single owner
