@@ -839,14 +839,21 @@ def _lm_base(d: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "x_lm_bigram_predictability",
-    f"""
-WITH ws AS (
+#: _lm_base's oracle twin — the ws CTE both LM oracles open with
+#: (third r6 review pass: the skeleton was inlined twice; byte-identity
+#: of both registered SQLs asserted against the git-HEAD import at
+#: refactor time).
+_LM_WS_CTE = f"""ws AS (
   SELECT doc_id, {_LM_WORDS} AS ws,
          {_hash_split_pred_sql(_LM_SPLIT[0], "doc_id", _LM_SPLIT[1])} AS is_train
   FROM documents
-), bg AS (
+)"""
+
+
+@register(
+    "x_lm_bigram_predictability",
+    f"""
+WITH {_LM_WS_CTE}, bg AS (
   SELECT doc_id, is_train,
          unnest(list_transform(generate_series(1, len(ws) - 1),
                                i -> ws[i] || chr(1) || ws[i + 1])) AS bg
@@ -1008,11 +1015,7 @@ _LM3_W = {"tri": 500_000, "bi": 250_000, "uni": 250_000}
 @register(
     "x_lm_trigram_predictability",
     f"""
-WITH ws AS (
-  SELECT doc_id, {_LM_WORDS} AS ws,
-         {_hash_split_pred_sql(_LM_SPLIT[0], "doc_id", _LM_SPLIT[1])} AS is_train
-  FROM documents
-), uni AS (
+WITH {_LM_WS_CTE}, uni AS (
   SELECT word, CAST(count(*) AS BIGINT) AS c1
   FROM (SELECT unnest(ws) AS word FROM ws WHERE is_train) GROUP BY word
 ), vv AS (
