@@ -2383,8 +2383,12 @@ def test_length_bucket_padding_survives_huge_docs(spark, tmp_path_factory):
         1 << 45: exact(1 << 45, (1 << 44) + 1),
     }
     # sanity: the last bucket's ppm product really exceeds BIGINT, and
-    # its exact ppm is NOT a rounding fixed point (floor != round).
-    assert want[1 << 45][1] * 1000000 > (1 << 63) - 1
+    # its exact ppm is NOT a rounding fixed point (floor != round-half-
+    # up — the divergence the DuckDB DECIMAL `//` cast would produce),
+    # so the test can actually distinguish the two behaviors.
+    p, c = want[1 << 45][1] * 1000000, 1 << 45
+    assert p > (1 << 63) - 1
+    assert p // c != (p + c // 2) // c
     assert got == want, got
     con = duckdb.connect()
     con.execute(
