@@ -74,20 +74,21 @@ def register(name: str, oracle: str | None):
 #: registered query has at least one green row.
 #:
 #: Round-6 window (VERDICT r5 #1): changed/new queries lead (ADVICE r2
-#: standing rule) — two NEW queries (x_lm_trigram_predictability,
-#: x_contamination_removal) plus three changed: x_length_bucket_padding
-#: (waste_ppm moved to 128-bit-capable types, r5 ADVICE),
-#: x_kcenter_diverse_sample and x_embedding_top_component (iterative-
-#: bound guards, VERDICT #4 — behavior-identical for the registered
-#: parameters and re-verified strictly at all three SFs, re-windowed
-#: per the stricter r5 precedent anyway). The remaining 45 slots go to
-#: the stale cohort the verdict names: the 47 queries whose newest
-#: green row is r2 (the agg_*/fn_* tier plus w1, s10,
-#: pipeline_update_selection, x_pack_sequences, x_ngram_novelty,
-#: x_outlier_mad_by_source, x_dedup_minhash_signatures) and the four
-#: r1-only stragglers (p1, p2, c10, f4 — held out twice already, due
-#: now). 5 + 51 = 56 candidates for 50 slots: six fn_* batteries are
-#: carried to r7 (rationale in the trailing comment).
+#: standing rule) — three NEW queries (x_lm_trigram_predictability,
+#: x_contamination_removal, x_dedup_containment_topk) plus three
+#: changed: x_length_bucket_padding (waste_ppm moved to 128-bit-capable
+#: types, r5 ADVICE), x_kcenter_diverse_sample and
+#: x_embedding_top_component (iterative-bound guards, VERDICT #4 —
+#: behavior-identical for the registered parameters and re-verified
+#: strictly at all three SFs, re-windowed per the stricter r5 precedent
+#: anyway). The remaining 44 slots go to the stale cohort the verdict
+#: names: the 47 queries whose newest green row is r2 (the agg_*/fn_*
+#: tier plus w1, s10, pipeline_update_selection, x_pack_sequences,
+#: x_ngram_novelty, x_outlier_mad_by_source,
+#: x_dedup_minhash_signatures) and the four r1-only stragglers (p1,
+#: p2, c10, f4 — held out twice already, due now). 6 + 51 = 57
+#: candidates for 50 slots: seven fn_* batteries are carried to r7
+#: (rationale in the trailing comment).
 DRIVER_WINDOW: list[str] = [
     # changed or new this round (re-verify first)
     "x_lm_trigram_predictability",
@@ -95,6 +96,7 @@ DRIVER_WINDOW: list[str] = [
     "x_length_bucket_padding",
     "x_kcenter_diverse_sample",
     "x_embedding_top_component",
+    "x_dedup_containment_topk",
     # the four r1-only stragglers (oldest rows in the catalog)
     "p1_project_rename",
     "p2_missing_column_backfill",
@@ -134,7 +136,6 @@ DRIVER_WINDOW: list[str] = [
     "fn_window_lag_gap",
     "fn_window_rank_tiles",
     "fn_window_running_total",
-    "fn_string_battery",
     "w1_latest_event_per_chat",
     "s10_sql_entry_parameterized",
     "pipeline_update_selection",
@@ -143,15 +144,17 @@ DRIVER_WINDOW: list[str] = [
     "x_outlier_mad_by_source",
     "x_pack_sequences",
 ]
-# Slot arithmetic: 5 changed/new + 4 r1 stragglers + 41 of the 47
-# r2-cohort members = 50. Six r2-cohort fn_* batteries are CARRIED to
-# round 7 — fn_array_battery, fn_date_battery, fn_json_battery,
-# fn_null_battery, fn_set_except, fn_set_intersect — chosen because
-# they are single-scan codegen projection batteries with no
-# persist/join/window machinery (the lowest-regression-risk class in
-# the cohort; the window-function and unpivot batteries, which DO
-# exercise Window/Expand machinery, went in). All six stay covered by
-# the full-catalog strict sf0.01 gate every round.
+# Slot arithmetic: 6 changed/new + 4 r1 stragglers + 40 of the 47
+# r2-cohort members = 50. Seven r2-cohort fn_* batteries are CARRIED
+# to round 7 — fn_array_battery, fn_date_battery, fn_json_battery,
+# fn_null_battery, fn_set_except, fn_set_intersect, fn_string_battery
+# — chosen because they are single-scan codegen projection batteries
+# with no persist/join/window machinery (the lowest-regression-risk
+# class in the cohort; the window-function and unpivot batteries,
+# which DO exercise Window/Expand machinery, went in;
+# fn_string_battery gave up its slot to the late-r6
+# x_dedup_containment_topk). All seven stay covered by the
+# full-catalog strict sf0.01 gate every round.
 # flagship_unresolved_distinct stays out as always: the driver's
 # entry() smoke verifies it every round regardless of the window.
 # The round-6 scoped_persist change only REMOVES a spurious warning on

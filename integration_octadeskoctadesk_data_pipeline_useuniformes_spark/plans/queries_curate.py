@@ -861,6 +861,117 @@ def x_dedup_lsh_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Containment duplicates (Broder's asymmetric measure) — the Jaccard
+# blind spot made measurable: a truncated copy (A ⊂ B with |A| ≪ |B|,
+# the quote/boilerplate/cut-off-document case) has containment
+# |A∩B|/|A| ≈ 1 but Jaccard |A∩B|/|A∪B| ≈ |A|/|B|, so the catalog's
+# 0.5-Jaccard dedup gate never fires. This report lists sampled pairs
+# with max-containment >= 0.9 alongside their Jaccard, flagging the
+# ones the 0.5-Jaccard dedup gate would miss (`jaccard_misses`) — the
+# operational number a dedup team reads before deciding whether to add
+# a containment pass. Shaped as a TOP-K ranking rather than a
+# threshold gate so the report is non-degenerate on any corpus (this
+# fixture's sample maxes out at containment 0.125 — a 0.9 gate would
+# be a permanently empty result, which verifies nothing). Lives on the
+# doc_id < 100 truth sample (the recall-sample/band-tuning convention:
+# exact pair truth is quadratic by nature, so it belongs on a bounded
+# sample; at corpus scale the production path would band on
+# prefix-anchored shingle subsets instead).
+#
+# The 0.5-Jaccard truth owner (_EXACT_TRUTH_CTES) is deliberately NOT
+# reused: it gates at a fixed threshold and emits only ids — this
+# query's grain is the measured pair. The set REPRESENTATION is the
+# shared owner (D.hashed_shingle_set / _SHINGLES_SQL — hashed vs raw
+# strings agree on every SET SIZE, the established exact-Jaccard
+# contract), so the reports cannot drift on what a shingle is. The
+# miss flag rides integer cross-multiplication (2·inter < union); the
+# ranking key and reported ppm columns are integer floor div with
+# denominators >= 1 by the empty-set filter (both engines exclude
+# shingle-less docs up front — containment is undefined on an empty
+# set, and the div would NULL in DuckDB but THROW under Spark ANSI);
+# the (ppm DESC, id_a, id_b) order is total, so LIMIT agrees
+# cross-engine and Spark plans it as TakeOrdered, never a global sort.
+# ---------------------------------------------------------------------------
+
+_CONT_TOPK = 20
+
+
+@register(
+    "x_dedup_containment_topk",
+    f"""
+WITH documents AS (SELECT * FROM main.documents WHERE doc_id < 100),
+g AS (
+  SELECT doc_id, list_distinct({_SHINGLES_SQL}) AS sh FROM documents
+),
+gg AS (
+  SELECT doc_id, sh, CAST(len(sh) AS BIGINT) AS sz FROM g WHERE len(sh) > 0
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_inter,
+         a.sz AS size_a, b.sz AS size_b
+  FROM gg a JOIN gg b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, n_inter, size_a, size_b,
+       CAST((1000000 * n_inter) // least(size_a, size_b) AS BIGINT)
+         AS cont_max_ppm,
+       CAST((1000000 * n_inter) // greatest(size_a, size_b) AS BIGINT)
+         AS cont_min_ppm,
+       CAST((1000000 * n_inter) // (size_a + size_b - n_inter) AS BIGINT)
+         AS jaccard_ppm,
+       (2 * n_inter < size_a + size_b - n_inter) AS jaccard_misses
+FROM pairs
+ORDER BY cont_max_ppm DESC, id_a ASC, id_b ASC
+LIMIT {_CONT_TOPK}
+""",
+)
+def x_dedup_containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sample = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    gg = scoped_persist(
+        sample.select("doc_id", D.hashed_shingle_set(F.col("text")).alias("sh"))
+        .filter(F.size("sh") > 0)
+        .select("doc_id", "sh", F.size("sh").cast("bigint").alias("sz"))
+    )
+    ga = gg.select(
+        F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"), F.col("sz").alias("size_a")
+    )
+    gb = gg.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"), F.col("sz").alias("size_b")
+    )
+    pairs = ga.join(F.broadcast(gb), F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("sha", "shb")).cast("bigint").alias("n_inter"),
+        "size_a",
+        "size_b",
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            "n_inter",
+            "size_a",
+            "size_b",
+            F.expr("(1000000 * n_inter) div least(size_a, size_b)")
+            .cast("bigint")
+            .alias("cont_max_ppm"),
+            F.expr("(1000000 * n_inter) div greatest(size_a, size_b)")
+            .cast("bigint")
+            .alias("cont_min_ppm"),
+            F.expr("(1000000 * n_inter) div (size_a + size_b - n_inter)")
+            .cast("bigint")
+            .alias("jaccard_ppm"),
+            (
+                F.lit(2) * F.col("n_inter")
+                < F.col("size_a") + F.col("size_b") - F.col("n_inter")
+            ).alias("jaccard_misses"),
+        )
+        .orderBy(F.col("cont_max_ppm").desc(), F.col("id_a").asc(), F.col("id_b").asc())
+        .limit(_CONT_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Dedup survivor selection — the step that turns clusters into a
 # corpus: per near-dup cluster, KEEP the highest-quality member (by the
 # frozen classifier logit, doc_id-ascending tie-break) and report the

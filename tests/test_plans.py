@@ -716,6 +716,30 @@ def test_lm_predictability_folds_unigrams_and_joins_lm_once(spark):
         query_scope.release()
 
 
+def test_containment_topk_is_takeordered_broadcast_pairs(spark):
+    # sample-bounded by contract (doc_id < 100 reaches the scan as a
+    # pushed filter): the pair generation is ONE broadcast nested-loop
+    # join over the cached shingle-set projection — never an SMJ or
+    # unbounded cartesian — and the top-20 plans as TakeOrdered, never
+    # a global sort.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        plan = plan_of(spark, "x_dedup_containment_topk")
+        tree = plan.split("\n\n", 1)[0]
+        assert "TakeOrderedAndProject" in tree, tree
+        assert "BroadcastNestedLoopJoin" in tree, tree
+        assert "InMemoryTableScan" in tree, tree  # shared shingle cache
+        assert "SortMergeJoin" not in tree, tree
+        assert "CartesianProduct" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+        assert "LessThan(doc_id,100)" in plan.replace(" ", ""), plan
+    finally:
+        query_scope.release()
+
+
 def test_lm_trigram_scores_through_one_tagged_union_join(spark):
     # scale contract (VERDICT r5 #5): the three Laplace components are
     # pre-divided at TRAIN time into ONE tagged-union LM (two LM-grain

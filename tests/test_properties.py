@@ -2813,3 +2813,95 @@ def test_contamination_removal_consistent_with_flag_query(spark):
     # the composition is non-degenerate on the smoke fixture: at least
     # one source, and every train doc accounted for exactly once
     assert got and sum(v[0] for v in got.values()) == len(flags)
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.text(alphabet="ab", min_size=1, max_size=2),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=7,
+    )
+)
+@_SETTINGS
+def test_dedup_containment_topk_matches_python_model(
+    spark, docs, tmp_path_factory
+):
+    """x_dedup_containment_topk == a direct model: distinct 3-word
+    shingle sets, all (a<b) pairs of shingle-bearing docs, integer-ppm
+    containment/jaccard, (cont_max_ppm DESC, id_a, id_b) top-20. A
+    truncation pair (doc 0 = the first 5 words of doc 1's 40-word
+    text) is PLANTED so the jaccard_misses=true case — absent from the
+    fixtures, whose sample maxes out at containment 0.125 — is
+    exercised on every run."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_curate import (
+        _CONT_TOPK,
+    )
+
+    big = [f"w{i}" for i in range(40)]
+    rows = [(0, " ".join(big[:5])), (1, " ".join(big))] + [
+        (i + 2, " ".join(words)) for i, words in enumerate(docs)
+    ]
+    tmp = tmp_path_factory.mktemp("cont")
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp / "documents.parquet"))
+
+    def shingles(text):
+        ws = text.strip().split() if text.strip() else []
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+
+    sets = {i: shingles(t) for i, t in rows}
+    sets = {i: s for i, s in sets.items() if s}
+    model = []
+    ids = sorted(sets)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1 :]:
+            inter = len(sets[a] & sets[b])
+            sa, sb = len(sets[a]), len(sets[b])
+            union = sa + sb - inter
+            model.append(
+                (
+                    a,
+                    b,
+                    inter,
+                    sa,
+                    sb,
+                    (1000000 * inter) // min(sa, sb),
+                    (1000000 * inter) // max(sa, sb),
+                    (1000000 * inter) // union,
+                    2 * inter < union,
+                )
+            )
+    model.sort(key=lambda r: (-r[5], r[0], r[1]))
+    want = model[:_CONT_TOPK]
+
+    got = [
+        (
+            r["id_a"],
+            r["id_b"],
+            r["n_inter"],
+            r["size_a"],
+            r["size_b"],
+            r["cont_max_ppm"],
+            r["cont_min_ppm"],
+            r["jaccard_ppm"],
+            r["jaccard_misses"],
+        )
+        for r in catalog.queries()["x_dedup_containment_topk"](
+            spark, str(tmp)
+        ).collect()
+    ]
+    # engine output arrives in the query's own total order
+    assert got == want, (docs, got, want)
+    # the planted truncation pair: full containment of doc 0 in doc 1,
+    # jaccard 3/38 — flagged as a jaccard miss, and ranked first
+    planted = [r for r in got if (r[0], r[1]) == (0, 1)]
+    assert planted and planted[0][5] == 1000000 and planted[0][8] is True
+    assert got[0][:2] == (0, 1)

@@ -27,7 +27,9 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 #: these at sf0.1, not just sf0.01. Includes the round-3 additions
 #: (VERDICT r3 item 6), round 4's iterative BPE, the round-5 additions
 #: and round 6's trigram LM — 43 members as of round 6 (registry-sync
-#: pinned by tests/test_units.py), against a 194-query catalog.
+#: pinned by tests/test_units.py), against a 195-query catalog
+#: (x_dedup_containment_topk is sample-bounded by construction, like
+#: the recall-sample/band-tuning reports — not volume-sensitive).
 SENSITIVE = [
     # scale tier (sketches, prefix sums, checksums, quantiles)
     "x_bloom_prune_join",
