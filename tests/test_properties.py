@@ -2905,3 +2905,38 @@ def test_dedup_containment_topk_matches_python_model(
     planted = [r for r in got if (r[0], r[1]) == (0, 1)]
     assert planted and planted[0][5] == 1000000 and planted[0][8] is True
     assert got[0][:2] == (0, 1)
+
+
+def test_dedup_containment_topk_degenerate_corpus(spark, tmp_path_factory):
+    """Shingle-less docs (under 3 words, empty, NULL text) are excluded
+    on BOTH engine sides before any division — a NULL/short-only corpus
+    yields zero rows in both engines rather than a NULL-comparison
+    divergence (Spark ANSI size(NULL) is NULL, DuckDB len(NULL) is
+    NULL; both comparisons drop). One 3-word doc alone (no pair
+    partner) also yields zero rows."""
+    import duckdb
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    for tag, rows in [
+        ("allshort", [(0, None), (1, ""), (2, "one two"), (3, " ")]),
+        ("lonedoc", [(0, None), (1, "a b c")]),
+    ]:
+        tmp = tmp_path_factory.mktemp(f"cont_{tag}")
+        spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+            "overwrite"
+        ).parquet(str(tmp / "documents.parquet"))
+        got = catalog.queries()["x_dedup_containment_topk"](
+            spark, str(tmp)
+        ).collect()
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM read_parquet("
+            f"'{tmp}/documents.parquet/*.parquet')"
+        )
+        want = con.execute(
+            catalog.oracle_sql()["x_dedup_containment_topk"]
+        ).fetchall()
+        assert got == [] and want == [], (tag, got, want)
