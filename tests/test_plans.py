@@ -716,6 +716,32 @@ def test_lm_predictability_folds_unigrams_and_joins_lm_once(spark):
         query_scope.release()
 
 
+def test_contamination_removal_adds_one_join_to_flag_plan(spark):
+    # composition contract: the removal report is the flag query's own
+    # plan plus ONE doc-grain equi-join onto the pruned
+    # (doc_id, source, n_chars) projection and a map-side-combined
+    # source rollup — no new shuffle-heavy machinery, no cartesian, no
+    # Python. The flag plan itself carries 3 equi-joins (bench
+    # broadcast + hits + doc-grain left join), so the report totals 4.
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        flag_tree = tree_of(spark, "x_contamination_3gram")
+        tree = tree_of(spark, "x_contamination_removal")
+        kinds = ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+        n_flag = sum(flag_tree.count(j) for j in kinds)
+        n_rep = sum(tree.count(j) for j in kinds)
+        assert n_rep == n_flag + 1, (n_flag, n_rep, tree)
+        assert "CartesianProduct" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+        # the report's own rollup is partial+final around one exchange
+        assert "partial_sum" in plan_of(spark, "x_contamination_removal"), tree
+    finally:
+        query_scope.release()
+
+
 def test_containment_topk_is_takeordered_broadcast_pairs(spark):
     # sample-bounded by contract (doc_id < 100 reaches the scan as a
     # pushed filter): the pair generation is ONE broadcast nested-loop
