@@ -233,7 +233,10 @@ def x_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Containment (subset-duplicate) detection: catches A ⊂ B pairs whose
 # Jaccard is low because |B| >> |A|. Same blocked + broadcast shape as
-# x_dedup_ngram_jaccard; score = |A∩B| / min(|A|,|B|).
+# x_dedup_ngram_jaccard; score = |A∩B| / min(|A|,|B|). Its diagnostic
+# companion is x_dedup_containment_topk below (shingle-grain
+# containment-vs-Jaccard measurement on the exact-truth sample — the
+# report that justifies running this operator at all).
 # ---------------------------------------------------------------------------
 
 
@@ -861,22 +864,26 @@ def x_dedup_lsh_recall_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Containment duplicates (Broder's asymmetric measure) — the Jaccard
-# blind spot made measurable: a truncated copy (A ⊂ B with |A| ≪ |B|,
-# the quote/boilerplate/cut-off-document case) has containment
-# |A∩B|/|A| ≈ 1 but Jaccard |A∩B|/|A∪B| ≈ |A|/|B|, so the catalog's
-# 0.5-Jaccard dedup gate never fires. This report lists sampled pairs
-# with max-containment >= 0.9 alongside their Jaccard, flagging the
-# ones the 0.5-Jaccard dedup gate would miss (`jaccard_misses`) — the
-# operational number a dedup team reads before deciding whether to add
-# a containment pass. Shaped as a TOP-K ranking rather than a
-# threshold gate so the report is non-degenerate on any corpus (this
-# fixture's sample maxes out at containment 0.125 — a 0.9 gate would
-# be a permanently empty result, which verifies nothing). Lives on the
-# doc_id < 100 truth sample (the recall-sample/band-tuning convention:
-# exact pair truth is quadratic by nature, so it belongs on a bounded
-# sample; at corpus scale the production path would band on
-# prefix-anchored shingle subsets instead).
+# Containment-vs-Jaccard measurement (Broder's asymmetric measure on
+# the truth sample) — the DIAGNOSTIC companion to the
+# x_dedup_containment OPERATOR above, the way x_dedup_lsh_recall_sample
+# is the diagnostic companion to the banded-pairs operator. The
+# operator detects token-set containment >= 0.9 inside source blocks
+# (a float-rounded detection score); this report instead MEASURES, at
+# the 3-word-SHINGLE grain the Jaccard dedup tier actually gates on,
+# how containment and Jaccard relate on the exact-truth sample: a
+# truncated copy (A ⊂ B with |A| ≪ |B|, the quote/boilerplate/cut-off
+# case) has containment |A∩B|/|A| ≈ 1 but Jaccard ≈ |A|/|B|, so the
+# catalog's 0.5-Jaccard gate never fires — `jaccard_misses` flags
+# exactly those pairs, the number a dedup team reads before deciding
+# whether to add a containment pass. Shaped as a TOP-K ranking rather
+# than a threshold gate so the report is non-degenerate on any corpus
+# (this fixture's sample maxes out at shingle containment 0.125 — a
+# 0.9 gate would be a permanently empty result, which verifies
+# nothing). Lives on the doc_id < 100 truth sample (the recall-sample/
+# band-tuning convention: exact pair truth is quadratic by nature, so
+# it belongs on a bounded sample; at corpus scale the production path
+# is the blocked operator above, tuned by this report).
 #
 # The 0.5-Jaccard truth owner (_EXACT_TRUTH_CTES) is deliberately NOT
 # reused: it gates at a fixed threshold and emits only ids — this
