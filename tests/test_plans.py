@@ -88,6 +88,14 @@ def test_no_row_at_a_time_python_udf_anywhere(spark):
         # (the intended scalar-bound join in c4 plans as a single-row
         # BroadcastNestedLoopJoin, not CartesianProduct)
         assert "CartesianProduct" not in plan, f"{name} plans a cartesian:\n{plan}"
+        # catalog-wide determinism policy (r6): no nondeterministic
+        # expression may reach a registered plan — oracle comparison is
+        # value-hashed, so rand()/uuid()/monotonically_increasing_id in
+        # compared output can only pass by accident. Deterministic
+        # md5/xxhash64 keys are the sanctioned substitutes throughout.
+        low = plan.lower()
+        for pat in ("rand(", "uuid(", "monotonically_increasing_id"):
+            assert pat not in low, f"{name} plans nondeterminism {pat}:\n{plan}"
 
 
 def test_stratified_sample_is_pure_scan_filter(spark):
