@@ -47,13 +47,44 @@ HEADLINE = [
 #: see the output-block comment).
 _LOAD_PRE: float | None = None
 
+#: Pre-flight load gate (VERDICT r6 #5): the r6 driver capture ran at
+#: loadavg 2.25 — the marker alone doesn't stop contaminated headline
+#: numbers. If the pre-JVM loadavg exceeds the threshold, sleep once
+#: (bounded — NOT a wait-until-quiet loop; the driver must terminate)
+#: and resample, so a capture that starts right after a heavy test
+#: suite lands after the machine settles.
+_PREFLIGHT_THRESHOLD = 1.0
+_PREFLIGHT_SLEEP_SEC = 90.0
+
+
+def _loadavg_1m() -> float | None:
+    try:
+        return round(os.getloadavg()[0], 2)
+    except OSError:  # platform without getloadavg: annotate as unknown
+        return None
+
+
+def preflight_load_gate(
+    loadavg_fn=_loadavg_1m,
+    sleep_fn=time.sleep,
+    threshold: float = _PREFLIGHT_THRESHOLD,
+    sleep_sec: float = _PREFLIGHT_SLEEP_SEC,
+) -> tuple[float | None, float]:
+    """Sample loadavg; if above `threshold`, sleep once and resample.
+
+    Returns (final_loadavg, slept_sec). Exactly zero or one sleep —
+    bounded by construction.
+    """
+    load = loadavg_fn()
+    if load is not None and load > threshold:
+        sleep_fn(sleep_sec)
+        return loadavg_fn(), sleep_sec
+    return load, 0.0
+
 
 def main() -> None:
     global _LOAD_PRE
-    try:
-        _LOAD_PRE = round(os.getloadavg()[0], 2)
-    except OSError:
-        _LOAD_PRE = None
+    _LOAD_PRE, slept = preflight_load_gate()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="bench")
@@ -136,26 +167,30 @@ def main() -> None:
     # JVM starts (this process's own executors dominate the 1-min
     # average by the time the sweep ends); _post is the end-of-run
     # value for completeness.
-    try:
-        load_post = round(os.getloadavg()[0], 2)
-    except OSError:  # platform without getloadavg: annotate as unknown
-        load_post = None
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "value_warm": round(sum(warm.values()), 3),
-                "queries_warm": warm,
-                "queries_warm_reps": warm_reps,
-                "loadavg_1m_pre": _LOAD_PRE,
-                "loadavg_1m_post": load_post,
-            }
-        )
-    )
+    #
+    # Line layout (VERDICT r6 #4): the driver's fixed-size tail capture
+    # keeps the END of stdout and truncated r4-r6's cold headline off
+    # the FRONT. Per-query floats are rounded to 2 decimals, the bulky
+    # per-rep dict is opt-in (SPARK_GRAFT_BENCH_REPS=1 — kept out of
+    # the driver line; recorded ranges live in ROUND_NOTES), and the
+    # headline totals are the LAST keys so they survive any front
+    # truncation even if a future driver shrinks its tail window.
+    load_post = _loadavg_1m()
+    out: dict = {
+        "metric": "headline_queries_total_time",
+        "unit": "sec",
+        "sf": sf,
+        "loadavg_1m_pre": _LOAD_PRE,
+        "loadavg_1m_post": load_post,
+        "preflight_slept_sec": slept,
+        "queries": {n: round(t, 2) for n, t in times.items()},
+        "queries_warm": {n: round(t, 2) for n, t in warm.items()},
+        "value": total,
+        "value_warm": round(sum(warm.values()), 3),
+    }
+    if os.environ.get("SPARK_GRAFT_BENCH_REPS"):
+        out["queries_warm_reps"] = warm_reps
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -278,7 +278,13 @@ def x_contamination_3gram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # measure is the table's own n_chars, and the ppm ratios are integer
 # division (n_docs >= 1 per emitted group; chars_lost_ppm is gated on
 # chars_total > 0 for the all-empty-docs source, where DuckDB's `//`
-# would NULL and Spark's ANSI div would throw). Scale shape: the flag
+# would NULL and Spark's ANSI div would throw). ADVICE r6: both ppm
+# products ride 128-bit-capable types — DECIMAL(38,0)·1e6 div in Spark
+# / HUGEINT·1e6 // in DuckDB, the x_length_bucket_padding pattern —
+# because chars_lost·1e6 overflows BIGINT once a source loses ~9.2e12
+# chars (≈9 TB of text, reachable at the 100 TB design point) and
+# removed_ppm has the same latent class at extreme doc counts. Pinned
+# by test_contamination_removal_survives_huge_docs. Scale shape: the flag
 # query's own plan plus ONE doc-grain equi-join onto the pruned
 # (doc_id, source, n_chars) projection and a map-side-combined rollup
 # to the source grain.
@@ -294,15 +300,15 @@ WITH flags AS ({flag_sql})
 SELECT d.source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(CASE WHEN f.flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-       CAST((1000000 * sum(CASE WHEN f.flagged THEN 1 ELSE 0 END))
-            // count(*) AS BIGINT) AS removed_ppm,
+       CAST(CAST(sum(CASE WHEN f.flagged THEN 1 ELSE 0 END) AS HUGEINT)
+            * 1000000 // count(*) AS BIGINT) AS removed_ppm,
        CAST(sum(d.n_chars) AS BIGINT) AS chars_total,
        CAST(sum(CASE WHEN f.flagged THEN d.n_chars ELSE 0 END) AS BIGINT)
          AS chars_lost,
        CASE WHEN sum(d.n_chars) > 0
-            THEN CAST((1000000 * sum(CASE WHEN f.flagged THEN d.n_chars
-                                          ELSE 0 END)) // sum(d.n_chars)
-                      AS BIGINT)
+            THEN CAST(CAST(sum(CASE WHEN f.flagged THEN d.n_chars
+                                    ELSE 0 END) AS HUGEINT)
+                      * 1000000 // sum(d.n_chars) AS BIGINT)
             ELSE NULL END AS chars_lost_ppm
 FROM flags f JOIN documents d ON f.doc_id = d.doc_id
 GROUP BY d.source
@@ -331,14 +337,17 @@ def x_contamination_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_removed",
-            F.expr("(1000000 * n_removed) div n_docs")
+            F.expr("(CAST(n_removed AS DECIMAL(38,0)) * 1000000) div n_docs")
             .cast("bigint")
             .alias("removed_ppm"),
             "chars_total",
             "chars_lost",
             F.when(
                 F.col("chars_total") > 0,
-                F.expr("(1000000 * chars_lost) div chars_total"),
+                F.expr(
+                    "(CAST(chars_lost AS DECIMAL(38,0)) * 1000000)"
+                    " div chars_total"
+                ),
             )
             .cast("bigint")
             .alias("chars_lost_ppm"),

@@ -2404,6 +2404,83 @@ def test_length_bucket_padding_survives_huge_docs(spark, tmp_path_factory):
     assert oracle == want, oracle
 
 
+def test_contamination_removal_survives_huge_docs(spark, tmp_path_factory):
+    """ADVICE r6 regression: chars_lost_ppm's product chars_lost·1e6
+    must not ride BIGINT — it overflows once a source loses ~9.2e12
+    chars (≈9 TB of text, reachable at the 100 TB design point).
+    Two 2^44-char train docs (one flagged via a shared bench 3-gram,
+    one clean) put chars_lost·1e6 ≈ 1.76e19 past 2^63−1; both engines
+    must return the exact floor ppm via their 128-bit-capable types
+    (DECIMAL(38,0) div / HUGEINT //), mirroring
+    test_length_bucket_padding_survives_huge_docs."""
+    import duckdb
+
+    big = 1 << 44
+    rows = [
+        # doc_id % 50 == 0 → bench slice (never emitted)
+        (0, "alpha beta gamma", "s", 7),
+        # shares the bench doc's one 3-gram → flagged
+        (1, "alpha beta gamma", "s", big + 1),
+        # disjoint grams → clean
+        (2, "delta epsilon zeta", "s", big + 3),
+    ]
+    tmp = tmp_path_factory.mktemp("decon_huge")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    chars_total = 2 * big + 4
+    chars_lost = big + 1
+    want = {
+        "s": (
+            2,
+            1,
+            (1 * 1_000_000) // 2,
+            chars_total,
+            chars_lost,
+            (chars_lost * 1_000_000) // chars_total,
+        )
+    }
+    # sanity: the ppm product really exceeds BIGINT, and the exact ppm
+    # is NOT a rounding fixed point (floor != round-half-up — the
+    # divergence a DECIMAL `//`-then-CAST would produce in DuckDB), so
+    # the test can distinguish the two behaviors.
+    p = chars_lost * 1_000_000
+    assert p > (1 << 63) - 1
+    assert p // chars_total != (p + chars_total // 2) // chars_total
+
+    got = {
+        r["source"]: (
+            r["n_docs"],
+            r["n_removed"],
+            r["removed_ppm"],
+            r["chars_total"],
+            r["chars_lost"],
+            r["chars_lost_ppm"],
+        )
+        for r in catalog.queries()["x_contamination_removal"](
+            spark, str(tmp)
+        ).collect()
+    }
+    assert got == want, got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp}/documents.parquet/*.parquet')"
+    )
+    oracle = {
+        s: tuple(rest)
+        for s, *rest in con.execute(
+            catalog.oracle_sql()["x_contamination_removal"]
+        ).fetchall()
+    }
+    assert oracle == want, oracle
+
+
 def test_embedding_top_component_matches_python_model(spark, tmp_path_factory):
     """Full-chain power-iteration semantics against a direct python
     model. Binary-fraction components (k/16) make ITERATION 1 exact
