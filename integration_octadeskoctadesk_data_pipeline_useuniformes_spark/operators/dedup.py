@@ -170,6 +170,44 @@ def minhash_signatures(
     )
 
 
+def _band_key_structs(num_hashes: int, rows_per_band: int) -> Column:
+    """(band, bucket) key array for LSH banding over a `minhash` column —
+    THE Spark-side owner of the banding scheme (band count, bucket key
+    layout), mirroring the oracle-side `_lsh_pairs_ctes_sql` generator:
+    band b's bucket is md5 of the '|'-joined signature rows
+    [b·r+1, b·r+r]. Shared by the self-join pair generator below and
+    the incremental batch-vs-corpus probe so a scheme edit cannot leave
+    one consumer banding differently."""
+    assert num_hashes % rows_per_band == 0
+    n_bands = num_hashes // rows_per_band
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.element_at(F.col("minhash"), b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def _signature_match_est(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    """Estimated Jaccard = fraction of matching signature positions —
+    the verify rule, single-owned for the same reason as the band key."""
+    matches = F.size(
+        F.filter(F.zip_with(sig_a, sig_b, lambda x, y: x == y), lambda m: m)
+    )
+    return matches.cast("double") / F.lit(float(num_hashes))
+
+
 def lsh_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -188,9 +226,6 @@ def lsh_candidate_pairs(
 
     Returns (id_a, id_b, jaccard_est) with id_a < id_b.
     """
-    assert num_hashes % rows_per_band == 0
-    n_bands = num_hashes // rows_per_band
-
     # the signature frame feeds three subtrees (banding + both sides of
     # the pair join-back); persist so MinHash runs once, not three times.
     # MEMORY_AND_DISK: at 100 TB the signatures are ~num_hashes × 32 B
@@ -199,25 +234,7 @@ def lsh_candidate_pairs(
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, k).transform(scoped_persist)
     bands = sigs.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.element_at(F.col("minhash"), b * rows_per_band + r + 1)
-                                    for r in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bucket"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bb"),
+        F.explode(_band_key_structs(num_hashes, rows_per_band)).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     # candidate id-pairs first (distinct over SMALL rows), signatures
@@ -236,18 +253,99 @@ def lsh_candidate_pairs(
     ).join(
         sigs.select(F.col(id_col).alias("id_b"), F.col("minhash").alias("sig_b")), "id_b"
     )
-    matches = F.size(
-        F.filter(
-            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
-            lambda m: m,
-        )
-    )
-    est = matches.cast("double") / F.lit(float(num_hashes))
+    est = _signature_match_est(F.col("sig_a"), F.col("sig_b"), num_hashes)
     return (
         pairs.withColumn("jaccard_est", est)
         .filter(F.col("jaccard_est") >= min_jaccard_est)
         .select("id_a", "id_b", "jaccard_est")
     )
+
+
+def incremental_lsh_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    rows_per_band: int = 2,
+    k: int = 3,
+    min_jaccard_est: float = 0.5,
+    broadcast_batch: bool = True,
+) -> DataFrame:
+    """Batch-vs-corpus incremental near-dup gate (VERDICT r6 #2).
+
+    The cross-run fuzzy form of the reference's destination dedup
+    (manutencao.py:12-62 anti-joins new rows against existing keys):
+    a new batch document is dropped when its MinHash signature LSH-
+    collides with an EXISTING corpus document and the signature match
+    verifies at >= min_jaccard_est. Within-batch duplicates are out of
+    scope by design (that is the batch's own self-dedup pass).
+
+    Scale shape: signatures on both halves via the shared trainer
+    (`minhash_signatures`, one fold per side), band keys from the SAME
+    scheme owner as the self-join pair generator, then ONE
+    (band, bucket) equi-join of batch bands against corpus bands —
+    never batch x batch, never corpus x corpus, never all-pairs. In a
+    real run the corpus side is the persisted signature table from
+    previous runs, so only the batch is re-hashed; here both derive
+    from the fixture table. The final keep-set is a left-anti join of
+    the batch on the verified-contaminated id set (the J3 shape).
+
+    ``broadcast_batch`` (default True) expresses the asymmetry the
+    operator exists for — an incremental batch is small relative to
+    the accumulated corpus — by broadcasting the batch's band keys
+    (id + 4 x 32-hex, ~0.2 KB/doc) so the corpus bands NEVER shuffle:
+    the dominant side streams map-side through the collision probe.
+    A caller re-deduping a corpus-sized "batch" disables it and gets
+    the co-partitioned shuffle join instead.
+
+    Returns the SURVIVING batch rows' ids: (id_col,).
+    """
+    sig_b = minhash_signatures(batch, text_col, id_col, num_hashes, k).transform(
+        scoped_persist
+    )
+    sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes, k).transform(
+        scoped_persist
+    )
+
+    def bands_of(sigs: DataFrame, out_id: str) -> DataFrame:
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            F.explode(_band_key_structs(num_hashes, rows_per_band)).alias("bb"),
+        ).select(out_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # candidate (batch, corpus) id pairs from bucket collisions only;
+    # distinct BEFORE the signature join-back so the verify stage sees
+    # each pair once and never shuffles signature arrays through the
+    # bucket join (same staging as lsh_candidate_pairs)
+    batch_bands = bands_of(sig_b, "__id_b")
+    if broadcast_batch:
+        batch_bands = F.broadcast(batch_bands)
+    cand = (
+        batch_bands.join(bands_of(sig_c, "__id_c"), ["band", "bucket"])
+        .select("__id_b", "__id_c")
+        .distinct()
+    )
+    verified = (
+        cand.join(
+            sig_b.select(F.col(id_col).alias("__id_b"), F.col("minhash").alias("sig_a")),
+            "__id_b",
+        )
+        .join(
+            sig_c.select(F.col(id_col).alias("__id_c"), F.col("minhash").alias("sig_b")),
+            "__id_c",
+        )
+        .filter(
+            _signature_match_est(F.col("sig_a"), F.col("sig_b"), num_hashes)
+            >= min_jaccard_est
+        )
+        .select(F.col("__id_b").alias(id_col))
+        .distinct()
+    )
+    if broadcast_batch:
+        # contaminated ⊆ batch: broadcastable whenever the batch is
+        verified = F.broadcast(verified)
+    return batch.select(id_col).join(verified, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

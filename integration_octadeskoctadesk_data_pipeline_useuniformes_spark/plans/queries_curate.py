@@ -412,6 +412,63 @@ def x_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental NEAR-dup dedup (VERDICT r6 #2): the fuzzy form of the
+# batch-vs-corpus gate above. Exact fingerprints miss near-duplicates
+# arriving across runs — the case continuous-crawl pipelines actually
+# hit — so the batch is LSH-probed against the corpus half's MinHash
+# signature table and a batch doc is dropped on a signature-VERIFIED
+# collision (>= 0.5 estimated Jaccard, the pair generator's threshold).
+#
+# Single owners on both sides: the Spark plan composes
+# minhash_signatures + _band_key_structs + _signature_match_est
+# (operators/dedup.py — the same scheme owners the self-join pair
+# generator uses), and the oracle derives "contaminated" DIRECTLY from
+# the registered pair chain's `verified` CTE (_LSH_PAIRS_CTES), so
+# consistency with x_dedup_minhash_lsh_pairs is definitional: a batch
+# doc survives iff the pair query emits no verified (batch, corpus)
+# pair for it. Pinned cross-query by
+# test_incremental_minhash_consistent_with_pair_query.
+#
+# Fixture non-degeneracy (the r6 0.9-gate lesson, checked before
+# registering): src1 loses 1 doc at sf0.001 and 2 at sf0.01 to
+# cross-source verified collisions — the removal path is exercised at
+# every driver SF, not permanently empty.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_incremental_minhash",
+    f"""
+WITH {_LSH_PAIRS_CTES},
+src AS (SELECT doc_id, source FROM documents),
+contaminated AS (
+  SELECT v.id_a AS doc_id FROM verified v
+  JOIN src a ON a.doc_id = v.id_a JOIN src b ON b.doc_id = v.id_b
+  WHERE a.source = 'src1' AND b.source <> 'src1'
+  UNION
+  SELECT v.id_b AS doc_id FROM verified v
+  JOIN src a ON a.doc_id = v.id_a JOIN src b ON b.doc_id = v.id_b
+  WHERE b.source = 'src1' AND a.source <> 'src1'
+)
+SELECT doc_id FROM documents
+WHERE source = 'src1'
+  AND NOT EXISTS (SELECT 1 FROM contaminated c WHERE c.doc_id = documents.doc_id)
+""",
+)
+def x_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch docs (source = 'src1') surviving the near-dup probe against
+    the rest of the corpus. The Spark side bands ONLY batch x corpus
+    (one (band, bucket) equi-join — never corpus x corpus, which the
+    self-join pair generator would also compute); the oracle reuses the
+    registered pair chain and filters its verified pairs to the
+    cross-half, which is the same collision set by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("source") == "src1")
+    corpus = docs.filter(F.col("source") != "src1")
+    return D.incremental_lsh_dedup(batch, corpus)
+
+
+# ---------------------------------------------------------------------------
 # Lexicon-based sentiment (the classic large-scale-Spark sentiment
 # pipeline shape): per-doc polarity plus a per-source rollup.
 # ---------------------------------------------------------------------------

@@ -155,3 +155,34 @@ def test_lsh_band_tuning_consistent_with_recall_sample_and_monotone(spark):
     for r in rows.values():
         assert r["n_verified"] <= r["n_candidates"]
         assert r["n_found"] <= min(r["n_verified"], r["n_true_pairs"])
+
+
+def test_incremental_minhash_consistent_with_pair_query(spark):
+    """VERDICT r6 #2 cross-query consistency: a batch (src1) doc must
+    survive the incremental near-dup gate IFF the registered self-join
+    pair query emits NO verified pair linking it to a corpus doc on the
+    same split — both queries own the same banding/verify scheme, so
+    their collision sets must agree exactly."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+        batch_ids = {d for d, s in src.items() if s == "src1"}
+
+        pairs = _Q["x_dedup_minhash_lsh_pairs"](spark, SF).collect()
+        contaminated = set()
+        for r in pairs:
+            if src[r.id_a] == "src1" and src[r.id_b] != "src1":
+                contaminated.add(r.id_a)
+            if src[r.id_b] == "src1" and src[r.id_a] != "src1":
+                contaminated.add(r.id_b)
+
+        kept = {r.doc_id for r in _Q["x_dedup_incremental_minhash"](spark, SF).collect()}
+        assert kept == batch_ids - contaminated
+        # fixture non-degeneracy: the removal path is actually exercised
+        assert contaminated, "fixture produced no cross-source near-dups"
+    finally:
+        query_scope.release()

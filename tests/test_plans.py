@@ -1296,3 +1296,27 @@ def test_lsh_band_tuning_shares_caches_two_scans(spark):
         assert "BatchEvalPython" not in tree, tree
     finally:
         query_scope.release()
+
+
+def test_incremental_minhash_broadcasts_batch_and_never_allpairs(spark):
+    """VERDICT r6 #2 plan contract: the collision probe is one
+    (band, bucket) equi-join whose BUILD side is the (small) batch's
+    band keys — the corpus bands stream map-side, never shuffle for
+    the probe — the keep-set is a left-anti join, and nothing plans a
+    cartesian or a Python stage."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_dedup_incremental_minhash")
+        assert "CartesianProduct" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+        # the bucket probe is a broadcast hash join (batch side built)
+        assert "BroadcastHashJoin" in tree, tree
+        # ... and no shuffle join anywhere: the verify join-backs ride
+        # the pair grain (collisions only) and broadcast too
+        assert "SortMergeJoin" not in tree, tree
+        assert "LeftAnti" in tree, tree
+    finally:
+        query_scope.release()
