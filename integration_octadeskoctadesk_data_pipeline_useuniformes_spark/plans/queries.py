@@ -91,76 +91,77 @@ def register(name: str, oracle: str | None):
 #: (rationale in the trailing comment).
 DRIVER_WINDOW: list[str] = [
     # changed or new this round (re-verify first)
-    "x_lm_trigram_predictability",
     "x_contamination_removal",
-    "x_length_bucket_padding",
-    "x_kcenter_diverse_sample",
-    "x_embedding_top_component",
-    "x_dedup_containment_topk",
-    # the four r1-only stragglers (oldest rows in the catalog)
-    "p1_project_rename",
-    "p2_missing_column_backfill",
-    "c10_coalesce_chain",
-    "f4_membership_filter",
-    # the r2-green-once cohort (newest row three rounds of churn old)
-    "agg_cohort_retention",
-    "agg_cube_status_segment",
-    "agg_cust_order_distribution",
-    "agg_daily_active_users",
-    "agg_disjunctive_revenue",
-    "agg_dominant_suppliers",
-    "agg_forecast_revenue",
-    "agg_funnel_view_click_purchase",
-    "agg_grouping_sets_mixed",
-    "agg_idle_rich_customers",
-    "agg_important_parts",
-    "agg_large_order_customers",
-    "agg_market_share",
-    "agg_min_price_supplier",
-    "agg_nation_volume_pairs",
-    "agg_order_priority_exists",
-    "agg_part_margin_by_nation_year",
-    "agg_pricing_summary",
-    "agg_priority_class_counts",
-    "agg_promo_revenue_share",
-    "agg_regional_revenue",
-    "agg_returned_top_customers",
-    "agg_rollup_status_priority",
-    "agg_shipping_priority_topk",
-    "agg_small_qty_revenue",
-    "agg_supplier_cnt_by_part",
-    "agg_top_supplier_revenue",
-    "agg_value_percentiles",
-    "agg_waiting_suppliers",
-    "fn_unpivot_measures",
-    "fn_window_lag_gap",
-    "fn_window_rank_tiles",
-    "fn_window_running_total",
-    "w1_latest_event_per_chat",
-    "s10_sql_entry_parameterized",
-    "pipeline_update_selection",
-    "x_dedup_minhash_signatures",
-    "x_ngram_novelty",
-    "x_outlier_mad_by_source",
-    "x_pack_sequences",
+    "x_dedup_incremental_minhash",
+    "x_curation_funnel",
+    "x_dedup_minhash_lsh_pairs",
+    # the seven fn_* batteries carried from the r6 window (newest row r2)
+    "fn_array_battery",
+    "fn_date_battery",
+    "fn_json_battery",
+    "fn_null_battery",
+    "fn_set_except",
+    "fn_set_intersect",
+    "fn_string_battery",
+    # the r3-green-once cohort (newest row four rounds of churn old)
+    "fn_nullsafe_join",
+    "fn_set_bag_ops",
+    "fn_window_range_frame",
+    "fn_window_ratio_to_report",
+    "x_ann_quantized_topk",
+    "x_approx_distinct_users",
+    "x_approx_percentile_value",
+    "x_asof_click_before_purchase",
+    "x_bloom_prune_join",
+    "x_category_drift",
+    "x_cms_heavy_hitters",
+    "x_contamination_3gram",
+    "x_dedup_cluster_sizes",
+    "x_dedup_containment",
+    "x_dedup_estimate_error",
+    "x_dedup_incremental_batch",
+    "x_dedup_lsh_recall_sample",
+    "x_embedding_centroid",
+    "x_embedding_drift_by_source",
+    "x_global_row_number",
+    "x_hybrid_retrieval_rerank",
+    "x_mixture_resample",
+    "x_mixture_temperature",
+    "x_quality_repetition",
+    "x_range_join_error_window",
+    "x_resample_daily_gapfill",
+    "x_sample_cap_per_source",
+    "x_sample_stratified",
+    "x_scd2_user_state",
+    "x_semdedup_within_clusters",
+    "x_session_conversion",
+    "x_sessionize_batch",
+    "x_skew_salted_agg",
+    "x_skyline_price_size",
+    "x_table_checksum",
+    "x_tfidf_top_terms",
+    "x_token_topk",
+    "x_train_pipeline",
+    "x_value_iqr_outliers",
 ]
-# Slot arithmetic: 6 changed/new + 4 r1 stragglers + 40 of the 47
-# r2-cohort members = 50. Seven r2-cohort fn_* batteries are CARRIED
-# to round 7 — fn_array_battery, fn_date_battery, fn_json_battery,
-# fn_null_battery, fn_set_except, fn_set_intersect, fn_string_battery
-# — chosen because they are single-scan codegen projection batteries
-# with no persist/join/window machinery (the lowest-regression-risk
-# class in the cohort; the window-function and unpivot batteries,
-# which DO exercise Window/Expand machinery, went in;
-# fn_string_battery gave up its slot to the late-r6
-# x_dedup_containment_topk). All seven stay covered by the
-# full-catalog strict sf0.01 gate every round.
+# Slot arithmetic (r7): 4 changed/new + 7 carried fn_* batteries + 39
+# of the 43 r3-green-once cohort members = 50. Four r3-cohort members
+# are CARRIED to round 8 — fn_date_parse_battery, x_doc_length_buckets,
+# x_pii_redact, x_chunk_documents — the same displacement class as r6's
+# carried batteries: single-scan codegen projections with no
+# persist/join/window machinery (lowest regression risk; every
+# join/window/persist/sketch member of the cohort went in). All four
+# stay covered by the full-catalog strict sf0.01 gate every round.
+# x_dedup_minhash_lsh_pairs is in the window although its refactor
+# (the r7 banding/verify owner hoist) left its OPTIMIZED PLAN
+# byte-identical (asserted at refactor time, expr-ids normalized) —
+# the stricter re-window precedent from r5/r6 applies anyway since
+# operators/dedup.py changed. The other lsh_candidate_pairs consumers
+# (clusters, survivors, band tuning, recall sample) inherit the same
+# expression substitution and keep their rows; survivors additionally
+# re-verifies transitively through the in-window x_curation_funnel.
 # flagship_unresolved_distinct stays out as always: the driver's
 # entry() smoke verifies it every round regardless of the window.
-# The round-6 scoped_persist change only REMOVES a spurious warning on
-# the foreign-cache warm path (comparison baseline moved from the live
-# cache's level to the first REQUESTED level); persist behavior is
-# byte-identical, so the persist-heavy tier keeps its r3-r5 rows.
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:

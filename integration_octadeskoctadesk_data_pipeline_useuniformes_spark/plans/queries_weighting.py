@@ -338,3 +338,119 @@ def x_mixture_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("base_quota") + extra).cast("bigint").alias("final_quota"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation funnel (VERDICT r6 #3) — the one-table yield report
+# every curation run publishes: per source, the cumulative survivor
+# counts through the ordered gates
+#     Gopher rules → near-dup survivor → decontamination → selection.
+# ZERO new truth logic (the removal-report precedent): each gate is a
+# REGISTERED query's own keep-set — composed as the registered
+# callables on the Spark side and the registered SQL texts on the
+# oracle side — and the funnel is their cumulative intersection, NOT a
+# re-fitted sequential pipeline (re-deriving clusters or thresholds
+# among earlier-gate survivors would define NEW clusters/thresholds,
+# making per-stage cross-checks against the stage queries impossible).
+# Gate owners:
+#   1. n_gopher    — x_quality_gopher_rules.keep
+#   2. n_dedup     — doc IS its cluster's x_dedup_survivors argmax
+#                    (singletons survive)
+#   3. n_decontam  — x_contamination_3gram: present-and-unflagged
+#                    (bench-slice docs are absent from the flag table
+#                    and are not training docs → fail this gate)
+#   4. n_selected  — x_quality_threshold_by_source.selected (top
+#                    quality quartile per source)
+# Gate ORDER deviates from the verdict's sketch (classifier second):
+# the sketch's logit>0 gate is DEGENERATE on the fixtures (1 doc at
+# sf0.001, 0 at sf0.01 — nothing downstream would verify), so the
+# funnel uses the registered per-source threshold gate and places
+# selection LAST, the order real curation runs use (select-to-budget
+# after cleaning). Probed before registering (the r6 non-degeneracy
+# lesson): every stage strictly removes docs at both driver SFs —
+# 500→208→195→191→4 (sf0.001), 500→179→172→170→2 (sf0.01). Pinned
+# cross-query by test_curation_funnel_consistent_with_stage_queries.
+# Scale shape: the spine is a 2-column (doc_id, source) scan; each
+# gate chain is its registered plan; all joins are doc-grain equi
+# joins that co-partition on doc_id at corpus scale (the survivor
+# frame is CLUSTER-grain — mostly singletons, so corpus-order, not
+# broadcastable); the rollup to the source grain is map-side combined.
+# ---------------------------------------------------------------------------
+
+
+def _curation_funnel_oracle() -> str:
+    from .queries import _REGISTRY
+
+    gopher_sql = _REGISTRY["x_quality_gopher_rules"][1]
+    sel_sql = _REGISTRY["x_quality_threshold_by_source"][1]
+    surv_sql = _REGISTRY["x_dedup_survivors"][1]
+    flags_sql = _REGISTRY["x_contamination_3gram"][1]
+    return f"""
+WITH g AS ({gopher_sql}),
+sel AS ({sel_sql}),
+surv AS ({surv_sql}),
+fl AS ({flags_sql}),
+per_doc AS (
+  SELECT d.source,
+         g.keep AS gopher_keep,
+         d.doc_id IN (SELECT survivor_doc_id FROM surv) AS is_survivor,
+         coalesce(NOT f.flagged, FALSE) AS decontam_clean,
+         s.selected
+  FROM documents d
+  JOIN g ON g.doc_id = d.doc_id
+  JOIN sel s ON s.doc_id = d.doc_id
+  LEFT JOIN fl f ON f.doc_id = d.doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN gopher_keep THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gopher,
+       CAST(sum(CASE WHEN gopher_keep AND is_survivor
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(sum(CASE WHEN gopher_keep AND is_survivor AND decontam_clean
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_decontam,
+       CAST(sum(CASE WHEN gopher_keep AND is_survivor AND decontam_clean
+                          AND selected
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_selected
+FROM per_doc
+GROUP BY source
+"""
+
+
+@register("x_curation_funnel", _curation_funnel_oracle())
+def x_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .queries_curate import x_dedup_survivors
+    from .queries_ext import x_quality_gopher_rules
+    from .queries_train import x_contamination_3gram
+
+    spine = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    g = x_quality_gopher_rules(spark, sf_dir).select("doc_id", "keep")
+    sel = x_quality_threshold_by_source(spark, sf_dir).select("doc_id", "selected")
+    surv = x_dedup_survivors(spark, sf_dir).select(
+        F.col("survivor_doc_id").alias("doc_id"), F.lit(True).alias("is_survivor")
+    )
+    flags = x_contamination_3gram(spark, sf_dir).select("doc_id", "flagged")
+    j = (
+        spine.join(g, "doc_id")
+        .join(sel, "doc_id")
+        .join(surv, "doc_id", "left")
+        .join(flags, "doc_id", "left")
+        .select(
+            "source",
+            F.col("keep").alias("gopher_keep"),
+            F.coalesce("is_survivor", F.lit(False)).alias("is_survivor"),
+            F.coalesce(~F.col("flagged"), F.lit(False)).alias("decontam_clean"),
+            "selected",
+        )
+    )
+    k1 = F.col("gopher_keep")
+    k2 = k1 & F.col("is_survivor")
+    k3 = k2 & F.col("decontam_clean")
+    k4 = k3 & F.col("selected")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(k1.cast("bigint")).cast("bigint").alias("n_gopher"),
+        F.sum(k2.cast("bigint")).cast("bigint").alias("n_dedup"),
+        F.sum(k3.cast("bigint")).cast("bigint").alias("n_decontam"),
+        F.sum(k4.cast("bigint")).cast("bigint").alias("n_selected"),
+    )

@@ -186,3 +186,55 @@ def test_incremental_minhash_consistent_with_pair_query(spark):
         assert contaminated, "fixture produced no cross-source near-dups"
     finally:
         query_scope.release()
+
+
+def test_curation_funnel_consistent_with_stage_queries(spark):
+    """VERDICT r6 #3 cross-query consistency: the funnel's per-source
+    cumulative counts must be exactly what the four REGISTERED stage
+    queries' own per-doc outputs imply — the funnel defines no truth
+    logic of its own. Also pins fixture non-degeneracy: every gate
+    strictly removes at least one doc corpus-wide."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        docs = {
+            r.doc_id: r.source
+            for r in spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "source")
+            .collect()
+        }
+        gopher = {r.doc_id: r.keep for r in _Q["x_quality_gopher_rules"](spark, SF).collect()}
+        selected = {
+            r.doc_id: r.selected
+            for r in _Q["x_quality_threshold_by_source"](spark, SF).collect()
+        }
+        survivors = {
+            r.survivor_doc_id for r in _Q["x_dedup_survivors"](spark, SF).collect()
+        }
+        flags = {r.doc_id: r.flagged for r in _Q["x_contamination_3gram"](spark, SF).collect()}
+
+        want: dict[str, list[int]] = {}
+        for d, src in docs.items():
+            row = want.setdefault(src, [0, 0, 0, 0, 0])
+            row[0] += 1
+            k = gopher[d]
+            row[1] += k
+            k = k and d in survivors
+            row[2] += k
+            k = k and (d in flags and not flags[d])
+            row[3] += k
+            k = k and selected[d]
+            row[4] += k
+
+        got = {
+            r.source: [r.n_docs, r.n_gopher, r.n_dedup, r.n_decontam, r.n_selected]
+            for r in _Q["x_curation_funnel"](spark, SF).collect()
+        }
+        assert got == want, (got, want)
+        # non-degeneracy: strict attrition at every stage corpus-wide
+        tot = [sum(v[i] for v in want.values()) for i in range(5)]
+        assert tot[0] > tot[1] > tot[2] > tot[3] > tot[4], tot
+    finally:
+        query_scope.release()

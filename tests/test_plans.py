@@ -1320,3 +1320,35 @@ def test_incremental_minhash_broadcasts_batch_and_never_allpairs(spark):
         assert "LeftAnti" in tree, tree
     finally:
         query_scope.release()
+
+
+def test_curation_funnel_evaluates_each_gate_once(spark):
+    """VERDICT r6 #3 plan contract: the funnel composes the four stage
+    plans plus one 2-column spine scan — if any gate's chain were
+    evaluated twice, its parquet scans would appear twice. Asserted
+    dynamically against the stage queries' own plans so the pin
+    survives legitimate changes inside a stage. No cartesian, no
+    Python stage, and the final rollup is map-side combined."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    def n_scans(name: str) -> int:
+        return len(re.findall(r"Scan parquet", tree_of(spark, name)))
+
+    try:
+        stage_scans = sum(
+            n_scans(n)
+            for n in (
+                "x_quality_gopher_rules",
+                "x_quality_threshold_by_source",
+                "x_dedup_survivors",
+                "x_contamination_3gram",
+            )
+        )
+        tree = tree_of(spark, "x_curation_funnel")
+        assert len(re.findall(r"Scan parquet", tree)) == stage_scans + 1, tree
+        assert "CartesianProduct" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+    finally:
+        query_scope.release()

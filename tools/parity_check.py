@@ -25,11 +25,12 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 #: sensitive to data volume (float accumulation order, sketch
 #: saturation, window/prefix grain, cache scope) — every round re-runs
 #: these at sf0.1, not just sf0.01. Includes the round-3 additions
-#: (VERDICT r3 item 6), round 4's iterative BPE, the round-5 additions
-#: and round 6's trigram LM — 43 members as of round 6 (registry-sync
-#: pinned by tests/test_units.py), against a 195-query catalog
-#: (x_dedup_containment_topk is sample-bounded by construction, like
-#: the recall-sample/band-tuning reports — not volume-sensitive).
+#: (VERDICT r3 item 6), round 4's iterative BPE, the round-5 additions,
+#: round 6's trigram LM and round 7's incremental-minhash/funnel — 45
+#: members as of round 7 (registry-sync pinned by tests/test_units.py),
+#: against a 197-query catalog (x_dedup_containment_topk is
+#: sample-bounded by construction, like the recall-sample/band-tuning
+#: reports — not volume-sensitive).
 SENSITIVE = [
     # scale tier (sketches, prefix sums, checksums, quantiles)
     "x_bloom_prune_join",
@@ -94,6 +95,12 @@ SENSITIVE = [
     # rollup of an already-SENSITIVE-adjacent flag and is not volume-
     # sensitive beyond its inputs)
     "x_lm_trigram_predictability",
+    # round-7 additions: batch-vs-corpus collision sets move with
+    # corpus size (the simhash-pairs class)...
+    "x_dedup_incremental_minhash",
+    # ...and the funnel composes cluster structure + per-source
+    # quantile picks + the float logit chain, all volume-moving
+    "x_curation_funnel",
 ]
 
 
