@@ -3017,3 +3017,65 @@ def test_dedup_containment_topk_degenerate_corpus(spark, tmp_path_factory):
             catalog.oracle_sql()["x_dedup_containment_topk"]
         ).fetchall()
         assert got == [] and want == [], (tag, got, want)
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=6),
+        min_size=2,
+        max_size=12,
+    )
+)
+@_SETTINGS
+def test_incremental_minhash_matches_python_model(spark, docs):
+    """Full-chain semantics of the batch-vs-corpus near-dup probe
+    (VERDICT r6 #2) against a direct python model: words -> 3-word
+    shingles -> 8-seed md5 MinHash (sentinel for short/empty docs) ->
+    4x2 banding -> cross-half bucket collision -> >=4/8 signature
+    verify -> anti-join. The tiny 4-word alphabet forces real
+    collisions; ascii single-space texts make python split() identical
+    to the engine's \\s+ split of trimmed text. Exercises the sentinel
+    path (short docs collide with each other by design, matching the
+    self-join pair generator), empty-corpus and empty-batch halves."""
+    import hashlib
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators import (
+        dedup as D,
+    )
+
+    rows = [
+        (i, " ".join(ws), "src1" if i % 2 == 0 else "src0")
+        for i, ws in enumerate(docs)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.doc_id
+        for r in D.incremental_lsh_dedup(
+            df.filter("source = 'src1'"), df.filter("source <> 'src1'")
+        ).collect()
+    }
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    def sig(text: str) -> list[str]:
+        ws = text.split()
+        sh = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        if not sh:
+            return ["z" * 32] * 8
+        return [min(md5(f"{j}:{s}") for s in sh) for j in range(8)]
+
+    def bands(s: list[str]) -> set:
+        return {(b, md5(s[2 * b] + "|" + s[2 * b + 1])) for b in range(4)}
+
+    sigs = {i: sig(t) for i, t, _ in rows}
+    batch_ids = {i for i, _, src in rows if src == "src1"}
+    corpus_ids = {i for i, _, src in rows if src != "src1"}
+    contaminated = {
+        b
+        for b in batch_ids
+        for c in corpus_ids
+        if bands(sigs[b]) & bands(sigs[c])
+        and sum(x == y for x, y in zip(sigs[b], sigs[c])) * 2 >= 8
+    }
+    assert got == batch_ids - contaminated, (docs, got)
