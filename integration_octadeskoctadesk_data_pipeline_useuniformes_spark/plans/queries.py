@@ -73,22 +73,17 @@ def register(name: str, oracle: str | None):
 #: rounds' rows persist in CORRECTNESS_r{N}.json; after round 4 every
 #: registered query has at least one green row.
 #:
-#: Round-6 window (VERDICT r5 #1): changed/new queries lead (ADVICE r2
-#: standing rule) — three NEW queries (x_lm_trigram_predictability,
-#: x_contamination_removal, x_dedup_containment_topk) plus three
-#: changed: x_length_bucket_padding (waste_ppm moved to 128-bit-capable
-#: types, r5 ADVICE), x_kcenter_diverse_sample and
-#: x_embedding_top_component (iterative-bound guards, VERDICT #4 —
-#: behavior-identical for the registered parameters and re-verified
-#: strictly at all three SFs, re-windowed per the stricter r5 precedent
-#: anyway). The remaining 44 slots go to the stale cohort the verdict
-#: names: the 47 queries whose newest green row is r2 (the agg_*/fn_*
-#: tier plus w1, s10, pipeline_update_selection, x_pack_sequences,
-#: x_ngram_novelty, x_outlier_mad_by_source,
-#: x_dedup_minhash_signatures) and the four r1-only stragglers (p1,
-#: p2, c10, f4 — held out twice already, due now). 6 + 51 = 57
-#: candidates for 50 slots: seven fn_* batteries are carried to r7
-#: (rationale in the trailing comment).
+#: Round-7 window (VERDICT r6 #1): changed/new queries lead (ADVICE r2
+#: standing rule) — two NEW queries (x_dedup_incremental_minhash,
+#: x_curation_funnel) plus two changed: x_contamination_removal (ppm
+#: ratios moved to 128-bit-capable types, r6 ADVICE) and
+#: x_dedup_minhash_lsh_pairs (banding/verify owner hoist — optimized
+#: plan byte-identical, re-windowed per the stricter precedent anyway).
+#: The remaining 46 slots go to the cohort the verdict names: the
+#: seven fn_* batteries carried from r6 (newest row r2) and 39 of the
+#: 43 queries whose newest green row is r3. 4 + 7 + 43 = 54 candidates
+#: for 50 slots: four r3-cohort members are carried to r8 (rationale
+#: in the trailing comment).
 DRIVER_WINDOW: list[str] = [
     # changed or new this round (re-verify first)
     "x_contamination_removal",

@@ -3022,12 +3022,13 @@ def test_dedup_containment_topk_degenerate_corpus(spark, tmp_path_factory):
 @given(
     docs=st.lists(
         st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), max_size=6),
-        min_size=2,
+        min_size=1,
         max_size=12,
-    )
+    ),
+    flip=st.booleans(),
 )
 @_SETTINGS
-def test_incremental_minhash_matches_python_model(spark, docs):
+def test_incremental_minhash_matches_python_model(spark, docs, flip):
     """Full-chain semantics of the batch-vs-corpus near-dup probe
     (VERDICT r6 #2) against a direct python model: words -> 3-word
     shingles -> 8-seed md5 MinHash (sentinel for short/empty docs) ->
@@ -3036,7 +3037,8 @@ def test_incremental_minhash_matches_python_model(spark, docs):
     collisions; ascii single-space texts make python split() identical
     to the engine's \\s+ split of trimmed text. Exercises the sentinel
     path (short docs collide with each other by design, matching the
-    self-join pair generator), empty-corpus and empty-batch halves."""
+    self-join pair generator); a 1-doc corpus with `flip` covers BOTH
+    the empty-corpus and the empty-batch half."""
     import hashlib
 
     from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators import (
@@ -3044,7 +3046,7 @@ def test_incremental_minhash_matches_python_model(spark, docs):
     )
 
     rows = [
-        (i, " ".join(ws), "src1" if i % 2 == 0 else "src0")
+        (i, " ".join(ws), "src1" if (i + flip) % 2 == 0 else "src0")
         for i, ws in enumerate(docs)
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
