@@ -78,18 +78,26 @@ def register(name: str, oracle: str | None):
 #: x_curation_funnel) plus two changed: x_contamination_removal (ppm
 #: ratios moved to 128-bit-capable types, r6 ADVICE) and
 #: x_dedup_minhash_lsh_pairs (banding/verify owner hoist — optimized
-#: plan byte-identical, re-windowed per the stricter precedent anyway).
-#: The remaining 46 slots go to the cohort the verdict names: the
-#: seven fn_* batteries carried from r6 (newest row r2) and 39 of the
-#: 43 queries whose newest green row is r3. 4 + 7 + 43 = 54 candidates
-#: for 50 slots: four r3-cohort members are carried to r8 (rationale
-#: in the trailing comment).
+#: plan byte-identical, re-windowed per the stricter precedent anyway)
+#: — plus the five NEW queries added later in the round
+#: (x_retrieval_rrf_fusion, x_dedup_cross_source_matrix,
+#: x_mixture_epochs, x_retrieval_rank_overlap_curve,
+#: x_quality_calibration). The remaining 41 slots go to the cohort
+#: the verdict names: the seven fn_* batteries carried from r6
+#: (newest row r2) and 34 of the 43 queries whose newest green row is
+#: r3. 9 + 7 + 43 = 59 candidates for 50 slots: nine r3-cohort
+#: members are carried to r8 (rationale in the trailing comment).
 DRIVER_WINDOW: list[str] = [
     # changed or new this round (re-verify first)
     "x_contamination_removal",
     "x_dedup_incremental_minhash",
     "x_curation_funnel",
     "x_dedup_minhash_lsh_pairs",
+    "x_retrieval_rrf_fusion",
+    "x_dedup_cross_source_matrix",
+    "x_mixture_epochs",
+    "x_retrieval_rank_overlap_curve",
+    "x_quality_calibration",
     # the seven fn_* batteries carried from the r6 window (newest row r2)
     "fn_array_battery",
     "fn_date_battery",
@@ -110,16 +118,11 @@ DRIVER_WINDOW: list[str] = [
     "x_bloom_prune_join",
     "x_category_drift",
     "x_cms_heavy_hitters",
-    "x_contamination_3gram",
-    "x_dedup_cluster_sizes",
     "x_dedup_containment",
-    "x_dedup_estimate_error",
     "x_dedup_incremental_batch",
-    "x_dedup_lsh_recall_sample",
     "x_embedding_centroid",
     "x_embedding_drift_by_source",
     "x_global_row_number",
-    "x_hybrid_retrieval_rerank",
     "x_mixture_resample",
     "x_mixture_temperature",
     "x_quality_repetition",
@@ -139,14 +142,32 @@ DRIVER_WINDOW: list[str] = [
     "x_train_pipeline",
     "x_value_iqr_outliers",
 ]
-# Slot arithmetic (r7): 4 changed/new + 7 carried fn_* batteries + 39
-# of the 43 r3-green-once cohort members = 50. Four r3-cohort members
-# are CARRIED to round 8 — fn_date_parse_battery, x_doc_length_buckets,
-# x_pii_redact, x_chunk_documents — the same displacement class as r6's
-# carried batteries: single-scan codegen projections with no
-# persist/join/window machinery (lowest regression risk; every
-# join/window/persist/sketch member of the cohort went in). All four
-# stay covered by the full-catalog strict sf0.01 gate every round.
+# Slot arithmetic (r7): 9 changed/new + 7 carried fn_* batteries + 34
+# of the 43 r3-green-once cohort members = 50. Nine r3-cohort members
+# are CARRIED to round 8, in two displacement classes:
+# (a) fn_date_parse_battery, x_doc_length_buckets, x_pii_redact,
+#     x_chunk_documents — single-scan codegen projections with no
+#     persist/join/window machinery (lowest regression risk, the r6
+#     carried-battery class);
+# (b) x_contamination_3gram, x_dedup_cluster_sizes,
+#     x_hybrid_retrieval_rerank, x_dedup_lsh_recall_sample,
+#     x_dedup_estimate_error — each has its truth owners exercised
+#     by an IN-WINDOW composition this round: the 3gram flag is
+#     composed verbatim by in-window x_contamination_removal AND
+#     x_curation_funnel; the cluster chain (_CC_LABELS_CTES /
+#     connected_components) re-verifies through the funnel's survivor
+#     gate and its pair input through in-window
+#     x_dedup_minhash_lsh_pairs + x_dedup_cross_source_matrix; the
+#     rerank's stage-1 candidates (registered bm25 text) and stage-2
+#     scorer (_COS_SQL / S.cosine owner) are both composed by the new
+#     in-window x_retrieval_rrf_fusion AND
+#     x_retrieval_rank_overlap_curve; the recall-sample and
+#     estimate-error diagnostics ride the same sigs/banding owners
+#     (_SIGS_CTE / _lsh_pairs_ctes_sql / minhash_signatures) that
+#     THREE in-window queries re-verify (lsh_pairs, the matrix, the
+#     incremental gate).
+# All nine stay covered by the full-catalog strict sf0.01 gate every
+# round.
 # x_dedup_minhash_lsh_pairs is in the window although its refactor
 # (the r7 banding/verify owner hoist) left its OPTIMIZED PLAN
 # byte-identical (asserted at refactor time, expr-ids normalized) —

@@ -1312,6 +1312,79 @@ def x_source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-source NEAR-dup matrix — the fuzzy companion of
+# x_source_overlap_jaccard (which counts EXACT-fingerprint collisions
+# between sources): per unordered source pair, how many signature-
+# verified near-duplicate pairs the registered LSH chain found, and
+# the strongest estimated Jaccard among them. This is the report
+# crawl-curation teams read to find sources that mirror or scrape
+# each other — a same-source diagonal entry means within-source
+# duplication, an off-diagonal entry means cross-source contamination
+# of the mixture weights. ZERO new truth logic: the pair set IS
+# x_dedup_minhash_lsh_pairs' verified chain (one owner,
+# D.lsh_candidate_pairs / _LSH_PAIRS_CTES), so the matrix is
+# definitionally consistent with the pair query.
+#
+# Scale shape: the verified pair set is tiny relative to the corpus
+# (near-dup pair grain), so it is scoped_persisted and its endpoint
+# ids broadcast-SEMI-prune the corpus's (doc_id, source) projection
+# to a lookup of ≤ 2·|pairs| rows — ONE extra pruned corpus scan
+# total; both source attaches then broadcast that tiny lookup. The
+# corpus itself never shuffles for this query beyond what the pair
+# chain already does. max(jaccard_est) aggregates exact dyadic k/8
+# doubles — order-independent by exactness (the pair query's own
+# convention). Fixture non-degeneracy (probed before registering):
+# 26 matrix rows at sf0.001 / 23 at sf0.01, mixing diagonal and
+# off-diagonal entries with max_est ∈ {0.875, 1.0}.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_dedup_cross_source_matrix",
+    f"""
+WITH {_LSH_PAIRS_CTES}
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       max(jaccard_est) AS max_est
+FROM verified v
+JOIN documents da ON da.doc_id = v.id_a
+JOIN documents db ON db.doc_id = v.id_b
+GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+""",
+)
+def x_dedup_cross_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # pair grain feeds two consumers (endpoint prune + the matrix
+    # join) — scoped_persist per the tiny-multi-consumer rule
+    pairs = scoped_persist(D.lsh_candidate_pairs(docs, min_jaccard_est=0.5))
+    endpoints = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    # ONE pruned corpus scan: semi-join the 2-col projection down to
+    # the pair endpoints before any per-side attach
+    lookup = scoped_persist(
+        docs.select("doc_id", "source").join(F.broadcast(endpoints), "doc_id")
+    )
+    la = lookup.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa"))
+    lb = lookup.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb"))
+    return (
+        pairs.join(F.broadcast(la), "id_a")
+        .join(F.broadcast(lb), "id_b")
+        .select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+            "jaccard_est",
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.max("jaccard_est").alias("max_est"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # LSH band-tuning table — the S-curve tradeoff dedup engineers tune by:
 # with the SAME 8 minhashes, (bands × rows) = (8×1) fires buckets on
 # any single matching hash (high recall, many candidates), (2×4)

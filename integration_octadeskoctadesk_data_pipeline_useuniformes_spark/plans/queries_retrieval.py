@@ -640,6 +640,210 @@ def x_hybrid_retrieval_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Reciprocal-rank fusion (RRF, Cormack et al. 2009) of the sparse
+# (BM25) and dense (cosine) top-20 lists — the UNION-fusion rule
+# production hybrid search ships (Elasticsearch/Vespa default), and
+# the complement of x_hybrid_retrieval_rerank's CASCADE (there the
+# dense score replaces the sparse ordering on sparse candidates only;
+# here both lists vote and a doc found by either list can win).
+# Integer fixed-point variant: each list contributes
+# floor(1e6 / (60 + rank)) "ppm points" (K = 60, the published
+# default), absent-from-list contributes 0 — exact BIGINT arithmetic
+# on both engines, no float addition whose rounding could differ
+# (the score_ppm convention of x_tfidf_top_terms). Absent ranks are
+# REPORTED as 0, not NULL, so the hashed output has no nullable-int
+# representation divergence.
+#
+# Scale shape: both input lists are top-20 by construction — the
+# sparse stage is the registered BM25 plan (one corpus-grain shuffle,
+# TakeOrdered top-k) and the dense stage is cosine_topk's broadcast-
+# query corpus scan (rank<=k compiles to WindowGroupLimit, a per-
+# partition top-k, never a full sort). Everything after the two
+# stages (the full-outer fuse, the ppm sum, the ≤40-row final rank)
+# runs on the fused 40-row grain. Fixture non-degeneracy (probed
+# before registering): union 38 docs / overlap 2 at sf0.001, 39 / 1
+# at sf0.01 — both lists contribute and the fusion genuinely mixes.
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # Cormack et al.'s published constant
+_RRF_DEPTH = 20  # per-list depth (the bm25 query's own LIMIT)
+
+
+def _rank_stage_ctes() -> str:
+    """sparse + dense top-20 rank-list CTEs — THE oracle-side owner of
+    the two retrieval stage rankings, shared by the RRF fusion and the
+    rank-overlap curve so the two consumers cannot rank by different
+    keys. sparse = the registered BM25 text's own (bm25 DESC, doc_id)
+    order; dense = round-6 cosine to the vec_id-0 stand-in query
+    (_COS_SQL, the catalog-wide cosine owner), id tie-break."""
+    from .queries import _REGISTRY
+    from .queries_ext import _COS_SQL
+
+    bm25_sql = _REGISTRY["x_bm25_search"][1]
+    return f"""cand AS ({bm25_sql}),
+sparse AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS r_sparse
+  FROM cand
+),
+dscored AS (
+  SELECT a.vec_id AS doc_id, round({_COS_SQL}, 6) AS cs
+  FROM embeddings a JOIN embeddings b ON b.vec_id = 0 AND a.vec_id <> b.vec_id
+),
+dense AS (
+  SELECT doc_id, r_dense FROM (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY cs DESC, doc_id ASC) AS r_dense
+    FROM dscored
+  ) WHERE r_dense <= {_RRF_DEPTH}
+)"""
+
+
+def _rank_stage_lists(spark: SparkSession, sf_dir: str):
+    """Spark twin of _rank_stage_ctes: (sparse, dense) rank frames,
+    each ≤ _RRF_DEPTH rows — the single owner of the stage-list
+    construction for both fusion consumers. The sparse window is a
+    single-partition sort of the BM25 query's own 20-row result; the
+    dense list is cosine_topk's broadcast-query corpus scan (rank<=k
+    compiles to WindowGroupLimit — per-partition top-k, never a full
+    corpus sort)."""
+    from ..operators import similarity as S
+
+    cand = x_bm25_search(spark, sf_dir)
+    sw = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    sparse = cand.select(
+        "doc_id", F.row_number().over(sw).cast("bigint").alias("r_sparse")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    dense = S.cosine_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=_RRF_DEPTH
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").cast("bigint").alias("r_dense"),
+    )
+    return sparse, dense
+
+
+def _rrf_oracle() -> str:
+    return f"""
+WITH {_rank_stage_ctes()},
+fused AS (
+  SELECT coalesce(s.doc_id, d.doc_id) AS doc_id,
+         CAST(coalesce(s.r_sparse, 0) AS BIGINT) AS r_sparse,
+         CAST(coalesce(d.r_dense, 0) AS BIGINT) AS r_dense
+  FROM sparse s FULL JOIN dense d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, r_sparse, r_dense,
+       CAST(CASE WHEN r_sparse > 0 THEN 1000000 // ({_RRF_K} + r_sparse) ELSE 0 END
+          + CASE WHEN r_dense > 0 THEN 1000000 // ({_RRF_K} + r_dense) ELSE 0 END
+          AS BIGINT) AS rrf_ppm,
+       CAST(row_number() OVER (
+         ORDER BY CASE WHEN r_sparse > 0 THEN 1000000 // ({_RRF_K} + r_sparse) ELSE 0 END
+                + CASE WHEN r_dense > 0 THEN 1000000 // ({_RRF_K} + r_dense) ELSE 0 END DESC,
+                  doc_id ASC) AS BIGINT) AS fused_rank
+FROM fused
+"""
+
+
+@register("x_retrieval_rrf_fusion", _rrf_oracle())
+def x_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-fusion of the two registered retrieval stages: the BM25
+    top-20 (its own registered plan) and the cosine top-20 for the
+    same stand-in query vector (vec_id 0, the hybrid-rerank
+    convention), fused by integer-ppm reciprocal rank. Rank 0 =
+    absent from that list. Stage lists come from the shared
+    _rank_stage_lists owner (also consumed by the overlap curve)."""
+    sparse, dense = _rank_stage_lists(spark, sf_dir)
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("r_sparse", F.lit(0)).cast("bigint").alias("r_sparse"),
+            F.coalesce("r_dense", F.lit(0)).cast("bigint").alias("r_dense"),
+        )
+    )
+    ppm = (
+        F.when(
+            F.col("r_sparse") > 0,
+            F.expr(f"1000000 div ({_RRF_K} + r_sparse)"),
+        ).otherwise(F.lit(0))
+        + F.when(
+            F.col("r_dense") > 0,
+            F.expr(f"1000000 div ({_RRF_K} + r_dense)"),
+        ).otherwise(F.lit(0))
+    ).cast("bigint")
+    fw = Window.orderBy(F.col("rrf_ppm").desc(), F.col("doc_id").asc())
+    return fused.withColumn("rrf_ppm", ppm).withColumn(
+        "fused_rank", F.row_number().over(fw).cast("bigint")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-overlap curve between the sparse and dense retrievers — the
+# prefix-agreement diagnostic (the overlap basis of Webber et al.'s
+# rank-biased overlap, reported EXACTLY per depth instead of folded
+# into one p-weighted scalar whose float powers would not hash
+# cross-engine): for every depth d ≤ 20, how many docs appear in BOTH
+# top-d prefixes, and that as integer ppm of d. Retrieval teams read
+# this before choosing fusion vs cascade (x_retrieval_rrf_fusion vs
+# x_hybrid_retrieval_rerank): near-zero shallow overlap means the two
+# retrievers surface different docs and a cascade's stage-1 filter
+# would discard what the dense stage would have found.
+#
+# Scale shape: both stage lists come from the shared _rank_stage_lists
+# owner (top-20 by construction — see the RRF notes); everything here
+# runs on the ≤20-row matched grain: an inner join of the two lists,
+# greatest(rank) per matched doc, then a 20-row depth spine LEFT-joined
+# (broadcast) against the matches with m <= depth and a map-side
+# count. Integer end to end. Fixture non-degeneracy (probed before
+# registering): matches at m = 6 and 9 at sf0.001 (curve steps
+# 0→1→2), m = 20 at sf0.01 (0→1 at the last depth).
+# ---------------------------------------------------------------------------
+
+
+def _overlap_curve_oracle() -> str:
+    return f"""
+WITH {_rank_stage_ctes()},
+joined AS (
+  SELECT greatest(s.r_sparse, d.r_dense) AS m
+  FROM sparse s JOIN dense d ON s.doc_id = d.doc_id
+),
+spine AS (SELECT unnest(generate_series(1, {_RRF_DEPTH})) AS depth)
+SELECT CAST(depth AS BIGINT) AS depth,
+       CAST(count(m) AS BIGINT) AS n_overlap,
+       CAST(count(m) * 1000000 // depth AS BIGINT) AS overlap_ppm
+FROM spine LEFT JOIN joined ON m <= depth
+GROUP BY depth
+"""
+
+
+@register("x_retrieval_rank_overlap_curve", _overlap_curve_oracle())
+def x_retrieval_rank_overlap_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative top-d overlap of the two stage rankings, d = 1..20.
+    A doc overlaps at depth d iff BOTH its ranks are <= d, i.e. iff
+    greatest(r_sparse, r_dense) <= d."""
+    sparse, dense = _rank_stage_lists(spark, sf_dir)
+    joined = sparse.join(dense, "doc_id").select(
+        F.greatest("r_sparse", "r_dense").alias("m")
+    )
+    spine = spark.range(1, _RRF_DEPTH + 1).select(
+        F.col("id").cast("bigint").alias("depth")
+    )
+    return (
+        spine.join(F.broadcast(joined), F.col("m") <= F.col("depth"), "left")
+        .groupBy("depth")
+        .agg(F.count("m").cast("bigint").alias("n_overlap"))
+        .select(
+            "depth",
+            "n_overlap",
+            F.expr("(n_overlap * 1000000) div depth")
+            .cast("bigint")
+            .alias("overlap_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Greedy k-center (farthest-point) diverse sample — the coreset /
 # diversity-selection rule embedding pipelines use to pick a maximally
 # spread subset (eval probes, annotation batches, cluster seeds): seed

@@ -22,8 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import text as T
 from ..tables import load_table
 from .queries import register
+from .queries_ext import _GOPHER_KEEP, _GOPHER_M_SQL
 from .queries_train import _QC_LOGIT_SQL, _qc_feature_frame, _qc_features_sql, _qc_logit_col
 
 # ---------------------------------------------------------------------------
@@ -232,6 +234,92 @@ def x_quality_threshold_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 # ---------------------------------------------------------------------------
+# Quality-classifier calibration curve vs the Gopher rule battery —
+# the CONTINUOUS companion of x_quality_signal_agreement's binary
+# crosstab: instead of thresholding the classifier at logit > 0, bin
+# the quantized logit (the x_quality_threshold_by_source _QSEL_SCALE
+# owner) into fixed 0.1-logit bins and report the Gopher keep RATE
+# per bin. This is the reliability diagram a curation team reads
+# before trusting a classifier threshold: a calibrated signal shows
+# keep_ppm rising with the bin; the fixture classifier instead peaks
+# mid-range and collapses at high logits — exactly the divergence the
+# curve exists to expose. Both signals come from their single owners
+# (_qc_feature_frame/_qc_logit_col; operators/text.gopher_rules_from
+# + _GOPHER_M_SQL/_GOPHER_KEEP) — NO quality logic of its own.
+#
+# Exactness: bin = FLOOR division of the integer ten-thousandths
+# bucket by 1000 — the signed CASE makes the floor explicit (Spark
+# div and DuckDB // both truncate toward zero, which would split the
+# zero bin asymmetrically); keep_ppm = n_keep·1e6 div n_docs with
+# n_docs ≥ 1 per emitted bin. Scale shape: ONE corpus scan computes
+# both signals in a single projection (the signal-agreement shape —
+# gopher rides _qc_feature_frame's pass-through), and the only
+# exchange is the map-side-combined rollup to the ≤~30-bin grain.
+# Fixture non-degeneracy (probed before registering): 17 bins at
+# sf0.001 / 15 at sf0.01, keep_ppm spanning 0 → ~730k → 0.
+# ---------------------------------------------------------------------------
+
+_CAL_BIN_E4 = 1000  # bin width in logit ten-thousandths (0.1 logit)
+
+
+@register(
+    "x_quality_calibration",
+    f"""
+WITH f AS ({_qc_features_sql()}),
+s AS (
+  SELECT doc_id,
+         CAST(floor(({_QC_LOGIT_SQL}) * {_QSEL_SCALE}) AS BIGINT) AS qb
+  FROM f
+),
+m AS ({_GOPHER_M_SQL}),
+g AS (SELECT doc_id, CASE WHEN {_GOPHER_KEEP} THEN 1 ELSE 0 END AS keep FROM m),
+b AS (
+  SELECT CASE WHEN qb >= 0 THEN qb // {_CAL_BIN_E4}
+              ELSE -((-qb + {_CAL_BIN_E4} - 1) // {_CAL_BIN_E4}) END AS bin,
+         keep
+  FROM s JOIN g USING (doc_id)
+)
+SELECT bin,
+       CAST(bin * {_CAL_BIN_E4} AS BIGINT) AS bin_lo_e4,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(keep) AS BIGINT) AS n_keep,
+       CAST(sum(keep) * 1000000 // count(*) AS BIGINT) AS keep_ppm
+FROM b GROUP BY bin
+""",
+)
+def x_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    gopher_keep = T.gopher_rules_from(
+        T.words(F.lower(F.col("text"))), F.col("text")
+    )["keep"]
+    f = _qc_feature_frame(d.withColumn("gopher_keep", gopher_keep), "gopher_keep")
+    qb = F.floor(_qc_logit_col() * _QSEL_SCALE).cast("bigint")
+    binned = f.select(
+        qb.alias("qb"), F.col("gopher_keep").cast("int").alias("keep")
+    ).select(
+        F.expr(
+            f"CASE WHEN qb >= 0 THEN qb div {_CAL_BIN_E4}"
+            f" ELSE -((-qb + {_CAL_BIN_E4} - 1) div {_CAL_BIN_E4}) END"
+        ).alias("bin"),
+        "keep",
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_keep"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * _CAL_BIN_E4).cast("bigint").alias("bin_lo_e4"),
+            "n_docs",
+            "n_keep",
+            F.expr("(n_keep * 1000000) div n_docs").cast("bigint").alias("keep_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Token-budget apportionment — Hamilton's largest-remainder method:
 # turn per-source mixture weights (here: total characters, the repo's
 # token proxy) into integer per-source quotas that sum EXACTLY to the
@@ -336,6 +424,144 @@ def x_mixture_apportion_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "base_quota",
             extra.alias("extra"),
             (F.col("base_quota") + extra).cast("bigint").alias("final_quota"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Data-constrained epoch planner (Muennighoff et al. 2023, "Scaling
+# Data-Constrained Language Models") — the report that tells a
+# pretraining run how many times each mixture slice will REPEAT.
+# Temperature-smoothed sampling (τ = 2: weight ∝ avail^(1/2), the
+# x_mixture_temperature exponent) upweights small languages, so at a
+# fixed token budget the small slices exhaust their unique data and
+# epoch > 1 while the big slice stays fresh — exactly the effect this
+# table quantifies per lang: the smoothed target, the repeat epochs
+# ceil(target / avail), and how much of the target is unique data
+# (unique_ppm).
+#
+# Exactness: integer end to end. The τ=2 weight is floor(sqrt(avail))
+# — BIGINT isqrt, identical IEEE double → floor on both engines, and
+# mathematically exact below avail ≈ 2^51 chars (≈ 2 PB per lang; the
+# rounding analysis is in test_mixture_epochs_isqrt_is_exact). The
+# budget is 2× total corpus chars (_EPOCH_BUDGET_X — the "train for
+# two proportional epochs" regime, which makes smoothed small-lang
+# targets exceed availability on any skewed corpus). The
+# budget·weight product rides DECIMAL(38,0)·div in Spark / HUGEINT·//
+# in DuckDB (the x_length_bucket_padding 128-bit convention — BIGINT
+# would overflow once total·weight > 2^62, reachable at the 100 TB
+# design point where total ≈ 1e14 and weight ≈ 1e7). target and avail
+# themselves stay BIGINT (exact to 9.2e18 chars).
+#
+# Scale shape: ONE map-side-combined corpus reduction to the lang
+# grain (the apportionment query's class); the scalar totals cross-
+# join back as a single broadcast row and every derived column is
+# in-row arithmetic on the ≤|langs| grain. Fixture non-degeneracy
+# (probed before registering): en plans 2 epochs while de/es/fr/zh
+# plan 3 at BOTH sf0.001 and sf0.01 — the small-slice repeat effect
+# is visible, not a constant column.
+# ---------------------------------------------------------------------------
+
+_EPOCH_BUDGET_X = 2  # token budget = this × total corpus chars
+
+
+@register(
+    "x_mixture_epochs",
+    f"""
+WITH a AS (
+  SELECT lang, CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS avail_chars
+  FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, avail_chars,
+         CAST(floor(sqrt(CAST(avail_chars AS DOUBLE))) AS BIGINT) AS weight
+  FROM a
+), tot AS (
+  SELECT CAST(sum(avail_chars) AS HUGEINT) AS total,
+         CAST(sum(weight) AS HUGEINT) AS wsum
+  FROM w
+), t AS (
+  SELECT lang, avail_chars, weight,
+         CASE WHEN wsum > 0
+              THEN CAST({_EPOCH_BUDGET_X} * total * weight // wsum AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS target_chars
+  FROM w, tot
+)
+SELECT lang, avail_chars, weight, target_chars,
+       CAST(CASE WHEN avail_chars > 0
+                 THEN (target_chars + avail_chars - 1) // avail_chars
+                 ELSE 0 END AS BIGINT) AS epochs,
+       CAST(CASE WHEN target_chars > 0
+                 THEN CAST(least(avail_chars, target_chars) AS HUGEINT)
+                      * 1000000 // target_chars
+                 ELSE 0 END AS BIGINT) AS unique_ppm
+FROM t
+""",
+)
+def x_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..query_scope import scoped_persist
+
+    d = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    # lang-grain weights feed BOTH the totals row and the final frame —
+    # scoped_persist per the tiny-multi-consumer rule (the
+    # apportionment query's shape)
+    w = scoped_persist(
+        d.groupBy("lang")
+        .agg(
+            F.coalesce(F.sum("n_chars"), F.lit(0))
+            .cast("bigint")
+            .alias("avail_chars")
+        )
+        .withColumn(
+            "weight",
+            F.floor(F.sqrt(F.col("avail_chars").cast("double"))).cast("bigint"),
+        )
+    )
+    tot = w.agg(
+        F.sum("avail_chars").cast("decimal(38,0)").alias("__total"),
+        F.sum("weight").cast("decimal(38,0)").alias("__wsum"),
+    )
+    # ANSI div/`%` THROW on zero divisors — the CASE guards are
+    # correctness, not style (the apportionment precedent)
+    target = (
+        F.when(
+            F.col("__wsum") > 0,
+            F.expr(
+                f"(CAST({_EPOCH_BUDGET_X} AS DECIMAL(38,0)) * __total * weight)"
+                " div __wsum"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    epochs = (
+        F.when(
+            F.col("avail_chars") > 0,
+            F.expr("(target_chars + avail_chars - 1) div avail_chars"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    unique_ppm = (
+        F.when(
+            F.col("target_chars") > 0,
+            F.expr(
+                "(CAST(least(avail_chars, target_chars) AS DECIMAL(38,0))"
+                " * 1000000) div target_chars"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn("target_chars", target)
+        .select(
+            "lang",
+            "avail_chars",
+            "weight",
+            "target_chars",
+            epochs.alias("epochs"),
+            unique_ppm.alias("unique_ppm"),
         )
     )
 

@@ -238,3 +238,38 @@ def test_curation_funnel_consistent_with_stage_queries(spark):
         assert tot[0] > tot[1] > tot[2] > tot[3] > tot[4], tot
     finally:
         query_scope.release()
+
+
+def test_cross_source_matrix_consistent_with_pair_query(spark):
+    """Round-7 cross-query consistency: the matrix is DEFINED as the
+    registered pair query's verified set rolled up by unordered source
+    pair — recompute that rollup in Python from the pair query's own
+    output and the documents table; the matrix must match exactly.
+    Also pins fixture non-degeneracy: at least one OFF-diagonal entry
+    (cross-source near-dup contamination actually appears)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        src = {
+            r.doc_id: r.source
+            for r in spark.read.parquet(f"{SF}/documents.parquet")
+            .select("doc_id", "source")
+            .collect()
+        }
+        want: dict[tuple, list] = {}
+        for r in _Q["x_dedup_minhash_lsh_pairs"](spark, SF).collect():
+            key = tuple(sorted((src[r.id_a], src[r.id_b])))
+            ent = want.setdefault(key, [0, 0.0])
+            ent[0] += 1
+            ent[1] = max(ent[1], r.jaccard_est)
+
+        got = {
+            (r.source_a, r.source_b): [r.n_pairs, r.max_est]
+            for r in _Q["x_dedup_cross_source_matrix"](spark, SF).collect()
+        }
+        assert got == {k: list(v) for k, v in want.items()}
+        assert any(a != b for a, b in got), "no cross-source near-dups in fixture"
+    finally:
+        query_scope.release()

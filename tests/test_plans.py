@@ -1352,3 +1352,114 @@ def test_curation_funnel_evaluates_each_gate_once(spark):
         assert "BatchEvalPython" not in tree, tree
     finally:
         query_scope.release()
+
+
+def test_rrf_fusion_stages_topk_and_fuses_on_tiny_grain(spark):
+    """Round-7 plan contract for x_retrieval_rrf_fusion: both stage
+    lists are per-partition top-k (WindowGroupLimit — the rank<=k
+    filter must never force a full sort of the corpus), the cosine
+    stage's query row broadcasts (one BroadcastHashJoin minimum), and
+    the only sort-merge join is the full-outer fuse of the two ≤20-row
+    lists — the one join shape full outer requires, on a grain where
+    it is free. No cartesian, no Python stage."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_retrieval_rrf_fusion")
+        assert "CartesianProduct" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+        assert tree.count("WindowGroupLimit") >= 2, tree
+        assert "BroadcastHashJoin" in tree, tree
+        assert tree.count("SortMergeJoin") == 1, tree
+        assert "FullOuter" in tree, tree
+    finally:
+        query_scope.release()
+
+
+def test_cross_source_matrix_broadcasts_everything_after_pairs(spark):
+    """Round-7 plan contract for x_dedup_cross_source_matrix: after the
+    (all-broadcast) pair chain, the endpoint prune and both source
+    attaches must ALSO broadcast — the corpus's (doc_id, source)
+    projection is its own single extra pruned scan (2 distinct parquet
+    scans total: the pair chain's documents scan + the lookup's), and
+    nothing plans a sort-merge join, cartesian, or Python stage."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_dedup_cross_source_matrix")
+        assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 2, tree
+        assert "SortMergeJoin" not in tree, tree
+        assert "CartesianProduct" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+        assert "BroadcastHashJoin" in tree, tree
+    finally:
+        query_scope.release()
+
+
+def test_mixture_epochs_single_scan_tiny_grain(spark):
+    """Round-7 plan contract for x_mixture_epochs: ONE corpus
+    reduction to the persisted lang-grain weight table (single
+    distinct parquet scan; totals + final frame both read the cache),
+    the scalar totals row rides a broadcast nested-loop cross join
+    (single row by construction), and nothing plans a cartesian or a
+    Python stage — the apportionment query's shape."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_mixture_epochs")
+        assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1, tree
+        assert "InMemoryTableScan" in tree, tree
+        assert "CartesianProduct" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+        assert "SortMergeJoin" not in tree, tree
+    finally:
+        query_scope.release()
+
+
+def test_rank_overlap_curve_broadcasts_and_never_smj(spark):
+    """Round-7 plan contract for x_retrieval_rank_overlap_curve: the
+    stage lists keep their per-partition top-k shape
+    (WindowGroupLimit), the tiny matched grain and depth spine ride
+    broadcast joins only (the ≤20-row inner join broadcasts, the
+    non-equi m <= depth join is a broadcast nested loop — NOT a
+    CartesianProduct), and no sort-merge join or Python stage appears
+    anywhere."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_retrieval_rank_overlap_curve")
+        assert "CartesianProduct" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+        assert "SortMergeJoin" not in tree, tree
+        assert tree.count("WindowGroupLimit") >= 2, tree
+        assert "BroadcastNestedLoopJoin" in tree, tree
+    finally:
+        query_scope.release()
+
+
+def test_quality_calibration_is_one_scan_one_exchange_no_joins(spark):
+    """Round-7 plan contract for x_quality_calibration: both quality
+    signals compute in ONE corpus projection (the signal-agreement
+    pass-through shape), so the whole query is scan → map-side-combined
+    rollup to the bin grain — a single parquet scan, a single exchange,
+    zero joins, zero Python."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        tree = tree_of(spark, "x_quality_calibration")
+        assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) == 1, tree
+        assert len(set(re.findall(r"Exchange\s+\((\d+)\)", tree))) == 1, tree
+        assert "Join" not in tree, tree
+        assert "BatchEvalPython" not in tree, tree
+    finally:
+        query_scope.release()

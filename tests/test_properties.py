@@ -3081,3 +3081,59 @@ def test_incremental_minhash_matches_python_model(spark, docs, flip):
         and sum(x == y for x, y in zip(sigs[b], sigs[c])) * 2 >= 8
     }
     assert got == batch_ids - contaminated, (docs, got)
+
+
+@given(
+    chars=st.lists(
+        st.tuples(
+            st.sampled_from(["de", "en", "es", "fr", "zh"]),
+            st.integers(min_value=0, max_value=1_000_000),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@_SETTINGS
+def test_mixture_epochs_matches_python_model(spark, chars, tmp_path_factory):
+    """x_mixture_epochs == the integer data-constrained planner: per
+    lang, weight = isqrt(avail), target = 2·total·weight // Σweight
+    (exact integers), epochs = ceil(target/avail), unique_ppm =
+    min(avail, target)·1e6 // target — with the zero guards (empty
+    lang, zero total) yielding zeros, never errors."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    tmp = tmp_path_factory.mktemp("epochs")
+    rows = [(i, lang, n) for i, (lang, n) in enumerate(chars)]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    avail: dict[str, int] = {}
+    for lang, n in chars:
+        avail[lang] = avail.get(lang, 0) + n
+    weight = {g: math.isqrt(a) for g, a in avail.items()}
+    total, wsum = sum(avail.values()), sum(weight.values())
+    want = {}
+    for g, a in avail.items():
+        t = (2 * total * weight[g]) // wsum if wsum > 0 else 0
+        want[g] = (
+            a,
+            weight[g],
+            t,
+            (t + a - 1) // a if a > 0 else 0,
+            (min(a, t) * 1_000_000) // t if t > 0 else 0,
+        )
+
+    got = {
+        r["lang"]: (
+            r["avail_chars"],
+            r["weight"],
+            r["target_chars"],
+            r["epochs"],
+            r["unique_ppm"],
+        )
+        for r in catalog.queries()["x_mixture_epochs"](spark, str(tmp)).collect()
+    }
+    assert got == want, (chars, got, want)

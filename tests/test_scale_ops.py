@@ -596,3 +596,84 @@ def test_exact_quantile_disc_null_group_key_keeps_values(spark):
     assert got == want, (got, want)
     # the NULL-keyed groups carry their REAL quantiles, not NULL
     assert got[(None, "x")] == 1 and got[(None, None)] == 5 and got[("a", None)] == 7
+
+
+def test_rrf_fusion_consistent_with_stage_lists(spark):
+    """Round-7 cross-query consistency for x_retrieval_rrf_fusion: the
+    sparse ranks must be exactly the registered BM25 query's own
+    (bm25 DESC, doc_id ASC) ordering, the ppm scores must be the
+    integer RRF formula applied to the reported ranks, and fused_rank
+    must be the (-ppm, doc_id) permutation. Dense equivalence vs an
+    independent implementation is the DuckDB oracle's job; here we pin
+    the list shape (exactly 20 dense members) and fixture
+    non-degeneracy (the lists overlap on at least one doc, so the
+    fusion actually mixes)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    _Q = catalog.queries()
+    try:
+        bm = _Q["x_bm25_search"](spark, SF).collect()
+        want_sparse = {
+            r.doc_id: i + 1
+            for i, r in enumerate(
+                sorted(bm, key=lambda r: (-r.bm25, r.doc_id))
+            )
+        }
+        fused = _Q["x_retrieval_rrf_fusion"](spark, SF).collect()
+        got_sparse = {r.doc_id: r.r_sparse for r in fused if r.r_sparse > 0}
+        assert got_sparse == want_sparse
+
+        dense = {r.doc_id: r.r_dense for r in fused if r.r_dense > 0}
+        assert len(dense) == 20
+        assert sorted(dense.values()) == list(range(1, 21))
+        # overlap: the fusion genuinely mixes the two lists
+        assert set(dense) & set(want_sparse)
+
+        for r in fused:
+            want_ppm = (1_000_000 // (60 + r.r_sparse) if r.r_sparse else 0) + (
+                1_000_000 // (60 + r.r_dense) if r.r_dense else 0
+            )
+            assert r.rrf_ppm == want_ppm
+        order = sorted(fused, key=lambda r: (-r.rrf_ppm, r.doc_id))
+        assert [r.fused_rank for r in order] == list(range(1, len(fused) + 1))
+    finally:
+        query_scope.release()
+
+
+def test_rank_overlap_curve_consistent_with_rrf_lists(spark):
+    """Round-7 cross-query consistency: the curve and the RRF fusion
+    consume the SAME _rank_stage_lists owner, so the curve at depth d
+    must equal the count of docs whose ranks in the RRF output are
+    both positive and both <= d. Also pins non-degeneracy: the curve
+    is non-constant (the probed m=6/m=9 steps at sf0.001)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    _Q = catalog.queries()
+    try:
+        fused = _Q["x_retrieval_rrf_fusion"](spark, SF).collect()
+        ms = [
+            max(r.r_sparse, r.r_dense)
+            for r in fused
+            if r.r_sparse > 0 and r.r_dense > 0
+        ]
+        curve = {
+            r.depth: (r.n_overlap, r.overlap_ppm)
+            for r in _Q["x_retrieval_rank_overlap_curve"](spark, SF).collect()
+        }
+        assert sorted(curve) == list(range(1, 21))
+        for d in range(1, 21):
+            n = sum(1 for m in ms if m <= d)
+            assert curve[d] == (n, n * 1_000_000 // d), (d, curve[d], n)
+        assert len({v for v, _ in curve.values()}) > 1, "constant curve"
+    finally:
+        query_scope.release()

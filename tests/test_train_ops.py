@@ -80,3 +80,48 @@ def test_redact_pii_patterns(spark):
     assert out[2]["c"] == "acct <ID> end" and out[2]["n_id"] == 1
     assert out[3]["c"] == "clean text"
     assert out[3]["n_email"] == out[3]["n_phone"] == out[3]["n_id"] == 0
+
+
+def test_quality_calibration_consistent_with_signal_queries(spark):
+    """Round-7 cross-query consistency: the calibration curve defines
+    NO quality logic — its bins must be exactly the floor-division of
+    x_quality_threshold_by_source's quality_bucket (the _QSEL_SCALE
+    quantization owner) and its keeps exactly
+    x_quality_gopher_rules.keep, recomputed per bin in Python. Pins
+    non-degeneracy: more than 3 bins and a non-constant keep rate."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    _Q = catalog.queries()
+    W = 1000  # _CAL_BIN_E4
+    try:
+        qb = {
+            r.doc_id: r.quality_bucket
+            for r in _Q["x_quality_threshold_by_source"](spark, SF).collect()
+        }
+        keep = {
+            r.doc_id: int(r.keep)
+            for r in _Q["x_quality_gopher_rules"](spark, SF).collect()
+        }
+        want: dict[int, list[int]] = {}
+        for d, b in qb.items():
+            bin_ = b // W if b >= 0 else -((-b + W - 1) // W)
+            ent = want.setdefault(bin_, [0, 0])
+            ent[0] += 1
+            ent[1] += keep[d]
+
+        got = {
+            r.bin: [r.n_docs, r.n_keep]
+            for r in _Q["x_quality_calibration"](spark, SF).collect()
+        }
+        assert got == want
+        assert len(got) > 3
+        rates = {n_keep * 1_000_000 // n for n, n_keep in got.values()}
+        assert len(rates) > 1, "constant keep rate"
+    finally:
+        query_scope.release()

@@ -381,3 +381,96 @@ def test_bench_json_line_layout_protects_the_headline():
     assert src.index('"value_warm":') < src.index(
         'if os.environ.get("SPARK_GRAFT_BENCH_REPS")'
     )
+
+
+def test_mixture_epochs_isqrt_is_exact(spark):
+    """The τ=2 weight is floor(sqrt(CAST(avail AS DOUBLE))) on both
+    engines. Pin that this equals the true integer sqrt at the
+    adversarial boundaries (m²−1, m², m²+1) up to the documented
+    ~2^51 validity bound — the worst case is avail = m²−1 where the
+    IEEE sqrt lands within one ulp of the integer m and a round-UP
+    would make floor() overshoot."""
+    import math
+
+    import duckdb
+
+    ms = [2, 3, 10, 1000, 2**20, 2**25, 47_453_132]  # last: m² ≈ 2^51
+    vals = sorted({v for m in ms for v in (m * m - 1, m * m, m * m + 1)})
+    want = {v: math.isqrt(v) for v in vals}
+
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got_spark = {
+        r.v: r.w
+        for r in df.selectExpr(
+            "v", "CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) AS w"
+        ).collect()
+    }
+    assert got_spark == want
+
+    got_duck = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT v, CAST(floor(sqrt(CAST(v AS DOUBLE))) AS BIGINT) "
+            "FROM (SELECT unnest(?) AS v)",
+            [vals],
+        )
+        .fetchall()
+    )
+    assert got_duck == want
+
+
+def test_mixture_epochs_survives_huge_corpora(spark, tmp_path):
+    """The budget·weight product overflows BIGINT once total·weight >
+    2^62 — reachable at the 100 TB design point — so it rides
+    DECIMAL(38,0) in Spark and HUGEINT in the oracle (the
+    x_length_bucket_padding convention). Plant a 2^44-char lang
+    (2·total·weight ≈ 1.5e20 > 2^63−1) and check both engines against
+    exact Python integers."""
+    import duckdb
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    rows = [(0, "en", 2**44), (1, "zh", 1000)]
+    spark.createDataFrame(
+        rows, "doc_id long, lang string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    avail = {"en": 2**44, "zh": 1000}
+    weight = {"en": 2**22, "zh": 31}
+    total, wsum = sum(avail.values()), sum(weight.values())
+    assert 2 * total * weight["en"] > 2**63 - 1  # the overflow is real
+    want = {}
+    for g, a in avail.items():
+        t = (2 * total * weight[g]) // wsum
+        want[g] = (a, weight[g], t, (t + a - 1) // a, (min(a, t) * 10**6) // t)
+
+    got = {
+        r["lang"]: (
+            r["avail_chars"],
+            r["weight"],
+            r["target_chars"],
+            r["epochs"],
+            r["unique_ppm"],
+        )
+        for r in catalog.queries()["x_mixture_epochs"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == want
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries import (
+        oracle_sql,
+    )
+
+    got_o = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(oracle_sql()["x_mixture_epochs"]).fetchall()
+    }
+    assert got_o == want

@@ -26,11 +26,13 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 #: saturation, window/prefix grain, cache scope) — every round re-runs
 #: these at sf0.1, not just sf0.01. Includes the round-3 additions
 #: (VERDICT r3 item 6), round 4's iterative BPE, the round-5 additions,
-#: round 6's trigram LM and round 7's incremental-minhash/funnel — 45
-#: members as of round 7 (registry-sync pinned by tests/test_units.py),
-#: against a 197-query catalog (x_dedup_containment_topk is
-#: sample-bounded by construction, like the recall-sample/band-tuning
-#: reports — not volume-sensitive).
+#: round 6's trigram LM and round 7's incremental-minhash/funnel/
+#: RRF-fusion/epoch-planner — 47 members as of round 7 (registry-sync
+#: pinned by tests/test_units.py), against a 200-query catalog
+#: (x_dedup_containment_topk is sample-bounded by construction, like
+#: the recall-sample/band-tuning reports — not volume-sensitive;
+#: x_dedup_cross_source_matrix re-verifies through its in-SENSITIVE
+#: pair chain and is a ≤|sources|²-row rollup of it).
 SENSITIVE = [
     # scale tier (sketches, prefix sums, checksums, quantiles)
     "x_bloom_prune_join",
@@ -101,6 +103,18 @@ SENSITIVE = [
     # ...and the funnel composes cluster structure + per-source
     # quantile picks + the float logit chain, all volume-moving
     "x_curation_funnel",
+    # round-7 additions (second batch): the dense list's round-6
+    # cosine ties at the rank-20 boundary move with corpus size (the
+    # ndcg/matryoshka class) — same for the overlap curve built on the
+    # same stage lists...
+    "x_retrieval_rrf_fusion",
+    "x_retrieval_rank_overlap_curve",
+    # ...the epoch planner's isqrt weights / ceil boundaries move with
+    # per-lang volume (the apportionment class)...
+    "x_mixture_epochs",
+    # ...and the calibration curve rides the full-precision logit
+    # chain at volume (the signal-agreement class)
+    "x_quality_calibration",
 ]
 
 
