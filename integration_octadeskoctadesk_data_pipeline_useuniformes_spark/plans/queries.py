@@ -79,14 +79,15 @@ def register(name: str, oracle: str | None):
 #: ratios moved to 128-bit-capable types, r6 ADVICE) and
 #: x_dedup_minhash_lsh_pairs (banding/verify owner hoist — optimized
 #: plan byte-identical, re-windowed per the stricter precedent anyway)
-#: — plus the five NEW queries added later in the round
+#: — plus the six NEW queries added later in the round
 #: (x_retrieval_rrf_fusion, x_dedup_cross_source_matrix,
 #: x_mixture_epochs, x_retrieval_rank_overlap_curve,
-#: x_quality_calibration). The remaining 41 slots go to the cohort
-#: the verdict names: the seven fn_* batteries carried from r6
-#: (newest row r2) and 34 of the 43 queries whose newest green row is
-#: r3. 9 + 7 + 43 = 59 candidates for 50 slots: nine r3-cohort
-#: members are carried to r8 (rationale in the trailing comment).
+#: x_quality_calibration, fn_map_battery). The remaining 40 slots go
+#: to the cohort the verdict names: the seven fn_* batteries carried
+#: from r6 (newest row r2) and 33 of the 43 queries whose newest
+#: green row is r3. 10 + 7 + 43 = 60 candidates for 50 slots: ten
+#: r3-cohort members are carried to r8 (rationale in the trailing
+#: comment).
 DRIVER_WINDOW: list[str] = [
     # changed or new this round (re-verify first)
     "x_contamination_removal",
@@ -98,6 +99,7 @@ DRIVER_WINDOW: list[str] = [
     "x_mixture_epochs",
     "x_retrieval_rank_overlap_curve",
     "x_quality_calibration",
+    "fn_map_battery",
     # the seven fn_* batteries carried from the r6 window (newest row r2)
     "fn_array_battery",
     "fn_date_battery",
@@ -125,7 +127,6 @@ DRIVER_WINDOW: list[str] = [
     "x_global_row_number",
     "x_mixture_resample",
     "x_mixture_temperature",
-    "x_quality_repetition",
     "x_range_join_error_window",
     "x_resample_daily_gapfill",
     "x_sample_cap_per_source",
@@ -142,13 +143,13 @@ DRIVER_WINDOW: list[str] = [
     "x_train_pipeline",
     "x_value_iqr_outliers",
 ]
-# Slot arithmetic (r7): 9 changed/new + 7 carried fn_* batteries + 34
-# of the 43 r3-green-once cohort members = 50. Nine r3-cohort members
-# are CARRIED to round 8, in two displacement classes:
+# Slot arithmetic (r7): 10 changed/new + 7 carried fn_* batteries +
+# 33 of the 43 r3-green-once cohort members = 50. Ten r3-cohort
+# members are CARRIED to round 8, in two displacement classes:
 # (a) fn_date_parse_battery, x_doc_length_buckets, x_pii_redact,
-#     x_chunk_documents — single-scan codegen projections with no
-#     persist/join/window machinery (lowest regression risk, the r6
-#     carried-battery class);
+#     x_chunk_documents, x_quality_repetition — single-scan codegen
+#     projections with no persist/join/window machinery (lowest
+#     regression risk, the r6 carried-battery class);
 # (b) x_contamination_3gram, x_dedup_cluster_sizes,
 #     x_hybrid_retrieval_rerank, x_dedup_lsh_recall_sample,
 #     x_dedup_estimate_error — each has its truth owners exercised
@@ -166,7 +167,7 @@ DRIVER_WINDOW: list[str] = [
 #     (_SIGS_CTE / _lsh_pairs_ctes_sql / minhash_signatures) that
 #     THREE in-window queries re-verify (lsh_pairs, the matrix, the
 #     incremental gate).
-# All nine stay covered by the full-catalog strict sf0.01 gate every
+# All ten stay covered by the full-catalog strict sf0.01 gate every
 # round.
 # x_dedup_minhash_lsh_pairs is in the window although its refactor
 # (the r7 banding/verify owner hoist) left its OPTIMIZED PLAN

@@ -444,6 +444,105 @@ def fn_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_map_battery",
+    """
+SELECT c_custkey,
+       array_to_string(list_transform(generate_series(1, 3),
+         i -> ['k' || CAST(c_custkey % 4 AS VARCHAR),
+               'k' || CAST(c_custkey % 4 + 1 AS VARCHAR),
+               'k' || CAST(c_custkey % 4 + 2 AS VARCHAR)][i]
+              || '=' || CAST([c_custkey % 7, c_custkey % 3, c_custkey % 5][i] AS VARCHAR)), ',') AS ser,
+       CAST(3 AS INTEGER) AS n,
+       CAST(CASE c_custkey % 4 WHEN 0 THEN c_custkey % 5
+                               WHEN 1 THEN c_custkey % 3
+                               WHEN 2 THEN c_custkey % 7
+                               ELSE -1 END AS BIGINT) AS getk2,
+       (c_custkey % 4) IN (1, 2, 3) AS hask3,
+       coalesce(array_to_string(list_transform(
+         list_filter(generate_series(1, 3),
+           i -> [c_custkey % 7, c_custkey % 3, c_custkey % 5][i] >= 2),
+         i -> ['k' || CAST(c_custkey % 4 AS VARCHAR),
+               'k' || CAST(c_custkey % 4 + 1 AS VARCHAR),
+               'k' || CAST(c_custkey % 4 + 2 AS VARCHAR)][i]
+              || '=' || CAST([c_custkey % 7, c_custkey % 3, c_custkey % 5][i] AS VARCHAR)), ','), '') AS flt,
+       array_to_string(list_transform(generate_series(1, 3),
+         i -> ['k' || CAST(c_custkey % 4 AS VARCHAR),
+               'k' || CAST(c_custkey % 4 + 1 AS VARCHAR),
+               'k' || CAST(c_custkey % 4 + 2 AS VARCHAR)][i]
+              || '=' || CAST([c_custkey % 7, c_custkey % 3, c_custkey % 5][i] * 10 + 2 AS VARCHAR)), ',') AS tv,
+       array_to_string(list_transform(generate_series(1, 3),
+         i -> upper(['k' || CAST(c_custkey % 4 AS VARCHAR),
+               'k' || CAST(c_custkey % 4 + 1 AS VARCHAR),
+               'k' || CAST(c_custkey % 4 + 2 AS VARCHAR)][i])
+              || '=' || CAST([c_custkey % 7, c_custkey % 3, c_custkey % 5][i] AS VARCHAR)), ',') AS tk,
+       array_to_string(list_transform(generate_series(1, 3),
+         i -> ['k' || CAST(c_custkey % 4 AS VARCHAR),
+               'k' || CAST(c_custkey % 4 + 1 AS VARCHAR),
+               'k' || CAST(c_custkey % 4 + 2 AS VARCHAR)][i]
+              || '=' || CAST([c_custkey % 7, c_custkey % 3, c_custkey % 5][i] AS VARCHAR)), ',')
+         || ',z9=' || CAST(c_custkey % 11 AS VARCHAR) AS cat
+FROM customer
+""",
+)
+def fn_map_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed function surface pinned cross-engine — the one Spark
+    SQL type family the fn tier had not exercised (c11 covers only the
+    kv-array → map → columns path): map_from_arrays, map_entries
+    (serialized k=v CSV — the driver's canonicalizer cannot sort map
+    cells, the array-battery convention), size, element_at (NULL on
+    missing key, coalesced to -1), map_contains_key, map_filter,
+    transform_values, transform_keys, map_concat (disjoint keys — the
+    default EXCEPTION dedup policy makes overlapping keys an engine
+    error, deliberately out of scope). Keys ascend by construction
+    ('k{a}','k{a+1}','k{a+2}'), so entry order == key order on both
+    engines and the DuckDB oracle computes every string directly from
+    the underlying arrays — maps appear only on the Spark side, which
+    is the surface under test. Narrow projection, no shuffle,
+    whole-stage codegen."""
+    c = load_table(spark, sf_dir, "customer")
+    a = F.col("c_custkey") % 4
+    keys = F.array(
+        F.concat(F.lit("k"), a.cast("string")),
+        F.concat(F.lit("k"), (a + 1).cast("string")),
+        F.concat(F.lit("k"), (a + 2).cast("string")),
+    )
+    vals = F.array(
+        F.col("c_custkey") % 7, F.col("c_custkey") % 3, F.col("c_custkey") % 5
+    )
+    m = F.map_from_arrays(keys, vals)
+
+    def ser(mcol) -> "F.Column":
+        return F.array_join(
+            F.transform(
+                F.map_entries(mcol),
+                lambda e: F.concat(
+                    e.getField("key"), F.lit("="), e.getField("value").cast("string")
+                ),
+            ),
+            ",",
+        )
+
+    return c.select(
+        "c_custkey",
+        ser(m).alias("ser"),
+        F.size(m).alias("n"),
+        F.coalesce(F.element_at(m, F.lit("k2")), F.lit(-1))
+        .cast("bigint")
+        .alias("getk2"),
+        F.map_contains_key(m, F.lit("k3")).alias("hask3"),
+        ser(F.map_filter(m, lambda k, v: v >= 2)).alias("flt"),
+        ser(F.transform_values(m, lambda k, v: v * 10 + F.length(k))).alias("tv"),
+        ser(F.transform_keys(m, lambda k, v: F.upper(k))).alias("tk"),
+        ser(
+            F.map_concat(
+                m,
+                F.create_map(F.lit("z9"), F.col("c_custkey") % 11),
+            )
+        ).alias("cat"),
+    )
+
+
+@register(
     "fn_window_range_frame",
     """
 SELECT event_id, user_id, ts,
