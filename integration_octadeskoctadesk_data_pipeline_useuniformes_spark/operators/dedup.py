@@ -263,7 +263,7 @@ def lsh_candidate_pairs(
 
 def incremental_lsh_dedup(
     batch: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 8,
@@ -271,6 +271,8 @@ def incremental_lsh_dedup(
     k: int = 3,
     min_jaccard_est: float = 0.5,
     broadcast_batch: bool = True,
+    corpus_signatures: DataFrame | None = None,
+    batch_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Batch-vs-corpus incremental near-dup gate (VERDICT r6 #2).
 
@@ -285,11 +287,22 @@ def incremental_lsh_dedup(
     (`minhash_signatures`, one fold per side), band keys from the SAME
     scheme owner as the self-join pair generator, then ONE
     (band, bucket) equi-join of batch bands against corpus bands —
-    never batch x batch, never corpus x corpus, never all-pairs. In a
-    real run the corpus side is the persisted signature table from
-    previous runs, so only the batch is re-hashed; here both derive
-    from the fixture table. The final keep-set is a left-anti join of
-    the batch on the verified-contaminated id set (the J3 shape).
+    never batch x batch, never corpus x corpus, never all-pairs. The
+    final keep-set is a left-anti join of the batch on the
+    verified-contaminated id set (the J3 shape).
+
+    ``corpus_signatures`` is the production path: pass the PERSISTED
+    (id_col, minhash) signature table accumulated by previous runs and
+    the corpus text is never re-hashed — only the (small) batch pays a
+    signature fold per run (the streaming near-dup gate in
+    streaming/curation.py commits exactly this table alongside the
+    documents). Exactly one of ``corpus`` / ``corpus_signatures`` must
+    be given. ``batch_signatures`` is the matching batch-side
+    shortcut for callers that already attached the signature column
+    (the streaming sink computes it once per commit). Precomputed
+    signatures must come from the SAME (num_hashes, k) trainer
+    configuration, which the streaming sink guarantees by computing
+    them with this module's ``minhash_signature`` expression.
 
     ``broadcast_batch`` (default True) expresses the asymmetry the
     operator exists for — an incremental batch is small relative to
@@ -301,12 +314,18 @@ def incremental_lsh_dedup(
 
     Returns the SURVIVING batch rows' ids: (id_col,).
     """
-    sig_b = minhash_signatures(batch, text_col, id_col, num_hashes, k).transform(
-        scoped_persist
-    )
-    sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes, k).transform(
-        scoped_persist
-    )
+    if (corpus is None) == (corpus_signatures is None):
+        raise ValueError("pass exactly one of corpus / corpus_signatures")
+    sig_b = (
+        batch_signatures.select(id_col, "minhash")
+        if batch_signatures is not None
+        else minhash_signatures(batch, text_col, id_col, num_hashes, k)
+    ).transform(scoped_persist)
+    sig_c = (
+        corpus_signatures.select(id_col, "minhash")
+        if corpus_signatures is not None
+        else minhash_signatures(corpus, text_col, id_col, num_hashes, k)
+    ).transform(scoped_persist)
 
     def bands_of(sigs: DataFrame, out_id: str) -> DataFrame:
         return sigs.select(

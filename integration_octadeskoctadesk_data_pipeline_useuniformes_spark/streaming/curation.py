@@ -55,24 +55,49 @@ def streaming_curation(
     min_quality: float = 0.5,
     lang: str = "en",
     available_now: bool = True,
+    near_dup: bool = False,
 ):
     """Start the curation stream (availableNow drains the landing dir).
 
     Returns the StreamingQuery; each micro-batch commits one sink
     version containing only the batch's novel, gate-passing documents.
+
+    ``near_dup=True`` adds the FUZZY cross-batch gate — the streaming
+    twin of x_dedup_incremental_minhash: each committed row also
+    carries its MinHash signature (operators/dedup.minhash_signature,
+    the batch tier's own trainer expression, so the streaming and
+    batch definitions of "near-duplicate" cannot drift), and each new
+    micro-batch is LSH-probed against the sink's ACCUMULATED signature
+    column via incremental_lsh_dedup's persisted-signature path — the
+    history is never re-hashed, only the (small) batch pays a
+    signature fold per commit, and the probe is the same broadcast
+    (band, bucket) equi-join as the batch query. Exact dedup still
+    runs first (cheaper; near-dup only sees exact-novel docs).
     """
+    from ..operators import dedup as D
+
     stream = spark.readStream.schema(DOC_SCHEMA).json(landing_dir)
+
+    cols = ["doc_id", "source", "text", "quality", "fingerprint"] + (
+        ["minhash"] if near_dup else []
+    )
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         kept = curate_batch(batch_df, min_quality, lang)
+        if near_dup:
+            kept = kept.withColumn("minhash", D.minhash_signature(F.col("text")))
         if versioned.latest_version(sink_path) >= 0:
-            seen = (
-                versioned.read_version(batch_df.sparkSession, sink_path)
-                .select("fingerprint")
-                .distinct()
-            )
+            history = versioned.read_version(batch_df.sparkSession, sink_path)
+            seen = history.select("fingerprint").distinct()
             kept = kept.join(seen, "fingerprint", "left_anti")
-        out = kept.select("doc_id", "source", "text", "quality", "fingerprint")
+            if near_dup:
+                survivors = D.incremental_lsh_dedup(
+                    kept,
+                    corpus_signatures=history.select("doc_id", "minhash"),
+                    batch_signatures=kept.select("doc_id", "minhash"),
+                )
+                kept = kept.join(survivors, "doc_id", "left_semi")
+        out = kept.select(*cols)
         if out.limit(1).count() > 0:  # empty-batch short-circuit (T5)
             versioned.commit_append(out, sink_path)
 

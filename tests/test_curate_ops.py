@@ -273,3 +273,46 @@ def test_cross_source_matrix_consistent_with_pair_query(spark):
         assert any(a != b for a, b in got), "no cross-source near-dups in fixture"
     finally:
         query_scope.release()
+
+
+def test_incremental_lsh_dedup_precomputed_signature_paths(spark):
+    """The persisted-signature production path (corpus_signatures /
+    batch_signatures) must return EXACTLY the text-derived result —
+    the signatures are the same trainer's output, just cached — and
+    the operator must reject ambiguous corpus input (none or both)."""
+    import pytest as _pytest
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators import (
+        dedup as D,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import (
+        query_scope,
+    )
+
+    try:
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        batch = docs.filter(F.col("source") == "src1")
+        corpus = docs.filter(F.col("source") != "src1")
+        want = {r.doc_id for r in D.incremental_lsh_dedup(batch, corpus).collect()}
+
+        got = {
+            r.doc_id
+            for r in D.incremental_lsh_dedup(
+                batch,
+                corpus_signatures=D.minhash_signatures(corpus, "text", "doc_id"),
+                batch_signatures=D.minhash_signatures(batch, "text", "doc_id"),
+            ).collect()
+        }
+        assert got == want
+        assert len(want) < batch.count()  # the gate actually removed docs
+
+        with _pytest.raises(ValueError):
+            D.incremental_lsh_dedup(batch)
+        with _pytest.raises(ValueError):
+            D.incremental_lsh_dedup(
+                batch,
+                corpus,
+                corpus_signatures=D.minhash_signatures(corpus, "text", "doc_id"),
+            )
+    finally:
+        query_scope.release()

@@ -490,3 +490,49 @@ def test_versioned_sink_concurrent_writer_loser_retries(spark, tmp_path, monkeyp
     v2 = {r["id"] for r in versioned.read_version(spark, path, 2).collect()}
     assert v1 == {1, 2}, "winner's version must survive the loser's retry"
     assert v2 == {1, 2, 3}, "loser must carry the winner's files, not clobber them"
+
+
+def test_streaming_curation_near_dup_gate_uses_persisted_signatures(spark, tmp_path):
+    """The fuzzy cross-batch gate (streaming twin of
+    x_dedup_incremental_minhash): with near_dup=True every committed
+    row carries its MinHash signature, and a later micro-batch is
+    LSH-probed against the sink's ACCUMULATED signature column — an
+    exact replay is caught by the (cheaper) fingerprint gate, a
+    lightly-edited near-duplicate is caught by the signature probe,
+    and a reworded (shingle-disjoint) doc survives."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.curation import (
+        streaming_curation,
+    )
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    sink = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    near_text = EN_GOOD[: -len("the a of and to in is for on with ")] + (
+        "the a of and to in is for on that "  # one word changed -> most shingles shared
+    )
+    reordered = "with on for is in to and of a the " * 6  # same words, disjoint shingles
+
+    _write_batch(landing, "b1.jsonl", [{"doc_id": 1, "source": "web", "text": EN_GOOD}])
+    streaming_curation(spark, str(landing), sink, ckpt, near_dup=True).awaitTermination(120)
+    v0 = versioned.read_version(spark, sink)
+    assert versioned.latest_version(sink) == 0
+    assert "minhash" in v0.columns and v0.first()["minhash"] is not None
+
+    _write_batch(
+        landing,
+        "b2.jsonl",
+        [
+            {"doc_id": 10, "source": "web", "text": near_text},  # near-dup -> dropped
+            {"doc_id": 11, "source": "web", "text": reordered},  # novel -> kept
+            {"doc_id": 12, "source": "web", "text": EN_GOOD},  # exact -> dropped
+        ],
+    )
+    streaming_curation(spark, str(landing), sink, ckpt, near_dup=True).awaitTermination(120)
+    assert versioned.latest_version(sink) == 1
+    v1 = versioned.read_version(spark, sink)
+    assert sorted(r["doc_id"] for r in v1.collect()) == [1, 11]
+    changes = versioned.changes_between(spark, sink, "doc_id", 0, 1).collect()
+    assert [(c["_change_type"], c["doc_id"]) for c in changes] == [("insert", 11)]
