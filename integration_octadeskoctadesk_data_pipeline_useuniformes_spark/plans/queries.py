@@ -82,12 +82,14 @@ def register(name: str, oracle: str | None):
 #: — plus the six NEW queries added later in the round
 #: (x_retrieval_rrf_fusion, x_dedup_cross_source_matrix,
 #: x_mixture_epochs, x_retrieval_rank_overlap_curve,
-#: x_quality_calibration, fn_map_battery). The remaining 40 slots go
-#: to the cohort the verdict names: the seven fn_* batteries carried
-#: from r6 (newest row r2) and 33 of the 43 queries whose newest
-#: green row is r3. 10 + 7 + 43 = 60 candidates for 50 slots: ten
-#: r3-cohort members are carried to r8 (rationale in the trailing
-#: comment).
+#: x_quality_calibration, fn_map_battery) and the three queries whose
+#: ppm products the late-round overflow sweep moved onto
+#: DECIMAL(38,0)/HUGEINT (x_vocab_coverage, x_bpe_fertility_by_lang,
+#: x_packing_efficiency). The remaining 37 slots go to the cohort the
+#: verdict names: the seven fn_* batteries carried from r6 (newest
+#: row r2) and 30 of the 43 queries whose newest green row is r3.
+#: 13 + 7 + 43 = 63 candidates for 50 slots: thirteen r3-cohort
+#: members are carried to r8 (rationale in the trailing comment).
 DRIVER_WINDOW: list[str] = [
     # changed or new this round (re-verify first)
     "x_contamination_removal",
@@ -100,6 +102,12 @@ DRIVER_WINDOW: list[str] = [
     "x_retrieval_rank_overlap_curve",
     "x_quality_calibration",
     "fn_map_battery",
+    # changed late in the round: the proactive ppm-overflow sweep
+    # moved their utilization/coverage/fertility products onto
+    # DECIMAL(38,0)/HUGEINT (re-verify per the standing rule)
+    "x_vocab_coverage",
+    "x_bpe_fertility_by_lang",
+    "x_packing_efficiency",
     # the seven fn_* batteries carried from the r6 window (newest row r2)
     "fn_array_battery",
     "fn_date_battery",
@@ -114,12 +122,9 @@ DRIVER_WINDOW: list[str] = [
     "fn_window_range_frame",
     "fn_window_ratio_to_report",
     "x_ann_quantized_topk",
-    "x_approx_distinct_users",
     "x_approx_percentile_value",
     "x_asof_click_before_purchase",
-    "x_bloom_prune_join",
     "x_category_drift",
-    "x_cms_heavy_hitters",
     "x_dedup_containment",
     "x_dedup_incremental_batch",
     "x_embedding_centroid",
@@ -143,9 +148,9 @@ DRIVER_WINDOW: list[str] = [
     "x_train_pipeline",
     "x_value_iqr_outliers",
 ]
-# Slot arithmetic (r7): 10 changed/new + 7 carried fn_* batteries +
-# 33 of the 43 r3-green-once cohort members = 50. Ten r3-cohort
-# members are CARRIED to round 8, in two displacement classes:
+# Slot arithmetic (r7): 13 changed/new + 7 carried fn_* batteries +
+# 30 of the 43 r3-green-once cohort members = 50. Thirteen r3-cohort
+# members are CARRIED to round 8, in three displacement classes:
 # (a) fn_date_parse_battery, x_doc_length_buckets, x_pii_redact,
 #     x_chunk_documents, x_quality_repetition — single-scan codegen
 #     projections with no persist/join/window machinery (lowest
@@ -166,9 +171,14 @@ DRIVER_WINDOW: list[str] = [
 #     estimate-error diagnostics ride the same sigs/banding owners
 #     (_SIGS_CTE / _lsh_pairs_ctes_sql / minhash_signatures) that
 #     THREE in-window queries re-verify (lsh_pairs, the matrix, the
-#     incremental gate).
-# All ten stay covered by the full-catalog strict sf0.01 gate every
-# round.
+#     incremental gate);
+# (c) x_approx_distinct_users, x_bloom_prune_join,
+#     x_cms_heavy_hitters — permanent SENSITIVE members, strictly
+#     value-verified at sf0.1 by the local gate EVERY round (stronger
+#     ongoing coverage than one more driver hash row), displaced to
+#     make room for the three overflow-sweep re-windows.
+# All thirteen stay covered by the full-catalog strict sf0.01 gate
+# every round.
 # x_dedup_minhash_lsh_pairs is in the window although its refactor
 # (the r7 banding/verify owner hoist) left its OPTIMIZED PLAN
 # byte-identical (asserted at refactor time, expr-ids normalized) —

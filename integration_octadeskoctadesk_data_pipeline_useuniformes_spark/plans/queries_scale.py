@@ -813,9 +813,23 @@ def x_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+#: coverage_ppm = covered·1e6 div total on 128-bit-capable types (the
+#: x_length_bucket_padding convention): covered_tokens is a CORPUS-WIDE
+#: cumulative token count, so covered·1e6 overflows BIGINT once the
+#: corpus holds > ~9.2e12 token occurrences (≈ 65 TB of ~7-byte words —
+#: squarely inside the 100 TB design point). The counts themselves stay
+#: BIGINT (exact to 9.2e18 occurrences). Single owners shared with the
+#: huge-values regression test (test_aggregate_ppm_exprs_survive_huge_counts),
+#: which cannot plant such counts through real data (they are COUNTED,
+#: not read from a column) and therefore pins the exact expression
+#: texts on literal huge values instead.
+_COVERAGE_PPM_ORACLE = "CAST(CAST(cum_n AS HUGEINT) * 1000000 // total_n AS BIGINT)"
+_COVERAGE_PPM_SPARK = "(CAST(covered_tokens AS DECIMAL(38,0)) * 1000000) div total_tokens"
+
+
 @register(
     "x_vocab_coverage",
-    """
+    f"""
 WITH vocab AS (
   SELECT token, count(*) AS n FROM (
     SELECT unnest(string_split(text, ' ')) AS token FROM documents
@@ -831,7 +845,7 @@ WITH vocab AS (
 SELECT CAST(rnk AS BIGINT) AS vocab_size,
        CAST(cum_n AS BIGINT) AS covered_tokens,
        CAST(total_n AS BIGINT) AS total_tokens,
-       CAST(cum_n * 1000000 // total_n AS BIGINT) AS coverage_ppm
+       {_COVERAGE_PPM_ORACLE} AS coverage_ppm
 FROM ranked WHERE rnk IN (100, 500, 1000)
 """,
 )
@@ -857,6 +871,6 @@ def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vocab_size",
             "covered_tokens",
             "total_tokens",
-            F.expr("covered_tokens * 1000000 div total_tokens").alias("coverage_ppm"),
+            F.expr(_COVERAGE_PPM_SPARK).cast("bigint").alias("coverage_ppm"),
         )
     )

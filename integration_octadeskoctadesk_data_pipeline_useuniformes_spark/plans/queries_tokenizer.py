@@ -380,8 +380,23 @@ def x_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # occurrence count. Ratios are integer ppm; divisors are structurally
 # >= 1 (a lang group exists only via at least one word, and every
 # qualifying word encodes to at least one symbol), so the ANSI `div`
-# needs no guard.
+# needs no guard. The ppm PRODUCTS ride 128-bit-capable types (the
+# x_length_bucket_padding convention): n_bpe_tokens / n_word_chars are
+# per-LANG corpus-wide totals, so 1e6·total overflows BIGINT once a
+# language holds > ~9.2e12 tokens/chars (≈ 9 TB of text in one lang —
+# reachable at the 100 TB design point). The totals themselves stay
+# BIGINT. Expression owners shared with the huge-values regression
+# test (the counts are computed, not plantable through fixture data).
 # ---------------------------------------------------------------------------
+
+_FERTILITY_TPW_ORACLE = (
+    "CAST((1000000 * CAST(sum(cnt * ns) AS HUGEINT)) // sum(cnt) AS BIGINT)"
+)
+_FERTILITY_CPT_ORACLE = (
+    "CAST((1000000 * CAST(sum(cnt * nc) AS HUGEINT)) // sum(cnt * ns) AS BIGINT)"
+)
+_FERTILITY_TPW_SPARK = "(CAST(n_bpe_tokens AS DECIMAL(38,0)) * 1000000) div n_words"
+_FERTILITY_CPT_SPARK = "(CAST(n_word_chars AS DECIMAL(38,0)) * 1000000) div n_bpe_tokens"
 
 
 def _bpe_fertility_oracle(n_steps: int) -> str:
@@ -402,9 +417,9 @@ SELECT lang,
        CAST(sum(cnt) AS BIGINT) AS n_words,
        CAST(sum(cnt * nc) AS BIGINT) AS n_word_chars,
        CAST(sum(cnt * ns) AS BIGINT) AS n_bpe_tokens,
-       CAST((1000000 * sum(cnt * ns)) // sum(cnt) AS BIGINT)
+       {_FERTILITY_TPW_ORACLE}
          AS tokens_per_word_ppm,
-       CAST((1000000 * sum(cnt * nc)) // sum(cnt * ns) AS BIGINT)
+       {_FERTILITY_CPT_ORACLE}
          AS chars_per_token_ppm
 FROM enc GROUP BY lang
 """
@@ -443,10 +458,10 @@ def x_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_words",
             "n_word_chars",
             "n_bpe_tokens",
-            F.expr("(1000000 * n_bpe_tokens) div n_words")
+            F.expr(_FERTILITY_TPW_SPARK)
             .cast("bigint")
             .alias("tokens_per_word_ppm"),
-            F.expr("(1000000 * n_word_chars) div n_bpe_tokens")
+            F.expr(_FERTILITY_CPT_SPARK)
             .cast("bigint")
             .alias("chars_per_token_ppm"),
         )

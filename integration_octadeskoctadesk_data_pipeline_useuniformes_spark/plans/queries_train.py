@@ -456,7 +456,12 @@ def x_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per shard group, how full the fixed-budget blocks actually are.
 # Utilization is exact integer parts-per-million (chars·1e6 div
 # blocks·budget); the only new aggregation runs over the (source,
-# block) table, which the pack pass already reduced.
+# block) table, which the pack pass already reduced. The ppm product
+# rides DECIMAL(38,0)/HUGEINT (the x_length_bucket_padding
+# convention): sum(block_chars) is a per-SOURCE corpus total, so the
+# ·1e6 product overflows BIGINT once a source holds > ~9.2e12 chars
+# (≈ 9 TB — reachable at the 100 TB design point; regression:
+# test_packing_efficiency_survives_huge_docs).
 # ---------------------------------------------------------------------------
 
 
@@ -476,7 +481,8 @@ WITH c AS (
 SELECT source,
        count(*) AS n_blocks,
        CAST(sum(block_chars) AS BIGINT) AS total_chars,
-       CAST(sum(block_chars) * 1000000 // (count(*) * {_PACK_BUDGET}) AS BIGINT)
+       CAST(CAST(sum(block_chars) AS HUGEINT) * 1000000
+            // (count(*) * {_PACK_BUDGET}) AS BIGINT)
          AS utilization_ppm,
        CAST(min(block_chars) AS BIGINT) AS min_block_chars,
        CAST(max(block_chars) AS BIGINT) AS max_block_chars
@@ -492,7 +498,10 @@ def x_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocks.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_blocks"),
         F.sum("block_chars").cast("long").alias("total_chars"),
-        F.expr(f"sum(block_chars) * 1000000 div (count(1) * {_PACK_BUDGET})")
+        F.expr(
+            f"(CAST(sum(block_chars) AS DECIMAL(38,0)) * 1000000)"
+            f" div (count(1) * {_PACK_BUDGET})"
+        )
         .cast("long")
         .alias("utilization_ppm"),
         F.min("block_chars").cast("long").alias("min_block_chars"),

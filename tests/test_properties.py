@@ -3137,3 +3137,123 @@ def test_mixture_epochs_matches_python_model(spark, chars, tmp_path_factory):
         for r in catalog.queries()["x_mixture_epochs"](spark, str(tmp)).collect()
     }
     assert got == want, (chars, got, want)
+
+
+def test_packing_efficiency_survives_huge_docs(spark, tmp_path_factory):
+    """Proactive r7 sweep of the r5/r6 ADVICE overflow class:
+    utilization_ppm's product sum(block_chars)·1e6 must not ride
+    BIGINT — it overflows once a source packs > ~9.2e12 chars (≈ 9 TB,
+    reachable at the 100 TB design point). Three 2^44-char docs put
+    the product ≈ 5.3e19 past 2^63−1; both engines must return the
+    exact floor ppm via their 128-bit-capable types."""
+    import duckdb
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import (
+        queries as catalog,
+    )
+
+    big = 1 << 44
+    budget = 4096  # _PACK_BUDGET
+    rows = [(i, "s", big + i) for i in range(3)]  # slightly unequal blocks
+    tmp = tmp_path_factory.mktemp("pack_huge")
+    spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+
+    # pack model: cum_before // budget — huge docs land in 3 distinct blocks
+    sizes = [big, big + 1, big + 2]
+    cum = [0, sizes[0], sizes[0] + sizes[1]]
+    assert len({c // budget for c in cum}) == 3
+    total = sum(sizes)
+    product = total * 1_000_000
+    assert product > 2**63 - 1  # the overflow is real
+    want_ppm = product // (3 * budget)
+    want = ("s", 3, total, want_ppm, min(sizes), max(sizes))
+
+    got = [
+        (
+            r["source"],
+            r["n_blocks"],
+            r["total_chars"],
+            r["utilization_ppm"],
+            r["min_block_chars"],
+            r["max_block_chars"],
+        )
+        for r in catalog.queries()["x_packing_efficiency"](spark, str(tmp)).collect()
+    ]
+    assert got == [want]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp}/documents.parquet/*.parquet')"
+    )
+    got_o = con.execute(catalog.oracle_sql()["x_packing_efficiency"]).fetchall()
+    assert [tuple(r) for r in got_o] == [want]
+
+
+def test_aggregate_ppm_exprs_survive_huge_counts(spark):
+    """The vocab-coverage and BPE-fertility ppm products are corpus-
+    wide COUNTED totals (not plantable through fixture data the way
+    n_chars is), so this pins their exact expression owners on literal
+    huge values instead: both engines must floor the 128-bit product
+    identically once total·1e6 exceeds 2^63−1."""
+    import duckdb
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_scale import (
+        _COVERAGE_PPM_ORACLE,
+        _COVERAGE_PPM_SPARK,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_tokenizer import (
+        _FERTILITY_CPT_ORACLE,
+        _FERTILITY_CPT_SPARK,
+        _FERTILITY_TPW_ORACLE,
+        _FERTILITY_TPW_SPARK,
+    )
+
+    con = duckdb.connect()
+
+    # --- coverage: covered·1e6 ≈ 1.76e19 > 2^63−1
+    covered, total = (1 << 44) + 3, (1 << 45) - 1
+    want_cov = covered * 1_000_000 // total
+    assert covered * 1_000_000 > 2**63 - 1
+    got_s = (
+        spark.createDataFrame(
+            [(covered, total)], "covered_tokens long, total_tokens long"
+        )
+        .selectExpr(f"{_COVERAGE_PPM_SPARK} AS p")
+        .first()["p"]
+    )
+    got_o = con.execute(
+        f"SELECT {_COVERAGE_PPM_ORACLE} FROM (SELECT CAST(? AS BIGINT) AS cum_n,"
+        " CAST(? AS BIGINT) AS total_n)",
+        [covered, total],
+    ).fetchone()[0]
+    assert got_s == got_o == want_cov
+
+    # --- fertility: two (cnt, ns, nc) rows; sums exceed 2^63−1 after ·1e6
+    rows = [(1 << 43, 2, 7), (3, 1, 5)]
+    n_words = sum(c for c, _, _ in rows)
+    n_tok = sum(c * s for c, s, _ in rows)
+    n_chars = sum(c * n for c, _, n in rows)
+    assert 1_000_000 * n_tok > 2**63 - 1
+    want_tpw = 1_000_000 * n_tok // n_words
+    want_cpt = 1_000_000 * n_chars // n_tok
+    got = (
+        spark.createDataFrame(
+            [(n_words, n_tok, n_chars)],
+            "n_words long, n_bpe_tokens long, n_word_chars long",
+        )
+        .selectExpr(
+            f"{_FERTILITY_TPW_SPARK} AS tpw", f"{_FERTILITY_CPT_SPARK} AS cpt"
+        )
+        .first()
+    )
+    got_o = con.execute(
+        f"SELECT {_FERTILITY_TPW_ORACLE} AS tpw, {_FERTILITY_CPT_ORACLE} AS cpt"
+        " FROM (SELECT unnest([" +
+        ",".join(f"{{'cnt': CAST({c} AS BIGINT), 'ns': CAST({s} AS BIGINT),"
+                 f" 'nc': CAST({n} AS BIGINT)}}" for c, s, n in rows) +
+        "], recursive := true))"
+    ).fetchone()
+    assert (got["tpw"], got["cpt"]) == tuple(got_o) == (want_tpw, want_cpt)

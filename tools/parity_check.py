@@ -27,8 +27,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 #: these at sf0.1, not just sf0.01. Includes the round-3 additions
 #: (VERDICT r3 item 6), round 4's iterative BPE, the round-5 additions,
 #: round 6's trigram LM and round 7's incremental-minhash/funnel/
-#: RRF-fusion/epoch-planner — 47 members as of round 7 (registry-sync
-#: pinned by tests/test_units.py), against a 200-query catalog
+#: RRF-fusion/epoch-planner/overlap-curve/calibration — 49 members as of round 7 (registry-sync
+#: pinned by tests/test_units.py), against a 203-query catalog
 #: (x_dedup_containment_topk is sample-bounded by construction, like
 #: the recall-sample/band-tuning reports — not volume-sensitive;
 #: x_dedup_cross_source_matrix re-verifies through its in-SENSITIVE
