@@ -116,6 +116,31 @@ def commit_replace(df: DataFrame, path: str) -> int:
     return _publish_manifest(path, _write_files(df, path), carry_prev=False)
 
 
+def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """OPTIMIZE analogue: rewrite the CURRENT snapshot into
+    ``target_files`` evenly-sized files and commit it as a new version
+    with byte-identical rows.
+
+    Small-file buildup is the versioned sink's operational tax — a
+    micro-batching writer (streaming/curation.py) commits a few files
+    per batch, and after thousands of batches every snapshot read pays
+    thousands of file opens. Compaction is pure manifest algebra on
+    top of the existing commit path: the new manifest points ONLY at
+    the rewritten files (``commit_replace``), older versions keep
+    reading their own (immutable) files, the change feed between the
+    pre- and post-compaction versions is EMPTY (no row changed), and
+    ``vacuum`` reclaims the small files once no retained manifest
+    references them — exactly Delta OPTIMIZE's contract.
+
+    ``repartition`` (not coalesce) so the rewritten files are
+    even-sized regardless of the input file-size skew; the one shuffle
+    is the cost of any physical re-layout (cluster_for_skipping's
+    documented tradeoff).
+    """
+    snap = read_version(spark, path)
+    return commit_replace(snap.repartition(target_files), path)
+
+
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Snapshot read: the file set pinned by version's manifest
     (default: latest)."""

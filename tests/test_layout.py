@@ -268,3 +268,53 @@ def test_vacuum_keeps_retained_versions_readable(spark, tmp_path):
     # v0/v1 data files are gone from disk
     for f in deleted:
         assert not os.path.exists(os.path.join(path, f))
+
+
+def test_compact_rewrites_files_preserves_rows_and_history(spark, tmp_path):
+    """OPTIMIZE analogue (r7): compaction rewrites the current snapshot
+    into target_files even files as a NEW version with identical rows —
+    the change feed across the compaction is empty, older versions
+    still time-travel to their own file sets, and vacuum afterwards
+    reclaims the pre-compaction small files."""
+    import os
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        _files_of,
+        changes_between,
+        commit_append,
+        compact,
+        latest_version,
+        read_version,
+        vacuum,
+    )
+
+    path = str(tmp_path / "tbl")
+    # two multi-file appends -> small-file buildup
+    commit_append(
+        spark.createDataFrame([(i, f"a{i}") for i in range(8)], "k long, v string")
+        .repartition(4),
+        path,
+    )
+    commit_append(
+        spark.createDataFrame([(i, f"a{i}") for i in range(8, 12)], "k long, v string")
+        .repartition(3),
+        path,
+    )
+    pre = latest_version(path)
+    pre_rows = {(r.k, r.v) for r in read_version(spark, path).collect()}
+    assert len(_files_of(path, pre)) == 7
+
+    post = compact(spark, path, target_files=2)
+    assert post == pre + 1
+    assert len(_files_of(path, post)) == 2
+    assert {(r.k, r.v) for r in read_version(spark, path).collect()} == pre_rows
+    # no row changed: the CDC diff across the compaction is empty
+    assert changes_between(spark, path, "k", pre, post).count() == 0
+    # older versions still read their own files
+    assert read_version(spark, path, 0).count() == 8
+
+    deleted = vacuum(path, retain_last=1)
+    assert deleted, "pre-compaction small files should be reclaimed"
+    for f in deleted:
+        assert not os.path.exists(os.path.join(path, f))
+    assert {(r.k, r.v) for r in read_version(spark, path).collect()} == pre_rows
