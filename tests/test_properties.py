@@ -3152,8 +3152,11 @@ def test_packing_efficiency_survives_huge_docs(spark, tmp_path_factory):
         queries as catalog,
     )
 
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_train import (
+        _PACK_BUDGET as budget,
+    )
+
     big = 1 << 44
-    budget = 4096  # _PACK_BUDGET
     rows = [(i, "s", big + i) for i in range(3)]  # slightly unequal blocks
     tmp = tmp_path_factory.mktemp("pack_huge")
     spark.createDataFrame(

@@ -96,9 +96,12 @@ def test_quality_calibration_consistent_with_signal_queries(spark):
         queries as catalog,
     )
 
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_weighting import (
+        _CAL_BIN_E4 as W,
+    )
+
     SF = "/root/testdata/sf0.001"
     _Q = catalog.queries()
-    W = 1000  # _CAL_BIN_E4
     try:
         qb = {
             r.doc_id: r.quality_bucket
