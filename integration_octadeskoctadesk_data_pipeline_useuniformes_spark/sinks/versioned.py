@@ -48,9 +48,34 @@ def latest_version(path: str) -> int:
     return versions[-1] if versions else -1
 
 
-def _files_of(path: str, version: int) -> list[str]:
+def _manifest_of(path: str, version: int) -> dict:
     with open(os.path.join(path, f"_v{version}.json")) as fh:
-        return json.load(fh)["files"]
+        return json.load(fh)
+
+
+def _files_of(path: str, version: int) -> list[str]:
+    return _manifest_of(path, version)["files"]
+
+
+def _merge_schema(prev: dict | None, new: dict) -> dict:
+    """Additive schema evolution for appends: previous columns keep
+    their order and types, NEW columns are appended. A same-name column
+    with a different type is a conflict — the append is rejected rather
+    than silently coerced (Delta's schema-enforcement default)."""
+    if prev is None:
+        return new
+    by_name = {f["name"]: f for f in prev["fields"]}
+    fields = list(prev["fields"])
+    for f in new["fields"]:
+        old = by_name.get(f["name"])
+        if old is None:
+            fields.append(f)
+        elif old["type"] != f["type"]:
+            raise ValueError(
+                f"schema conflict on column '{f['name']}': "
+                f"table has {old['type']}, append has {f['type']}"
+            )
+    return {"type": "struct", "fields": fields}
 
 
 def _write_files(df: DataFrame, path: str) -> list[str]:
@@ -68,7 +93,9 @@ def _write_files(df: DataFrame, path: str) -> list[str]:
     return names
 
 
-def _publish_manifest(path: str, new_files: list[str], carry_prev: bool) -> int:
+def _publish_manifest(
+    path: str, new_files: list[str], carry_prev: bool, schema: dict | None = None
+) -> int:
     """Atomically claim the next version slot and publish its manifest.
 
     The manifest is created with O_CREAT|O_EXCL — exactly one writer can
@@ -77,6 +104,15 @@ def _publish_manifest(path: str, new_files: list[str], carry_prev: bool) -> int:
     optimistic-concurrency protocol Delta uses on its _delta_log entries,
     so concurrent appends serialize instead of silently losing the first
     writer's manifest (and, for appends, its file list).
+
+    ``schema`` (the committed DataFrame's schema as Spark JSON) is
+    stored IN the manifest — appends merge it additively with the
+    previous version's (see ``_merge_schema``) — so snapshot reads are
+    pinned to the committed schema instead of whichever parquet footer
+    the reader happens to sample: on a mixed-schema file set (a column
+    added mid-life) footer sampling nondeterministically DROPS the new
+    column; the manifest schema makes old files read it as NULL, which
+    is the Delta/Iceberg schema-on-log contract.
     """
     while True:
         prev = latest_version(path)
@@ -85,6 +121,9 @@ def _publish_manifest(path: str, new_files: list[str], carry_prev: bool) -> int:
             if carry_prev
             else new_files
         )
+        out_schema = schema
+        if carry_prev and prev >= 0 and schema is not None:
+            out_schema = _merge_schema(_manifest_of(path, prev).get("schema"), schema)
         version = prev + 1
         final = os.path.join(path, f"_v{version}.json")
         # write the full content to a private tmp, then link() it into
@@ -93,7 +132,7 @@ def _publish_manifest(path: str, new_files: list[str], carry_prev: bool) -> int:
         # and losers retry against the new latest version
         tmp = os.path.join(path, f"._v{version}-{_uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "files": files}, fh)
+            json.dump({"version": version, "files": files, "schema": out_schema}, fh)
         try:
             os.link(tmp, final)
         except FileExistsError:
@@ -106,14 +145,74 @@ def _publish_manifest(path: str, new_files: list[str], carry_prev: bool) -> int:
 def commit_append(df: DataFrame, path: str) -> int:
     """Append ``df`` as a new version; returns the version number."""
     os.makedirs(path, exist_ok=True)
-    return _publish_manifest(path, _write_files(df, path), carry_prev=True)
+    return _publish_manifest(
+        path, _write_files(df, path), carry_prev=True, schema=df.schema.jsonValue()
+    )
 
 
 def commit_replace(df: DataFrame, path: str) -> int:
     """Commit ``df`` as the FULL new state (e.g. a merge result) — old
     versions keep reading their own files."""
     os.makedirs(path, exist_ok=True)
-    return _publish_manifest(path, _write_files(df, path), carry_prev=False)
+    return _publish_manifest(
+        path, _write_files(df, path), carry_prev=False, schema=df.schema.jsonValue()
+    )
+
+
+class ConcurrentReplaceError(RuntimeError):
+    """A non-append commit landed between a compaction's snapshot and
+    its publish — the rewrite is stale and must be retried by the
+    caller against the new state (Delta OPTIMIZE's conflict abort)."""
+
+
+def _publish_replace_from(path: str, new_files: list[str], base_version: int) -> int:
+    """Publish ``new_files`` as the rewrite of snapshot ``base_version``,
+    MERGING any files appended concurrently since the base.
+
+    The plain ``commit_replace`` path is wrong for compaction: it would
+    republish the (stale) base file set as the FULL new state even when
+    a concurrent ``commit_append`` has already advanced the table — the
+    appended rows would vanish from the latest snapshot and a later
+    vacuum would delete their files for good (r7 ADVICE, versioned.py
+    compact race). Delta OPTIMIZE resolves exactly this conflict by
+    checking the commits that landed since its snapshot: appends are
+    disjoint new files and merge in; anything else aborts. Same rule
+    here — an intermediate commit whose file set still contains every
+    base file is an append (appends carry the previous set forward),
+    so its extra files are carried into the compacted manifest; a
+    shrunken/replaced file set means rows the rewrite read may no
+    longer exist, and the compaction raises ``ConcurrentReplaceError``
+    instead of silently resurrecting them.
+    """
+    base_files = set(_files_of(path, base_version))
+    while True:
+        prev = latest_version(path)
+        if prev == base_version:
+            files = list(new_files)
+            schema = _manifest_of(path, base_version).get("schema")
+        else:
+            prev_files = _files_of(path, prev)
+            if not base_files <= set(prev_files):
+                raise ConcurrentReplaceError(
+                    f"{path}: version {prev} replaced rows since compaction "
+                    f"snapshot v{base_version}; rerun compact() on the new state"
+                )
+            files = list(new_files) + [f for f in prev_files if f not in base_files]
+            # the appends since the base may have evolved the schema
+            # additively; their manifest's schema covers every carried file
+            schema = _manifest_of(path, prev).get("schema")
+        version = prev + 1
+        final = os.path.join(path, f"_v{version}.json")
+        tmp = os.path.join(path, f"._v{version}-{_uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": files, "schema": schema}, fh)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            continue  # lost the race: re-diff against the new latest
+        finally:
+            os.unlink(tmp)
+        return version
 
 
 def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
@@ -126,30 +225,48 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     per batch, and after thousands of batches every snapshot read pays
     thousands of file opens. Compaction is pure manifest algebra on
     top of the existing commit path: the new manifest points ONLY at
-    the rewritten files (``commit_replace``), older versions keep
-    reading their own (immutable) files, the change feed between the
-    pre- and post-compaction versions is EMPTY (no row changed), and
-    ``vacuum`` reclaims the small files once no retained manifest
-    references them — exactly Delta OPTIMIZE's contract.
+    the rewritten files (plus any concurrently-appended ones — see
+    ``_publish_replace_from``), older versions keep reading their own
+    (immutable) files, the change feed between the pre- and
+    post-compaction versions is EMPTY (no row changed), and ``vacuum``
+    reclaims the small files once no retained manifest references
+    them — exactly Delta OPTIMIZE's contract, including its
+    concurrent-writer conflict rules: appends landed mid-compaction
+    merge in, replaces abort with ``ConcurrentReplaceError``.
 
     ``repartition`` (not coalesce) so the rewritten files are
     even-sized regardless of the input file-size skew; the one shuffle
     is the cost of any physical re-layout (cluster_for_skipping's
     documented tradeoff).
     """
-    snap = read_version(spark, path)
-    return commit_replace(snap.repartition(target_files), path)
+    base = latest_version(path)
+    if base < 0:
+        raise ValueError(f"cannot compact {path}: table has no committed versions")
+    snap = read_version(spark, path, base)
+    rewritten = _write_files(snap.repartition(target_files), path)
+    return _publish_replace_from(path, rewritten, base)
 
 
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Snapshot read: the file set pinned by version's manifest
-    (default: latest)."""
+    (default: latest), under the manifest's COMMITTED schema — files
+    written before a column was added read it as NULL instead of the
+    footer-sampling lottery (legacy manifests without a stored schema
+    fall back to mergeSchema, which is deterministic but pays a
+    footer read per file)."""
     if version is None:
         version = latest_version(path)
-    files = _files_of(path, version)
+    manifest = _manifest_of(path, version)
+    files = manifest["files"]
     if not files:
         raise ValueError(f"version {version} of {path} is empty")
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    paths = [os.path.join(path, f) for f in files]
+    schema = manifest.get("schema")
+    if schema is not None:
+        from pyspark.sql.types import StructType
+
+        return spark.read.schema(StructType.fromJson(schema)).parquet(*paths)
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
 def changes_between(

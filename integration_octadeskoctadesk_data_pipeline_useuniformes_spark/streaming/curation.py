@@ -47,6 +47,59 @@ def curate_batch(batch_df: DataFrame, min_quality: float = 0.5, lang: str = "en"
     )
 
 
+def backfill_minhash(spark: SparkSession, sink_path: str) -> int:
+    """One-time signature backfill for a sink whose earlier versions
+    were committed with ``near_dup=False``.
+
+    Legacy history has no ``minhash`` column (or, with mixed-schema
+    parquet files, NULL signatures whose bands never fire — near-dups
+    against that history would be silently missed, r7 ADVICE).
+    Recomputes the signature from the stored text with the SAME trainer
+    expression the streaming gate uses and commits the repaired
+    snapshot as a new version (``commit_replace`` — old versions keep
+    their own files, the repair is itself time-travelable). Returns
+    the new version number.
+
+    One full-history rewrite, run ONCE at migration time — exactly the
+    cost Delta column-backfill pays; afterwards the incremental gate
+    never re-hashes history again.
+    """
+    from ..operators import dedup as D
+
+    hist = versioned.read_version(spark, sink_path)
+    sig = D.minhash_signature(F.col("text"))
+    if "minhash" in hist.columns:
+        repaired = hist.withColumn("minhash", F.coalesce(F.col("minhash"), sig))
+    else:
+        repaired = hist.withColumn("minhash", sig)
+    return versioned.commit_replace(repaired, sink_path)
+
+
+def _check_history_signatures(spark: SparkSession, sink_path: str) -> None:
+    """Fail fast when ``near_dup=True`` is toggled on over legacy
+    history (committed without signatures): a missing ``minhash``
+    column would crash the probe mid-stream, and NULL signatures from
+    mixed-schema files would silently miss every near-dup against
+    those rows. One pruned-column check at stream START (not per
+    batch), with the fix spelled out in the error."""
+    hist = versioned.read_version(spark, sink_path)
+    if "minhash" not in hist.columns:
+        raise ValueError(
+            f"near_dup=True but sink {sink_path} history has no 'minhash' "
+            "column (committed with near_dup=False?). Run "
+            "streaming.curation.backfill_minhash(spark, sink_path) once, "
+            "then restart the stream."
+        )
+    n_null = hist.filter(F.col("minhash").isNull()).limit(1).count()
+    if n_null:
+        raise ValueError(
+            f"near_dup=True but sink {sink_path} history contains NULL "
+            "minhash signatures (mixed-schema files from a near_dup=False "
+            "era). Run streaming.curation.backfill_minhash(spark, "
+            "sink_path) once, then restart the stream."
+        )
+
+
 def streaming_curation(
     spark: SparkSession,
     landing_dir: str,
@@ -73,8 +126,25 @@ def streaming_curation(
     signature fold per commit, and the probe is the same broadcast
     (band, bucket) equi-join as the batch query. Exact dedup still
     runs first (cheaper; near-dup only sees exact-novel docs).
+
+    Near-dups that CO-ARRIVE in one micro-batch are caught by an
+    in-batch self-probe (r7 ADVICE: the history probe deliberately
+    never compares batch x batch, and once both docs commit they are
+    history and are never re-compared — unlike exact dups, which
+    dropDuplicates catches in-batch). The self-probe is the registered
+    pair generator (``lsh_candidate_pairs``) run on the batch alone —
+    cheap at micro-batch grain — and drops every doc that verifies
+    against a LOWER-id batch doc (keep-first, the exact gate's
+    dropDuplicates convention made deterministic).
+
+    Toggling ``near_dup=True`` over a sink whose history was committed
+    without signatures fails fast at start with a pointer to
+    ``backfill_minhash`` (see ``_check_history_signatures``).
     """
     from ..operators import dedup as D
+
+    if near_dup and versioned.latest_version(sink_path) >= 0:
+        _check_history_signatures(spark, sink_path)
 
     stream = spark.readStream.schema(DOC_SCHEMA).json(landing_dir)
 
@@ -86,6 +156,12 @@ def streaming_curation(
         kept = curate_batch(batch_df, min_quality, lang)
         if near_dup:
             kept = kept.withColumn("minhash", D.minhash_signature(F.col("text")))
+            # in-batch self-probe: doc_id pairs from the batch's own
+            # bucket collisions; drop the higher id of each verified
+            # pair so co-arriving near-dups keep exactly one survivor
+            pairs = D.lsh_candidate_pairs(kept.select("doc_id", "text"))
+            dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+            kept = kept.join(F.broadcast(dropped), "doc_id", "left_anti")
         if versioned.latest_version(sink_path) >= 0:
             history = versioned.read_version(batch_df.sparkSession, sink_path)
             seen = history.select("fingerprint").distinct()

@@ -318,3 +318,110 @@ def test_compact_rewrites_files_preserves_rows_and_history(spark, tmp_path):
     for f in deleted:
         assert not os.path.exists(os.path.join(path, f))
     assert {(r.k, r.v) for r in read_version(spark, path).collect()} == pre_rows
+
+
+def test_compact_merges_concurrent_append(spark, tmp_path):
+    """The r7-ADVICE compact race: an append that lands between
+    compaction's snapshot and its publish must SURVIVE — the compacted
+    manifest carries the appended files forward (Delta OPTIMIZE's
+    append-wins conflict rule), never republishing the stale base set."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        _files_of,
+        _publish_replace_from,
+        _write_files,
+        commit_append,
+        latest_version,
+        read_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    commit_append(
+        spark.createDataFrame([(i, f"a{i}") for i in range(8)], "k long, v string")
+        .repartition(4),
+        path,
+    )
+    base = latest_version(path)
+    # compaction reads the snapshot and stages its rewrite...
+    rewritten = _write_files(read_version(spark, path, base).repartition(1), path)
+    # ...a concurrent streaming writer appends mid-compaction...
+    commit_append(
+        spark.createDataFrame([(100, "late")], "k long, v string"), path
+    )
+    # ...and the compaction's publish merges the appended files in
+    post = _publish_replace_from(path, rewritten, base)
+    assert post == base + 2
+    got = {(r.k, r.v) for r in read_version(spark, path, post).collect()}
+    assert got == {(i, f"a{i}") for i in range(8)} | {(100, "late")}, (
+        "the concurrent append's rows must survive compaction"
+    )
+    # the compacted version references the rewrite + the appended files only
+    assert len(_files_of(path, post)) < len(_files_of(path, base)) + 2
+
+
+def test_compact_aborts_on_concurrent_replace(spark, tmp_path):
+    """A non-append commit (replace/merge) landing mid-compaction means
+    rows the rewrite read may no longer exist — the publish must abort
+    with ConcurrentReplaceError, not resurrect them."""
+    import pytest
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        ConcurrentReplaceError,
+        _publish_replace_from,
+        _write_files,
+        commit_append,
+        commit_replace,
+        latest_version,
+        read_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    commit_append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), path
+    )
+    base = latest_version(path)
+    rewritten = _write_files(read_version(spark, path, base).repartition(1), path)
+    # a merge/overwrite lands mid-compaction: row k=2 is deleted
+    commit_replace(spark.createDataFrame([(1, "a")], "k long, v string"), path)
+    with pytest.raises(ConcurrentReplaceError):
+        _publish_replace_from(path, rewritten, base)
+    # the replace's state is untouched
+    assert {r.k for r in read_version(spark, path).collect()} == {1}
+
+
+def test_compact_empty_table_raises_clear_error(spark, tmp_path):
+    """compact() on an uninitialized table: a clear ValueError, not an
+    opaque FileNotFoundError on _v-1.json (r7 ADVICE)."""
+    import pytest
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import compact
+
+    with pytest.raises(ValueError, match="no committed versions"):
+        compact(spark, str(tmp_path / "nothing"))
+
+
+def test_versioned_manifest_schema_pins_mixed_schema_reads(spark, tmp_path):
+    """Schema-on-manifest: a column added mid-life reads as NULL for
+    pre-evolution files on EVERY read — not the footer-sampling lottery
+    (plain spark.read.parquet samples one footer and nondeterministically
+    drops the new column). Type conflicts are rejected at commit."""
+    import pytest
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        commit_append,
+        read_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    commit_append(spark.createDataFrame([(1, "a")], "k long, v string"), path)
+    commit_append(
+        spark.createDataFrame([(2, "b", "extra")], "k long, v string, note string"), path
+    )
+    snap = read_version(spark, path)
+    assert snap.columns == ["k", "v", "note"], "evolved column must always be visible"
+    rows = {r.k: r.note for r in snap.collect()}
+    assert rows == {1: None, 2: "extra"}, "pre-evolution rows read the new column as NULL"
+    # old snapshot keeps its own (pre-evolution) schema
+    assert read_version(spark, path, 0).columns == ["k", "v"]
+
+    with pytest.raises(ValueError, match="schema conflict"):
+        commit_append(spark.createDataFrame([(3, 9)], "k long, v long"), path)

@@ -536,3 +536,130 @@ def test_streaming_curation_near_dup_gate_uses_persisted_signatures(spark, tmp_p
     assert sorted(r["doc_id"] for r in v1.collect()) == [1, 11]
     changes = versioned.changes_between(spark, sink, "doc_id", 0, 1).collect()
     assert [(c["_change_type"], c["doc_id"]) for c in changes] == [("insert", 11)]
+
+
+def test_near_dup_in_batch_self_probe_keeps_one_survivor(spark, tmp_path):
+    """Near-dups that CO-ARRIVE in one micro-batch (r7 ADVICE): the
+    history probe never compares batch x batch, so without the in-batch
+    self-probe both copies would commit and never be re-compared. The
+    self-probe drops every doc verifying against a lower-id batch doc —
+    exactly one survivor per co-arriving near-dup group."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.curation import (
+        streaming_curation,
+    )
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    sink = str(tmp_path / "curated")
+    ckpt = str(tmp_path / "ckpt")
+
+    near_text = EN_GOOD[: -len("the a of and to in is for on with ")] + (
+        "the a of and to in is for on that "  # one word changed -> most shingles shared
+    )
+    reordered = "with on for is in to and of a the " * 6  # same words, disjoint shingles
+
+    _write_batch(
+        landing,
+        "b1.jsonl",
+        [
+            {"doc_id": 1, "source": "web", "text": EN_GOOD},
+            {"doc_id": 2, "source": "web", "text": near_text},  # in-batch near-dup of 1
+            {"doc_id": 3, "source": "web", "text": reordered},  # novel -> kept
+        ],
+    )
+    streaming_curation(spark, str(landing), sink, ckpt, near_dup=True).awaitTermination(120)
+    v0 = versioned.read_version(spark, sink)
+    assert sorted(r["doc_id"] for r in v0.collect()) == [1, 3], (
+        "lowest-id near-dup survives; its co-arriving twin is dropped"
+    )
+
+
+def test_near_dup_toggle_over_legacy_history_fails_fast_then_backfills(spark, tmp_path):
+    """Migration path (r7 ADVICE): near_dup=True over a sink whose
+    history was committed WITHOUT signatures fails fast at stream start
+    with a pointer to backfill_minhash; after the one-time backfill the
+    fuzzy gate works against the legacy rows."""
+    import pytest
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.curation import (
+        backfill_minhash,
+        streaming_curation,
+    )
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    sink = str(tmp_path / "curated")
+
+    # era 1: exact-only curation -> history has no minhash column
+    _write_batch(landing, "b1.jsonl", [{"doc_id": 1, "source": "web", "text": EN_GOOD}])
+    streaming_curation(
+        spark, str(landing), sink, str(tmp_path / "ckpt1"), near_dup=False
+    ).awaitTermination(120)
+    assert "minhash" not in versioned.read_version(spark, sink).columns
+
+    # era 2: toggling near_dup on must fail fast, naming the fix
+    with pytest.raises(ValueError, match="backfill_minhash"):
+        streaming_curation(
+            spark, str(landing), sink, str(tmp_path / "ckpt2"), near_dup=True
+        )
+
+    # one-time backfill, then the gate catches a near-dup vs LEGACY rows
+    v = backfill_minhash(spark, sink)
+    hist = versioned.read_version(spark, sink, v)
+    assert "minhash" in hist.columns
+    assert hist.filter(F.col("minhash").isNull()).count() == 0
+
+    near_text = EN_GOOD[: -len("the a of and to in is for on with ")] + (
+        "the a of and to in is for on that "
+    )
+    _write_batch(
+        landing, "b2.jsonl", [{"doc_id": 10, "source": "web", "text": near_text}]
+    )
+    streaming_curation(
+        spark, str(landing), sink, str(tmp_path / "ckpt3"), near_dup=True
+    ).awaitTermination(120)
+    latest = versioned.read_version(spark, sink)
+    assert sorted(r["doc_id"] for r in latest.collect()) == [1], (
+        "the near-dup of a backfilled legacy row must be dropped"
+    )
+
+
+def test_backfill_minhash_repairs_mixed_schema_null_signatures(spark, tmp_path):
+    """Mixed-schema history (near_dup toggled mid-life without
+    migration): rows from the near_dup=False era read as NULL
+    signatures whose bands never fire. The start-up check rejects the
+    sink; backfill_minhash fills ONLY the null signatures (existing
+    ones are kept verbatim) and the repaired sink passes the check."""
+    import pytest
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators import dedup as D
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.curation import (
+        _check_history_signatures,
+        backfill_minhash,
+    )
+
+    sink = str(tmp_path / "curated")
+    legacy = spark.createDataFrame(
+        [(1, "web", EN_GOOD, 1.0, "fp1")],
+        "doc_id long, source string, text string, quality double, fingerprint string",
+    )
+    versioned.commit_append(legacy, sink)
+    signed = spark.createDataFrame(
+        [(2, "web", "with on for is in to and of a the " * 6, 1.0, "fp2")],
+        "doc_id long, source string, text string, quality double, fingerprint string",
+    ).withColumn("minhash", D.minhash_signature(F.col("text")))
+    versioned.commit_append(signed, sink)  # mixed schema: row 1 reads NULL minhash
+
+    with pytest.raises(ValueError, match="NULL minhash"):
+        _check_history_signatures(spark, sink)
+
+    pre = {r["doc_id"]: r["minhash"] for r in versioned.read_version(spark, sink).collect()}
+    assert pre[1] is None and pre[2] is not None
+    backfill_minhash(spark, sink)
+    post = {r["doc_id"]: r["minhash"] for r in versioned.read_version(spark, sink).collect()}
+    assert post[1] is not None, "null signature must be backfilled"
+    assert post[2] == pre[2], "existing signatures are kept verbatim"
+    _check_history_signatures(spark, sink)  # repaired sink passes
