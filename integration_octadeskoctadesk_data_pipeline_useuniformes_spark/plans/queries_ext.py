@@ -997,6 +997,68 @@ def x_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, qids, n_seeds=8, k=10, nprobe=2)
 
 
+@register(
+    "x_ann_ivf_incremental_assign",
+    f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+s AS (SELECT vec_id AS seed_id, embedding AS semb FROM e WHERE vec_id < 8),
+assigned AS (
+  SELECT vec_id, seed_id AS cell,
+         CAST(1000000 - floor(cs * 1000000 + 0.5) AS BIGINT) AS dist_ppm,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, seed_id ASC) AS rn
+  FROM (
+    SELECT a.vec_id, s.seed_id, {_cos2_sql('a', 'embedding', 's', 'semb')} AS cs
+    FROM e a CROSS JOIN s
+  )
+),
+home AS (SELECT vec_id, cell, dist_ppm FROM assigned WHERE rn = 1),
+train AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_train,
+         CAST(CAST(sum(dist_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
+           AS train_mean_dist_ppm
+  FROM home WHERE vec_id % 10 <> 9 GROUP BY cell
+),
+fresh AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_new,
+         CAST(CAST(sum(dist_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
+           AS new_mean_dist_ppm
+  FROM home WHERE vec_id % 10 = 9 GROUP BY cell
+)
+SELECT t.cell, t.n_train, CAST(coalesce(f.n_new, 0) AS BIGINT) AS n_new,
+       t.train_mean_dist_ppm, f.new_mean_dist_ppm,
+       CAST(CASE WHEN f.new_mean_dist_ppm IS NULL THEN NULL
+            ELSE (f.new_mean_dist_ppm * 1000000) // greatest(t.train_mean_dist_ppm, 1)
+       END AS BIGINT) AS drift_ppm
+FROM train t LEFT JOIN fresh f USING (cell)
+""",
+)
+def x_ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance (VERDICT r7 #2) — the IVF twin
+    of the r7 incremental MinHash gate: new embeddings (the arrival
+    batch, vec_id % 10 = 9) are assigned to the EXISTING centroid table
+    (the same 8 deterministic seeds x_ann_ivf_topk quantizes with — in
+    production the persisted k-means centroids; swapping them in
+    changes only the ``seeds`` input), with a per-cell staleness
+    diagnostic: mean fixed-point distance of the new assignments vs the
+    cells' training-time mean. The index corpus is never rescanned
+    row-by-row against the batch and its cells never reshuffle — both
+    halves are one broadcast-centroid assignment map each, aggregated
+    map-side to cell grain (operators/similarity.ivf_assignment_drift).
+
+    Parity contract: the cosine is the module's sequential fold (the
+    x_ann_ivf_topk owner), snapped to ppm BIGINT per row before any
+    aggregation, so sums/means/ratios are exact integers cross-engine
+    (integer div, nonnegative operands — truncation == floor)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", "embedding")
+    seeds = base.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    index_half = base.filter(F.col("vec_id") % 10 != 9)
+    batch = base.filter(F.col("vec_id") % 10 == 9)
+    return S.ivf_assignment_drift(index_half, batch, seeds)
+
+
 def _pq_dist_sql(a: str, b: str, s: int, sub: int = S.PQ_DIM // S.PQ_M) -> str:
     """Squared L2 between subspace ``s`` of two embedding columns —
     the same element-order double fold as operators.similarity._pq_sq_l2."""

@@ -1463,3 +1463,20 @@ def test_quality_calibration_is_one_scan_one_exchange_no_joins(spark):
         assert "BatchEvalPython" not in tree, tree
     finally:
         query_scope.release()
+
+
+def test_ivf_incremental_assign_broadcasts_centroids_never_shuffles_vectors(spark):
+    """Incremental IVF maintenance (VERDICT r7 #2): both assignment
+    halves must be in-row argmins against the ONE-row packed broadcast
+    centroid table (the k-means _assign_in_row shape) — a window keyed
+    on vec_id would reshuffle the |corpus|×|seeds| fan-out. The only
+    exchanges allowed are metadata-grain: the two 1-row seed packs and
+    the two cell-grain aggregates; the combine of the two cell tables
+    broadcasts."""
+    tree = tree_of(spark, "x_ann_ivf_incremental_assign")
+    assert tree.count("BroadcastNestedLoopJoin") == 2, tree
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "Window"):
+        assert op not in tree, (op, tree)
+    # 2 single-row packs + 2 cell-grain aggs; nothing vector-grain
+    assert tree.count("+- Exchange") <= 4, tree
+    assert "BroadcastHashJoin LeftOuter" in tree, tree

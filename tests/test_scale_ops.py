@@ -677,3 +677,86 @@ def test_rank_overlap_curve_consistent_with_rrf_lists(spark):
         assert len({v for v, _ in curve.values()}) > 1, "constant curve"
     finally:
         query_scope.release()
+
+
+def test_ivf_incremental_assign_consistent_with_full_index(spark):
+    """Incremental IVF maintenance (VERDICT r7 #2), the no-retrain-drift
+    property: a batch vector assigned to the EXISTING centroid table
+    lands in exactly the cell a full-index rebuild (x_ann_ivf_topk's
+    ivf_cells over the whole corpus, same seeds) would give it — the
+    incremental path changes WHEN assignment happens, never WHERE."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators import (
+        similarity as S,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    batch = emb.filter(F.col("vec_id") % 10 == 9)
+
+    incr = {
+        r["vec_id"]: r["cell"]
+        for r in S.ivf_assign_with_distance(batch, seeds).collect()
+    }
+    full = {
+        r["vec_id"]: r["cell"]
+        for r in S.ivf_cells(emb, seeds, 1).collect()
+    }
+    assert len(incr) == 50
+    for vid, cell in incr.items():
+        assert full[vid] == cell, (vid, cell, full[vid])
+
+
+def test_ivf_incremental_assign_drift_semantics(spark):
+    """The staleness diagnostic on a constructed corpus: a batch that
+    sits ON the centroids drifts to ~0; a batch pushed away from them
+    drifts above 1e6. Also pins n_train/n_new bookkeeping."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators import (
+        similarity as S,
+    )
+
+    def vec(x, y):
+        return [float(x), float(y)]
+
+    # two clean cells on the axes; training members are slightly rotated
+    index = spark.createDataFrame(
+        [
+            (0, vec(1, 0)),
+            (1, vec(0, 1)),
+            (10, vec(1, 0.2)),
+            (11, vec(1, -0.2)),
+            (12, vec(0.2, 1)),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    seeds = index.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    # batch A: exactly the centroids -> dist 0, drift 0
+    on_cent = spark.createDataFrame(
+        [(100, vec(2, 0)), (101, vec(0, 3))], "vec_id long, embedding array<float>"
+    )
+    rows = {r["cell"]: r for r in S.ivf_assignment_drift(index, on_cent, seeds).collect()}
+    assert rows[0]["n_train"] == 3 and rows[1]["n_train"] == 2
+    assert rows[0]["n_new"] == 1 and rows[1]["n_new"] == 1
+    assert rows[0]["new_mean_dist_ppm"] == 0 and rows[0]["drift_ppm"] == 0
+
+    # batch B: rotated twice as far as any training member -> worse fit
+    far = spark.createDataFrame(
+        [(100, vec(1, 0.6)), (101, vec(0.6, 1))], "vec_id long, embedding array<float>"
+    )
+    rows = {r["cell"]: r for r in S.ivf_assignment_drift(index, far, seeds).collect()}
+    for cell in (0, 1):
+        assert rows[cell]["new_mean_dist_ppm"] > rows[cell]["train_mean_dist_ppm"]
+        assert rows[cell]["drift_ppm"] > 1_000_000
+
+    # a cell with no new arrivals keeps NULL means and n_new = 0
+    one_side = spark.createDataFrame(
+        [(100, vec(2, 0.1))], "vec_id long, embedding array<float>"
+    )
+    rows = {r["cell"]: r for r in S.ivf_assignment_drift(index, one_side, seeds).collect()}
+    assert rows[1]["n_new"] == 0
+    assert rows[1]["new_mean_dist_ppm"] is None and rows[1]["drift_ppm"] is None
