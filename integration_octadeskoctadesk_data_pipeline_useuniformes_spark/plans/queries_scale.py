@@ -874,3 +874,74 @@ def x_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_COVERAGE_PPM_SPARK).cast("bigint").alias("coverage_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-view maintenance over the versioned sink (VERDICT r7 #3):
+# the per-type event rollup at version N computed from the MATERIALIZED
+# rollup at N−1 plus version N's change feed only — never a rescan of
+# history. The sink is built per run from the events fixture (v0 = the
+# first week, v1 = append of the rest), so the query is deterministic;
+# the oracle is the FULL recompute over all events, which makes the
+# driver's value-hash itself the incremental == full-recompute proof.
+#
+# Catalog-growth discipline (r8): registry grep found no IVM/change-feed
+# query (only the streaming maintain_rollup tests); fixture probe:
+# the 2024-01-08 cutoff splits events 248/752 at sf0.001 and
+# 2348/7652 at sf0.01 — both the base rollup and the delta are
+# non-degenerate at every driver SF.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "x_ivm_rollup_incremental",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY event_type
+""",
+)
+def x_ivm_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup advanced from the stored previous result + the appended
+    files only (streaming/incremental.advance_rollup over
+    sinks/versioned.read_appended): the append-only range is detected
+    by manifest set-algebra and the plan scans the materialized rollup
+    (|event_type| rows) plus v1's NEW files — v0's data files never
+    appear in the lineage (pinned by the inputFiles plan test). Money
+    is snapped to integer cents per row before any aggregation, so the
+    incremental and full-recompute sums are exactly equal, which the
+    oracle (a full recompute) verifies value-for-value."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sinks import versioned
+    from ..streaming.incremental import advance_rollup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    cutoff = F.expr("TIMESTAMP_NTZ '2024-01-08 00:00:00'")
+    base = tempfile.mkdtemp(prefix="spark_ivm_")
+    # the returned plan lazily reads these files until the caller
+    # collects, so reclaim at interpreter exit, not eagerly
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    tbl = f"{base}/events_tbl"
+    rollup_tbl = f"{base}/rollup"
+    measures = {"n": F.lit(1), "sum_cents": F.col("cents")}
+
+    versioned.commit_append(ev.filter(F.col("ts") < cutoff), tbl)  # v0
+    versioned.commit_append(ev.filter(~(F.col("ts") < cutoff)), tbl)  # v1 (append)
+    rollup0 = (
+        versioned.read_version(spark, tbl, 0)
+        .groupBy("event_type")
+        .agg(*[F.sum(expr).alias(name) for name, expr in measures.items()])
+    )
+    versioned.commit_replace(rollup0, rollup_tbl)  # materialize N−1's result
+    prev = versioned.read_version(spark, rollup_tbl)
+    return advance_rollup(
+        spark, tbl, "event_id", ["event_type"], measures, prev, 0, 1
+    )

@@ -217,3 +217,81 @@ def maintain_rollup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def rollup_contribution(
+    changes: DataFrame, group_cols: list[str], measures: dict
+) -> DataFrame:
+    """Per-group signed contribution of a change feed to an additive
+    rollup: +1 for insert/update_post rows, −1 for delete/update_pre.
+
+    ``measures`` maps output column name → per-row Column expression
+    (``F.lit(1)`` for a count); each is summed sign-weighted, so an
+    update contributes exactly (post − pre) and a delete retracts the
+    insert — the classic delta-rule for SUM/COUNT view maintenance.
+    """
+    sign = F.when(
+        F.col("_change_type").isin("insert", "update_post"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    return changes.groupBy(*group_cols).agg(
+        *[F.sum(sign * expr).alias(name) for name, expr in measures.items()]
+    )
+
+
+def advance_rollup(
+    spark: SparkSession,
+    path: str,
+    key: str,
+    group_cols: list[str],
+    measures: dict,
+    prev_rollup: DataFrame,
+    from_version: int,
+    to_version: int,
+    drop_when_zero: str | None = None,
+) -> DataFrame:
+    """Incremental-view maintenance over the versioned sink (VERDICT r7
+    #3): the rollup at ``to_version`` computed from the MATERIALIZED
+    rollup at ``from_version`` plus the commits in between — never a
+    rescan of history.
+
+    This is the batch-side twin of ``maintain_rollup``'s streaming
+    upserts, connected to the sink's own change feed: a 100 TB table
+    whose daily delta is 0.1% pays 0.1% of the full-recompute scan.
+
+    Two delta paths, chosen by manifest algebra (``versioned.
+    delta_files_between``): an append-only range reads ONLY the
+    appended files (insert-only feed, no join anywhere); a range
+    containing replace/merge commits falls back to the keyed snapshot
+    diff (``changes_between``) and applies the signed delta-rule
+    (insert/update_post add, delete/update_pre retract — exact for
+    SUM/COUNT measures). The merge with the previous rollup is a
+    full-outer join AT ROLLUP GRAIN (|groups| rows, not |rows|),
+    coalescing absent sides to 0; ``drop_when_zero`` names a count
+    measure whose merged value of 0 means the group vanished.
+    """
+    from ..sinks import versioned
+
+    appended = versioned.read_appended(spark, path, from_version, to_version)
+    if appended is not None:
+        delta = appended.groupBy(*group_cols).agg(
+            *[F.sum(expr).alias(name) for name, expr in measures.items()]
+        )
+    else:
+        changes = versioned.changes_between(spark, path, key, from_version, to_version)
+        delta = rollup_contribution(changes, group_cols, measures)
+
+    p = prev_rollup.select(
+        *group_cols, *[F.col(n).alias(f"__p_{n}") for n in measures]
+    )
+    d = delta.select(*group_cols, *[F.col(n).alias(f"__d_{n}") for n in measures])
+    merged = p.join(d, group_cols, "full_outer").select(
+        *group_cols,
+        *[
+            (F.coalesce(F.col(f"__p_{n}"), F.lit(0)) + F.coalesce(F.col(f"__d_{n}"), F.lit(0)))
+            .alias(n)
+            for n in measures
+        ],
+    )
+    if drop_when_zero is not None:
+        merged = merged.filter(F.col(drop_when_zero) != 0)
+    return merged

@@ -1480,3 +1480,47 @@ def test_ivf_incremental_assign_broadcasts_centroids_never_shuffles_vectors(spar
     # 2 single-row packs + 2 cell-grain aggs; nothing vector-grain
     assert tree.count("+- Exchange") <= 4, tree
     assert "BroadcastHashJoin LeftOuter" in tree, tree
+
+
+def test_ivm_rollup_incremental_never_rescans_base_version(spark):
+    """The registered IVM query's lineage must contain the materialized
+    rollup + the appended (v1) files only — the base version's data
+    files are the 99.9% of a production table the incremental path
+    exists to avoid rescanning."""
+    import os
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        delta_files_between,
+    )
+
+    df = catalog.queries()["x_ivm_rollup_incremental"](spark, SF)
+    inputs = [p.removeprefix("file:") for p in df.inputFiles()]
+    assert inputs, "expected file-backed lineage"
+    dirs = {os.path.dirname(p) for p in inputs}
+    # the fixture's events.parquet itself must NOT be in the final lineage
+    assert not any(d.endswith("testdata/" + SF.rsplit("/", 1)[-1]) for d in dirs), dirs
+    tbl_dirs = {d for d in dirs if d.endswith("events_tbl")}
+    roll_dirs = {d for d in dirs if d.endswith("rollup")}
+    assert tbl_dirs and roll_dirs, dirs
+    # of the events sink's files, EXACTLY v1's appended files are read
+    tbl = tbl_dirs.pop()
+    scanned = {os.path.basename(p) for p in inputs if os.path.dirname(p) == tbl}
+    assert scanned == set(delta_files_between(tbl, 0, 1)), scanned
+
+
+def test_unigram_em_plan_scans_corpus_once_and_stays_in_row(spark):
+    """The unigram EM step must run on the persisted word-frequency
+    reduction: the final plan reads the cache (at most the one
+    cache-population parquet scan in the displayed child), the Viterbi
+    is an in-row fold (no Window, no UDF, no join of the word table
+    against a piece table), and the vocabulary enters as literals via
+    a LocalTableScan."""
+    tree = tree_of(spark, "x_unigram_em_step")
+    assert "InMemoryTableScan" in tree, tree
+    # the cached child is AQE-planned, so the formatted tree prints its
+    # one parquet scan twice (initial + final plan) with the SAME node
+    # id — count distinct scan nodes, not occurrences
+    assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) <= 1, tree
+    assert "LocalTableScan" in tree or "Scan ExistingRDD" in tree, tree
+    for op in ("Window", "SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"):
+        assert op not in tree, (op, tree)

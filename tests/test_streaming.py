@@ -663,3 +663,102 @@ def test_backfill_minhash_repairs_mixed_schema_null_signatures(spark, tmp_path):
     assert post[1] is not None, "null signature must be backfilled"
     assert post[2] == pre[2], "existing signatures are kept verbatim"
     _check_history_signatures(spark, sink)  # repaired sink passes
+
+
+def test_advance_rollup_append_path_scans_only_delta_files(spark, tmp_path):
+    """IVM over the versioned sink (VERDICT r7 #3), append fast path:
+    the advanced rollup must equal the full recompute while its lineage
+    reads ONLY the materialized previous rollup + the appended files —
+    the base version's data files never appear in inputFiles()."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.incremental import (
+        advance_rollup,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    rtbl = str(tmp_path / "rollup")
+    measures = {"n": F.lit(1), "s": F.col("v")}
+    versioned.commit_append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 5)], "id long, g string, v long"
+        ),
+        tbl,
+    )
+    versioned.commit_append(
+        spark.createDataFrame([(4, "b", 7), (5, "c", 1)], "id long, g string, v long"),
+        tbl,
+    )
+    rollup0 = (
+        versioned.read_version(spark, tbl, 0)
+        .groupBy("g")
+        .agg(*[F.sum(e).alias(n) for n, e in measures.items()])
+    )
+    versioned.commit_replace(rollup0, rtbl)
+    prev = versioned.read_version(spark, rtbl)
+
+    out = advance_rollup(spark, tbl, "id", ["g"], measures, prev, 0, 1)
+    got = {r["g"]: (r["n"], r["s"]) for r in out.collect()}
+    full = {
+        r["g"]: (r["n"], r["s"])
+        for r in versioned.read_version(spark, tbl, 1)
+        .groupBy("g")
+        .agg(*[F.sum(e).alias(n) for n, e in measures.items()])
+        .collect()
+    }
+    assert got == full == {"a": (2, 30), "b": (2, 12), "c": (1, 1)}
+
+    # lineage: only rollup files + v1's NEW files — never v0's data
+    import os
+
+    inputs = {os.path.basename(p) for p in out.inputFiles()}
+    delta = set(versioned.delta_files_between(tbl, 0, 1))
+    rollup_files = set(versioned._files_of(rtbl, versioned.latest_version(rtbl)))
+    v0_files = set(versioned._files_of(tbl, 0))
+    assert inputs <= delta | rollup_files, inputs
+    assert not (inputs & v0_files), "base data files must not be rescanned"
+
+
+def test_advance_rollup_replace_path_applies_signed_deltas(spark, tmp_path):
+    """IVM fallback path: a replace/merge commit in the range has no
+    file-level delta, so the keyed change feed drives the update —
+    deletes retract, updates contribute (post − pre) — and the result
+    still equals the full recompute."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.incremental import (
+        advance_rollup,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    rtbl = str(tmp_path / "rollup")
+    measures = {"n": F.lit(1), "s": F.col("v")}
+    versioned.commit_append(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 5), (4, "c", 2)],
+            "id long, g string, v long",
+        ),
+        tbl,
+    )
+    # v1: delete id=3, move id=2 from a to b, update id=4's value
+    versioned.commit_replace(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (4, "c", 9)], "id long, g string, v long"
+        ),
+        tbl,
+    )
+    rollup0 = (
+        versioned.read_version(spark, tbl, 0)
+        .groupBy("g")
+        .agg(*[F.sum(e).alias(n) for n, e in measures.items()])
+    )
+    versioned.commit_replace(rollup0, rtbl)
+    prev = versioned.read_version(spark, rtbl)
+
+    assert versioned.delta_files_between(tbl, 0, 1) is None, "replace has no file delta"
+    out = advance_rollup(
+        spark, tbl, "id", ["g"], measures, prev, 0, 1, drop_when_zero="n"
+    )
+    got = {r["g"]: (r["n"], r["s"]) for r in out.collect()}
+    assert got == {"a": (1, 10), "b": (1, 20), "c": (1, 9)}, got
+    # group 'b' lost its only original member (id=3 deleted) but gained
+    # id=2 via the update — the signed arithmetic nets to 1 row; a group
+    # netting to zero rows would be dropped entirely (drop_when_zero)
