@@ -148,3 +148,80 @@ def test_bpe_wrap_newline_divergence_boundary_is_known(spark):
         == duck_wrap("'a' || chr(8232) || 'b'")
         == f"{sep}a{sep}{sep} {sep}{sep}b{sep}"
     )
+
+
+def test_unigram_em_step_matches_python_reference(spark):
+    """Model test (VERDICT r7 #4): the distributed unigram-LM EM step —
+    candidate selection, integer sixteenth-bit costs, in-row Viterbi,
+    weighted M-step counts — must reproduce a transparent pure-Python
+    reference implementation exactly, piece for piece."""
+    from collections import Counter
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.unigram import (
+        ilog16,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_tokenizer import (
+        _UNI_PLEN,
+        _UNI_TOPK,
+        _UNI_WLEN,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        got = {
+            r["piece"]: (r["cost_ppm"], r["prior_n"], r["em_n"])
+            for r in catalog.queries()["x_unigram_em_step"](spark, sf).collect()
+        }
+    finally:
+        query_scope.release()
+
+    # -- reference: plain Python over the same word-frequency table
+    import duckdb
+
+    wf = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT lower(word) AS w, count(*) FROM (SELECT unnest("
+            "string_split_regex(trim(text), '\\s+')) AS word FROM "
+            f"read_parquet('{sf}/documents.parquet')) WHERE word <> '' "
+            f"AND length(lower(word)) <= {_UNI_WLEN} GROUP BY 1"
+        )
+        .fetchall()
+    )
+    subs = Counter()
+    for w, n in wf.items():
+        for i in range(len(w)):
+            for L in range(1, _UNI_PLEN + 1):
+                if i + L <= len(w):
+                    subs[w[i : i + L]] += n
+    chars = {p: c for p, c in subs.items() if len(p) == 1}
+    multi = dict(
+        sorted(
+            ((p, c) for p, c in subs.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[:_UNI_TOPK]
+    )
+    vocab = {**chars, **multi}
+    total = sum(vocab.values())
+    cost = {p: (ilog16(total) - ilog16(c)) * 62500 for p, c in vocab.items()}
+
+    def viterbi(w):
+        # dp[i] = (cost, n_pieces, enc) for prefix of length i
+        dp = [(0, 0, "")] + [None] * len(w)
+        for i in range(1, len(w) + 1):
+            cands = []
+            for L in range(1, min(_UNI_PLEN, i) + 1):
+                p = w[i - L : i]
+                if p in cost and dp[i - L] is not None:
+                    pc, pn, pe = dp[i - L]
+                    cands.append((pc + cost[p], pn + 1, pe + " " + p if pe else p))
+            dp[i] = min(cands)
+        return dp[len(w)][2]
+
+    em = Counter()
+    for w, n in wf.items():
+        for p in viterbi(w).split(" "):
+            em[p] += n
+
+    want = {p: (cost[p], vocab[p], em.get(p, 0)) for p in vocab}
+    assert got == want
