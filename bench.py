@@ -69,22 +69,24 @@ def preflight_load_gate(
     sleep_fn=time.sleep,
     threshold: float = _PREFLIGHT_THRESHOLD,
     sleep_sec: float = _PREFLIGHT_SLEEP_SEC,
-) -> tuple[float | None, float]:
+) -> tuple[float | None, float | None, float]:
     """Sample loadavg; if above `threshold`, sleep once and resample.
 
-    Returns (final_loadavg, slept_sec). Exactly zero or one sleep —
-    bounded by construction.
+    Returns (raw_loadavg, final_loadavg, slept_sec) — BOTH samples
+    (VERDICT r7 #5: the artifact must show the pre-gate reading too, so
+    a reader can see the gate fired without consulting ROUND_NOTES).
+    Exactly zero or one sleep — bounded by construction.
     """
-    load = loadavg_fn()
-    if load is not None and load > threshold:
+    raw = loadavg_fn()
+    if raw is not None and raw > threshold:
         sleep_fn(sleep_sec)
-        return loadavg_fn(), sleep_sec
-    return load, 0.0
+        return raw, loadavg_fn(), sleep_sec
+    return raw, raw, 0.0
 
 
 def main() -> None:
     global _LOAD_PRE
-    _LOAD_PRE, slept = preflight_load_gate()
+    load_raw, _LOAD_PRE, slept = preflight_load_gate()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="bench")
@@ -180,6 +182,7 @@ def main() -> None:
         "metric": "headline_queries_total_time",
         "unit": "sec",
         "sf": sf,
+        "loadavg_1m_raw": load_raw,
         "loadavg_1m_pre": _LOAD_PRE,
         "loadavg_1m_post": load_post,
         "preflight_slept_sec": slept,

@@ -313,45 +313,53 @@ def test_lm3_mixture_weights_are_a_dyadic_unit_partition():
 
 
 def test_bench_preflight_load_gate_is_bounded():
-    """VERDICT r6 #5: the bench pre-flight must sleep AT MOST once
-    (bounded — the driver has to terminate), only when the sampled
-    load exceeds the threshold, and must return the POST-sleep sample
-    so the recorded loadavg_1m_pre describes the actual run."""
+    """VERDICT r6 #5 + r7 #5: the bench pre-flight must sleep AT MOST
+    once (bounded — the driver has to terminate), only when the sampled
+    load exceeds the threshold, and must return BOTH samples — the raw
+    pre-gate reading (recorded as loadavg_1m_raw, so the artifact shows
+    the gate fired) and the post-sleep one (loadavg_1m_pre, describing
+    the actual run)."""
     import bench
 
     calls: list[float] = []
 
-    # quiet machine: no sleep, first sample returned
-    load, slept = bench.preflight_load_gate(
+    # quiet machine: no sleep, the one sample is both raw and final
+    raw, load, slept = bench.preflight_load_gate(
         loadavg_fn=lambda: 0.3, sleep_fn=calls.append, threshold=1.0
     )
-    assert (load, slept, calls) == (0.3, 0.0, [])
+    assert (raw, load, slept, calls) == (0.3, 0.3, 0.0, [])
 
-    # loaded machine: exactly one sleep, SECOND sample returned
+    # loaded machine: exactly one sleep, raw + SECOND sample returned
     samples = iter([2.25, 0.4])
-    load, slept = bench.preflight_load_gate(
+    raw, load, slept = bench.preflight_load_gate(
         loadavg_fn=lambda: next(samples),
         sleep_fn=calls.append,
         threshold=1.0,
         sleep_sec=90.0,
     )
-    assert (load, slept) == (0.4, 90.0)
+    assert (raw, load, slept) == (2.25, 0.4, 90.0)
     assert calls == [90.0]
 
     # still loaded after the sleep: report honestly, NO second sleep
     samples = iter([5.0, 3.0])
-    load, slept = bench.preflight_load_gate(
+    raw, load, slept = bench.preflight_load_gate(
         loadavg_fn=lambda: next(samples), sleep_fn=calls.append
     )
-    assert (load, slept) == (3.0, bench._PREFLIGHT_SLEEP_SEC)
+    assert (raw, load, slept) == (5.0, 3.0, bench._PREFLIGHT_SLEEP_SEC)
     assert len(calls) == 2  # one more sleep, not two
 
     # unknown-loadavg platform: never sleeps, annotates None
-    load, slept = bench.preflight_load_gate(
+    raw, load, slept = bench.preflight_load_gate(
         loadavg_fn=lambda: None, sleep_fn=calls.append
     )
-    assert (load, slept) == (None, 0.0)
+    assert (raw, load, slept) == (None, None, 0.0)
     assert len(calls) == 2
+
+    # the emitted line carries both fields, raw first
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert src.index('"loadavg_1m_raw":') < src.index('"loadavg_1m_pre":')
 
 
 def test_bench_json_line_layout_protects_the_headline():
