@@ -216,6 +216,7 @@ def lsh_candidate_pairs(
     rows_per_band: int = 2,
     k: int = 3,
     min_jaccard_est: float = 0.5,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via LSH banding.
 
@@ -224,6 +225,13 @@ def lsh_candidate_pairs(
     fraction of matching signature positions. Only bucket-colliding pairs
     are ever joined; the shuffle key (band_id, bucket_hash) is uniform.
 
+    ``signatures``: optional precomputed (id_col, minhash) table — the
+    same shortcut ``incremental_lsh_dedup`` offers: a caller that
+    already attached the signature column (the streaming curation sink
+    computes it once per commit) skips the text re-hash entirely.
+    Precomputed signatures must come from the SAME (num_hashes, k)
+    trainer configuration.
+
     Returns (id_a, id_b, jaccard_est) with id_a < id_b.
     """
     # the signature frame feeds three subtrees (banding + both sides of
@@ -231,7 +239,11 @@ def lsh_candidate_pairs(
     # MEMORY_AND_DISK: at 100 TB the signatures are ~num_hashes × 32 B
     # per doc — orders of magnitude smaller than the corpus — and spill
     # safely if even that exceeds executor memory.
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, k).transform(scoped_persist)
+    sigs = (
+        signatures.select(id_col, "minhash")
+        if signatures is not None
+        else minhash_signatures(df, text_col, id_col, num_hashes, k)
+    ).transform(scoped_persist)
     bands = sigs.select(
         F.col(id_col),
         F.explode(_band_key_structs(num_hashes, rows_per_band)).alias("bb"),

@@ -380,44 +380,61 @@ def ivf_assignment_drift(
     how much worse do NEW arrivals fit the existing cells than the
     vectors the cells were built from?
 
-    One row per cell: (cell, n_train, n_new, train_mean_dist_ppm,
-    new_mean_dist_ppm, drift_ppm) where drift_ppm =
-    1e6 · new_mean / max(train_mean, 1) — the "re-cluster needed?"
-    signal (≫ 1e6 means the new data no longer matches the partition
-    the index was trained on, the trigger for a full re-train).
+    One row per cell seen by EITHER half: (cell, n_train, n_new,
+    train_mean_dist_ppm, new_mean_dist_ppm, drift_ppm) where
+    drift_ppm = 1e6 · new_mean / max(train_mean, 1) — the "re-cluster
+    needed?" signal (≫ 1e6 means the new data no longer matches the
+    partition the index was trained on, the trigger for a full
+    re-train). The combine is a FULL outer at cell grain: a cell whose
+    only members are NEW arrivals (drifted data concentrating on a
+    previously-empty centroid) is the strongest re-cluster signal of
+    all and surfaces as n_train = 0 with NULL training mean and NULL
+    drift ratio (no baseline to ratio against — the n_new mass itself
+    is the alarm).
 
     Scale shape: both halves are ONE assignment map each (centroids
     broadcast — the index corpus and the batch never join row-to-row,
-    never reshuffle); the aggregations are map-side-combined down to
-    cell grain (≤ |centroids| rows), and the final join runs at that
-    metadata grain. All means are integer (sum div count over the
-    fixed-point dist_ppm), so the diagnostic is exact at any
-    parallelism.
+    never reshuffle), unioned with an is-new flag into a SINGLE
+    conditional aggregation at cell grain (≤ |centroids| rows) — no
+    join anywhere, full-outer semantics fall out of the grouping (a
+    full-outer of the two per-half rollups cannot broadcast and would
+    plan a sort-merge exchange pair). All means are integer (sum div
+    count over the fixed-point dist_ppm), so the diagnostic is exact
+    at any parallelism.
     """
-    train = (
-        ivf_assign_with_distance(index_vectors, seeds, id_col, vec_col)
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("n_train"), F.sum("dist_ppm").alias("__s"))
-        .select("cell", "n_train", F.expr("__s div n_train").alias("train_mean_dist_ppm"))
+    a = ivf_assign_with_distance(index_vectors, seeds, id_col, vec_col).withColumn(
+        "__new", F.lit(False)
     )
-    fresh = (
-        ivf_assign_with_distance(batch_vectors, seeds, id_col, vec_col)
-        .groupBy("cell")
-        .agg(F.count(F.lit(1)).alias("__n"), F.sum("dist_ppm").alias("__s"))
-        .select("cell", "__n", F.expr("__s div __n").alias("new_mean_dist_ppm"))
+    b = ivf_assign_with_distance(batch_vectors, seeds, id_col, vec_col).withColumn(
+        "__new", F.lit(True)
     )
-    # cell grain == |centroids| rows: both sides are tiny, broadcast the
-    # probe side so the combine never plans a sort-merge exchange
-    return train.join(F.broadcast(fresh), "cell", "left").select(
-        "cell",
-        "n_train",
-        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_new"),
-        "train_mean_dist_ppm",
-        "new_mean_dist_ppm",
-        F.expr(
-            "CASE WHEN new_mean_dist_ppm IS NULL THEN NULL "
-            "ELSE (new_mean_dist_ppm * 1000000L) div greatest(train_mean_dist_ppm, 1L) END"
-        ).alias("drift_ppm"),
+    one_if = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).cast("long")  # noqa: E731
+    dist_if = lambda cond: F.sum(F.when(cond, F.col("dist_ppm")))  # noqa: E731
+    return (
+        a.unionByName(b)
+        .groupBy("cell")
+        .agg(
+            one_if(~F.col("__new")).alias("n_train"),
+            one_if(F.col("__new")).alias("n_new"),
+            dist_if(~F.col("__new")).alias("__s_train"),
+            dist_if(F.col("__new")).alias("__s_new"),
+        )
+        .select(
+            "cell",
+            "n_train",
+            "n_new",
+            F.expr(
+                "CASE WHEN n_train > 0 THEN __s_train div n_train END"
+            ).alias("train_mean_dist_ppm"),
+            F.expr("CASE WHEN n_new > 0 THEN __s_new div n_new END").alias(
+                "new_mean_dist_ppm"
+            ),
+            F.expr(
+                "CASE WHEN n_new > 0 AND n_train > 0 "
+                "THEN ((__s_new div n_new) * 1000000L) "
+                "div greatest(__s_train div n_train, 1L) END"
+            ).alias("drift_ppm"),
+        )
     )
 
 

@@ -73,122 +73,112 @@ def register(name: str, oracle: str | None):
 #: rounds' rows persist in CORRECTNESS_r{N}.json; after round 4 every
 #: registered query has at least one green row.
 #:
-#: Round-7 window (VERDICT r6 #1): changed/new queries lead (ADVICE r2
-#: standing rule) — two NEW queries (x_dedup_incremental_minhash,
-#: x_curation_funnel) plus two changed: x_contamination_removal (ppm
-#: ratios moved to 128-bit-capable types, r6 ADVICE) and
-#: x_dedup_minhash_lsh_pairs (banding/verify owner hoist — optimized
-#: plan byte-identical, re-windowed per the stricter precedent anyway)
-#: — plus the six NEW queries added later in the round
-#: (x_retrieval_rrf_fusion, x_dedup_cross_source_matrix,
-#: x_mixture_epochs, x_retrieval_rank_overlap_curve,
-#: x_quality_calibration, fn_map_battery) and the three queries whose
-#: ppm products the late-round overflow sweep moved onto
-#: DECIMAL(38,0)/HUGEINT (x_vocab_coverage, x_bpe_fertility_by_lang,
-#: x_packing_efficiency). The remaining 37 slots go to the cohort the
-#: verdict names: the seven fn_* batteries carried from r6 (newest
-#: row r2) and 30 of the 43 queries whose newest green row is r3.
-#: 13 + 7 + 43 = 63 candidates for 50 slots: thirteen r3-cohort
-#: members are carried to r8 (rationale in the trailing comment).
+#: Round-8 window (VERDICT r7 #1): the three NEW queries lead
+#: (x_ann_ivf_incremental_assign, x_ivm_rollup_incremental,
+#: x_unigram_em_step — ADVICE r2 standing rule), plus ONE changed-
+#: owner re-window: x_dedup_minhash_lsh_pairs, because
+#: operators/dedup.py's lsh_candidate_pairs gained an optional
+#: precomputed-``signatures`` parameter for the streaming self-probe —
+#: its default text path is construction-identical (same
+#: minhash_signatures call, same persist), but the stricter r5-r7
+#: precedent re-windows on any owner-file change. The OTHER dedup.py
+#: consumers keep their rows: the parameter is additive, and the
+#: sigs/banding owners are additionally re-verified by three in-window
+#: queries (cluster_sizes, lsh_recall_sample, estimate_error).
+#: operators/similarity.py's r8 edits are append-only for pre-existing
+#: queries (two new functions; zero deletions in the diff), so no ANN
+#: re-windows. Then the thirteen r3-cohort members carried per the r7
+#: handoff ledger, then 33 of the 43 queries whose newest green row is
+#: r4 (recomputed from the seven CORRECTNESS jsons this round:
+#: histogram r7:50, r6:49, r5:47, r4:43, r3:13, r1:1). 4 + 13 + 43 =
+#: 60 candidates for 50 slots: ten r4-cohort members are displaced to
+#: r9 (rationale in the trailing comment).
 DRIVER_WINDOW: list[str] = [
-    # changed or new this round (re-verify first)
-    "x_contamination_removal",
-    "x_dedup_incremental_minhash",
-    "x_curation_funnel",
+    # new or changed-owner this round (verify first)
+    "x_ann_ivf_incremental_assign",
+    "x_ivm_rollup_incremental",
+    "x_unigram_em_step",
     "x_dedup_minhash_lsh_pairs",
-    "x_retrieval_rrf_fusion",
-    "x_dedup_cross_source_matrix",
-    "x_mixture_epochs",
-    "x_retrieval_rank_overlap_curve",
-    "x_quality_calibration",
-    "fn_map_battery",
-    # changed late in the round: the proactive ppm-overflow sweep
-    # moved their utilization/coverage/fertility products onto
-    # DECIMAL(38,0)/HUGEINT (re-verify per the standing rule)
-    "x_vocab_coverage",
-    "x_bpe_fertility_by_lang",
-    "x_packing_efficiency",
-    # the seven fn_* batteries carried from the r6 window (newest row r2)
-    "fn_array_battery",
-    "fn_date_battery",
-    "fn_json_battery",
-    "fn_null_battery",
-    "fn_set_except",
-    "fn_set_intersect",
-    "fn_string_battery",
-    # the r3-green-once cohort (newest row four rounds of churn old)
-    "fn_nullsafe_join",
-    "fn_set_bag_ops",
-    "fn_window_range_frame",
-    "fn_window_ratio_to_report",
-    "x_ann_quantized_topk",
-    "x_approx_percentile_value",
-    "x_asof_click_before_purchase",
-    "x_category_drift",
-    "x_dedup_containment",
-    "x_dedup_incremental_batch",
-    "x_embedding_centroid",
-    "x_embedding_drift_by_source",
-    "x_global_row_number",
-    "x_mixture_resample",
-    "x_mixture_temperature",
-    "x_range_join_error_window",
-    "x_resample_daily_gapfill",
-    "x_sample_cap_per_source",
-    "x_sample_stratified",
-    "x_scd2_user_state",
-    "x_semdedup_within_clusters",
-    "x_session_conversion",
-    "x_sessionize_batch",
-    "x_skew_salted_agg",
-    "x_skyline_price_size",
-    "x_table_checksum",
-    "x_tfidf_top_terms",
-    "x_token_topk",
-    "x_train_pipeline",
-    "x_value_iqr_outliers",
+    # the thirteen carried r3-cohort members (r7 handoff ledger)
+    "fn_date_parse_battery",
+    "x_doc_length_buckets",
+    "x_pii_redact",
+    "x_chunk_documents",
+    "x_quality_repetition",
+    "x_contamination_3gram",
+    "x_dedup_cluster_sizes",
+    "x_hybrid_retrieval_rerank",
+    "x_dedup_lsh_recall_sample",
+    "x_dedup_estimate_error",
+    "x_approx_distinct_users",
+    "x_bloom_prune_join",
+    "x_cms_heavy_hitters",
+    # the r4-green-once cohort (33 of 43)
+    "x_ann_cosine_topk",
+    "x_ann_hard_negatives",
+    "x_ann_pq_recall",
+    "x_ann_recall_at_k",
+    "x_bpe_compression_curve",
+    "x_bpe_merge_steps",
+    "x_bpe_vocab_usage",
+    "x_budget_select_topquality",
+    "x_constraint_audit",
+    "x_corpus_datacard",
+    "x_curation_pipeline",
+    "x_dedup_clusters",
+    "x_dsir_hashed_importance",
+    "x_duplicate_span_fraction",
+    "x_fuzzy_name_match",
+    "x_global_running_revenue",
+    "x_langid_mismatch_by_source",
+    "x_length_histogram",
+    "x_lm_bigram_predictability",
+    "x_mixture_apportion_budget",
+    "x_multimodal_audio_energy",
+    "x_pagerank_dup_graph",
+    "x_profile_documents",
+    "x_quality_gopher_rules",
+    "x_quality_signal_agreement",
+    "x_retrieval_mrr",
+    "x_retrieval_ndcg",
+    "x_sample_by_quality",
+    "x_sample_uniform_k",
+    "x_split_train_val",
+    "x_text_sentiment",
+    "x_word_entropy_quality",
+    "x_wordpiece_encode_docs",
 ]
-# Slot arithmetic (r7): 13 changed/new + 7 carried fn_* batteries +
-# 30 of the 43 r3-green-once cohort members = 50. Thirteen r3-cohort
-# members are CARRIED to round 8, in three displacement classes:
-# (a) fn_date_parse_battery, x_doc_length_buckets, x_pii_redact,
-#     x_chunk_documents, x_quality_repetition — single-scan codegen
-#     projections with no persist/join/window machinery (lowest
-#     regression risk, the r6 carried-battery class);
-# (b) x_contamination_3gram, x_dedup_cluster_sizes,
-#     x_hybrid_retrieval_rerank, x_dedup_lsh_recall_sample,
-#     x_dedup_estimate_error — each has its truth owners exercised
-#     by an IN-WINDOW composition this round: the 3gram flag is
-#     composed verbatim by in-window x_contamination_removal AND
-#     x_curation_funnel; the cluster chain (_CC_LABELS_CTES /
-#     connected_components) re-verifies through the funnel's survivor
-#     gate and its pair input through in-window
-#     x_dedup_minhash_lsh_pairs + x_dedup_cross_source_matrix; the
-#     rerank's stage-1 candidates (registered bm25 text) and stage-2
-#     scorer (_COS_SQL / S.cosine owner) are both composed by the new
-#     in-window x_retrieval_rrf_fusion AND
-#     x_retrieval_rank_overlap_curve; the recall-sample and
-#     estimate-error diagnostics ride the same sigs/banding owners
-#     (_SIGS_CTE / _lsh_pairs_ctes_sql / minhash_signatures) that
-#     THREE in-window queries re-verify (lsh_pairs, the matrix, the
-#     incremental gate);
-# (c) x_approx_distinct_users, x_bloom_prune_join,
-#     x_cms_heavy_hitters — permanent SENSITIVE members, strictly
-#     value-verified at sf0.1 by the local gate EVERY round (stronger
-#     ongoing coverage than one more driver hash row), displaced to
-#     make room for the three overflow-sweep re-windows.
-# All thirteen stay covered by the full-catalog strict sf0.01 gate
-# every round.
-# x_dedup_minhash_lsh_pairs is in the window although its refactor
-# (the r7 banding/verify owner hoist) left its OPTIMIZED PLAN
-# byte-identical (asserted at refactor time, expr-ids normalized) —
-# the stricter re-window precedent from r5/r6 applies anyway since
-# operators/dedup.py changed. The other lsh_candidate_pairs consumers
-# (clusters, survivors, band tuning, recall sample) inherit the same
-# expression substitution and keep their rows; survivors additionally
-# re-verifies transitively through the in-window x_curation_funnel.
-# flagship_unresolved_distinct stays out as always: the driver's
-# entry() smoke verifies it every round regardless of the window.
+# Slot arithmetic (r8): 3 new + 1 changed-owner re-window + 13 carried
+# r3-cohort + 33 of the 43 r4-green-once cohort = 50. Ten r4-cohort
+# members are DISPLACED to round 9 — all ten are SENSITIVE members,
+# strictly value-verified at
+# sf0.1 by the local gate EVERY round (stronger ongoing coverage than
+# one more sf0.01 driver hash row), and each additionally has its
+# owners exercised by an in-window or bench surface this round:
+# (a) x_bm25_search, x_kmeans_semantic_clusters — also bench
+#     headliners, executed (and compared against their clean bands)
+#     every round;
+# (b) x_ann_pq_topk — the full PQ chain (codebook → encode → ADC →
+#     top-k) is composed verbatim by in-window x_ann_pq_recall, which
+#     also composes the brute-force truth chain;
+# (c) x_bpe_pair_counts, x_bpe_encode_docs — the pair-count and
+#     encode chains are composed per-step by in-window
+#     x_bpe_merge_steps / x_bpe_compression_curve / x_bpe_vocab_usage;
+# (d) x_quality_classifier_score — the logit chain is composed by
+#     in-window x_quality_signal_agreement (and SENSITIVE
+#     x_quality_calibration);
+# (e) x_dedup_survivors — its survivor rule rides the same
+#     sigs/banding/cluster owners that FOUR in-window queries
+#     re-verify (lsh_pairs itself, cluster_sizes, lsh_recall_sample,
+#     estimate_error), displaced to fund the lsh_pairs re-window;
+# (f) x_dedup_exact_substring, x_split_leakage_safe, x_word_pmi_pairs
+#     — suffix/leakage/PMI surfaces with no in-window twin, displaced
+#     purely on their every-round sf0.1 strict coverage; FIRST in
+#     line for the r9 window.
+# All ten stay covered by the full-catalog strict sf0.01 gate every
+# round. flagship_unresolved_distinct stays out as always: the
+# driver's entry() smoke verifies it every round regardless of the
+# window.
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:

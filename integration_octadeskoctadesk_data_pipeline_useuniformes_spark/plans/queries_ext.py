@@ -1012,24 +1012,23 @@ assigned AS (
   )
 ),
 home AS (SELECT vec_id, cell, dist_ppm FROM assigned WHERE rn = 1),
-train AS (
-  SELECT cell, CAST(count(*) AS BIGINT) AS n_train,
-         CAST(CAST(sum(dist_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
-           AS train_mean_dist_ppm
-  FROM home WHERE vec_id % 10 <> 9 GROUP BY cell
-),
-fresh AS (
-  SELECT cell, CAST(count(*) AS BIGINT) AS n_new,
-         CAST(CAST(sum(dist_ppm) AS BIGINT) // CAST(count(*) AS BIGINT) AS BIGINT)
-           AS new_mean_dist_ppm
-  FROM home WHERE vec_id % 10 = 9 GROUP BY cell
+rolled AS (
+  SELECT cell,
+         CAST(count(*) FILTER (WHERE vec_id % 10 <> 9) AS BIGINT) AS n_train,
+         CAST(count(*) FILTER (WHERE vec_id % 10 = 9) AS BIGINT) AS n_new,
+         CAST(sum(dist_ppm) FILTER (WHERE vec_id % 10 <> 9) AS BIGINT) AS s_train,
+         CAST(sum(dist_ppm) FILTER (WHERE vec_id % 10 = 9) AS BIGINT) AS s_new
+  FROM home GROUP BY cell
 )
-SELECT t.cell, t.n_train, CAST(coalesce(f.n_new, 0) AS BIGINT) AS n_new,
-       t.train_mean_dist_ppm, f.new_mean_dist_ppm,
-       CAST(CASE WHEN f.new_mean_dist_ppm IS NULL THEN NULL
-            ELSE (f.new_mean_dist_ppm * 1000000) // greatest(t.train_mean_dist_ppm, 1)
+SELECT cell, n_train, n_new,
+       CAST(CASE WHEN n_train > 0 THEN s_train // n_train END AS BIGINT)
+         AS train_mean_dist_ppm,
+       CAST(CASE WHEN n_new > 0 THEN s_new // n_new END AS BIGINT)
+         AS new_mean_dist_ppm,
+       CAST(CASE WHEN n_new > 0 AND n_train > 0
+            THEN ((s_new // n_new) * 1000000) // greatest(s_train // n_train, 1)
        END AS BIGINT) AS drift_ppm
-FROM train t LEFT JOIN fresh f USING (cell)
+FROM rolled
 """,
 )
 def x_ann_ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:

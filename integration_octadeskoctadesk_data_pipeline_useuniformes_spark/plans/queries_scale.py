@@ -933,8 +933,12 @@ def x_ivm_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup_tbl = f"{base}/rollup"
     measures = {"n": F.lit(1), "sum_cents": F.col("cents")}
 
-    versioned.commit_append(ev.filter(F.col("ts") < cutoff), tbl)  # v0
-    versioned.commit_append(ev.filter(~(F.col("ts") < cutoff)), tbl)  # v1 (append)
+    # coalesce makes the split TOTAL: a NULL ts row would satisfy
+    # neither `ts < cutoff` nor its negation and silently vanish from
+    # both versions (the oracle aggregates ALL events)
+    is_early = F.coalesce(F.col("ts") < cutoff, F.lit(False))
+    versioned.commit_append(ev.filter(is_early), tbl)  # v0
+    versioned.commit_append(ev.filter(~is_early), tbl)  # v1 (append)
     rollup0 = (
         versioned.read_version(spark, tbl, 0)
         .groupBy("event_type")

@@ -894,7 +894,7 @@ WHERE length(d.word) >= {i}"""
   SELECT unnest({_WORDS_SQL}) AS word FROM documents
 ), wf AS MATERIALIZED (
   SELECT lower(word) AS word, CAST(count(*) AS BIGINT) AS n FROM w
-  WHERE word <> '' AND length(word) <= {_UNI_WLEN} GROUP BY lower(word)
+  WHERE word <> '' AND length(lower(word)) <= {_UNI_WLEN} GROUP BY lower(word)
 ), subs AS (
   SELECT piece, CAST(sum(n) AS BIGINT) AS cnt FROM (
     SELECT substr(word, i, L) AS piece, n

@@ -114,8 +114,8 @@ def _publish_manifest(
     column; the manifest schema makes old files read it as NULL, which
     is the Delta/Iceberg schema-on-log contract.
     """
-    while True:
-        prev = latest_version(path)
+
+    def compute(prev: int) -> tuple[list[str], dict | None]:
         files = (
             ([] if prev < 0 else _files_of(path, prev)) + new_files
             if carry_prev
@@ -124,15 +124,27 @@ def _publish_manifest(
         out_schema = schema
         if carry_prev and prev >= 0 and schema is not None:
             out_schema = _merge_schema(_manifest_of(path, prev).get("schema"), schema)
+        return files, out_schema
+
+    return _claim_slot(path, compute)
+
+
+def _claim_slot(path: str, compute) -> int:
+    """The one commit protocol both publish paths share: loop —
+    recompute (files, schema) against the current latest via
+    ``compute(prev)``, write the manifest to a private tmp, ``link()``
+    it into the next slot (atomic AND exclusive: EEXIST means another
+    writer claimed it and the loop recomputes against the new state).
+    Readers never observe a partial manifest. ``compute`` may raise to
+    abort (e.g. ConcurrentReplaceError) — nothing is published then."""
+    while True:
+        prev = latest_version(path)
+        files, schema = compute(prev)
         version = prev + 1
         final = os.path.join(path, f"_v{version}.json")
-        # write the full content to a private tmp, then link() it into
-        # place: link is atomic AND exclusive (EEXIST if another writer
-        # claimed the slot), so readers never observe a partial manifest
-        # and losers retry against the new latest version
         tmp = os.path.join(path, f"._v{version}-{_uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "files": files, "schema": out_schema}, fh)
+            json.dump({"version": version, "files": files, "schema": schema}, fh)
         try:
             os.link(tmp, final)
         except FileExistsError:
@@ -185,34 +197,24 @@ def _publish_replace_from(path: str, new_files: list[str], base_version: int) ->
     instead of silently resurrecting them.
     """
     base_files = set(_files_of(path, base_version))
-    while True:
-        prev = latest_version(path)
+
+    def compute(prev: int) -> tuple[list[str], dict | None]:
         if prev == base_version:
-            files = list(new_files)
-            schema = _manifest_of(path, base_version).get("schema")
-        else:
-            prev_files = _files_of(path, prev)
-            if not base_files <= set(prev_files):
-                raise ConcurrentReplaceError(
-                    f"{path}: version {prev} replaced rows since compaction "
-                    f"snapshot v{base_version}; rerun compact() on the new state"
-                )
-            files = list(new_files) + [f for f in prev_files if f not in base_files]
-            # the appends since the base may have evolved the schema
-            # additively; their manifest's schema covers every carried file
-            schema = _manifest_of(path, prev).get("schema")
-        version = prev + 1
-        final = os.path.join(path, f"_v{version}.json")
-        tmp = os.path.join(path, f"._v{version}-{_uuid.uuid4().hex}.tmp")
-        with open(tmp, "w") as fh:
-            json.dump({"version": version, "files": files, "schema": schema}, fh)
-        try:
-            os.link(tmp, final)
-        except FileExistsError:
-            continue  # lost the race: re-diff against the new latest
-        finally:
-            os.unlink(tmp)
-        return version
+            return list(new_files), _manifest_of(path, base_version).get("schema")
+        prev_files = _files_of(path, prev)
+        if not base_files <= set(prev_files):
+            raise ConcurrentReplaceError(
+                f"{path}: version {prev} replaced rows since compaction "
+                f"snapshot v{base_version}; rerun compact() on the new state"
+            )
+        # the appends since the base may have evolved the schema
+        # additively; their manifest's schema covers every carried file
+        return (
+            list(new_files) + [f for f in prev_files if f not in base_files],
+            _manifest_of(path, prev).get("schema"),
+        )
+
+    return _claim_slot(path, compute)
 
 
 def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
@@ -244,7 +246,16 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
         raise ValueError(f"cannot compact {path}: table has no committed versions")
     snap = read_version(spark, path, base)
     rewritten = _write_files(snap.repartition(target_files), path)
-    return _publish_replace_from(path, rewritten, base)
+    try:
+        return _publish_replace_from(path, rewritten, base)
+    except ConcurrentReplaceError:
+        # the staged rewrite is referenced by no manifest — vacuum only
+        # sweeps files EXPIRED manifests reference, so an aborted
+        # compaction must reclaim its own table-sized staging or leak
+        # it forever
+        for f in rewritten:
+            os.remove(os.path.join(path, f))
+        raise
 
 
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -260,8 +271,16 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     files = manifest["files"]
     if not files:
         raise ValueError(f"version {version} of {path} is empty")
+    return _read_files(spark, path, files, manifest.get("schema"))
+
+
+def _read_files(
+    spark: SparkSession, path: str, files: list[str], schema: dict | None
+) -> DataFrame:
+    """Read a manifest file list under its committed schema (or the
+    deterministic mergeSchema fallback for legacy manifests) — the one
+    read path snapshot and delta reads share."""
     paths = [os.path.join(path, f) for f in files]
-    schema = manifest.get("schema")
     if schema is not None:
         from pyspark.sql.types import StructType
 
@@ -304,8 +323,8 @@ def read_appended(
     delta = delta_files_between(path, from_version, to_version)
     if delta is None:
         return None
+    schema = _manifest_of(path, to_version).get("schema")
     if not delta:
-        schema = _manifest_of(path, to_version).get("schema")
         from pyspark.sql.types import StructType
 
         st = (
@@ -314,13 +333,7 @@ def read_appended(
             else read_version(spark, path, to_version).schema
         )
         return spark.createDataFrame([], st)
-    schema = _manifest_of(path, to_version).get("schema")
-    paths = [os.path.join(path, f) for f in delta]
-    if schema is not None:
-        from pyspark.sql.types import StructType
-
-        return spark.read.schema(StructType.fromJson(schema)).parquet(*paths)
-    return spark.read.option("mergeSchema", "true").parquet(*paths)
+    return _read_files(spark, path, delta, schema)
 
 
 def changes_between(

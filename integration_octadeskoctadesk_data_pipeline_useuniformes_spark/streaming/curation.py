@@ -152,14 +152,40 @@ def streaming_curation(
         ["minhash"] if near_dup else []
     )
 
+    import uuid as _uuid
+
+    # per-stream nonce: batch_id alone is only unique within ONE
+    # checkpoint lineage — a restart from a fresh checkpoint replays
+    # batch 0, and a repeated tag would read as a warm re-entry and
+    # KEEP the previous run's caches over different data
+    stream_nonce = _uuid.uuid4().hex[:8]
+
     def commit(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch cache scope: the self-probe's scoped_persist would
+        # otherwise accumulate one signature cache per micro-batch for
+        # the stream's lifetime (each batch plan hashes differently);
+        # entering a fresh tag releases the PREVIOUS batch's caches, so
+        # a continuously-running ingest holds at most one batch's
+        from .. import query_scope
+
+        query_scope.enter(f"curation-{stream_nonce}-batch-{batch_id}@{sink_path}")
+        try:
+            _commit_inner(batch_df)
+        finally:
+            query_scope.exit_scope()
+
+    def _commit_inner(batch_df: DataFrame) -> None:
         kept = curate_batch(batch_df, min_quality, lang)
         if near_dup:
             kept = kept.withColumn("minhash", D.minhash_signature(F.col("text")))
             # in-batch self-probe: doc_id pairs from the batch's own
-            # bucket collisions; drop the higher id of each verified
-            # pair so co-arriving near-dups keep exactly one survivor
-            pairs = D.lsh_candidate_pairs(kept.select("doc_id", "text"))
+            # bucket collisions (over the signatures just computed —
+            # never a second text hash); drop the higher id of each
+            # verified pair so co-arriving near-dups keep exactly one
+            # survivor
+            pairs = D.lsh_candidate_pairs(
+                kept, signatures=kept.select("doc_id", "minhash")
+            )
             dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
             kept = kept.join(F.broadcast(dropped), "doc_id", "left_anti")
         if versioned.latest_version(sink_path) >= 0:

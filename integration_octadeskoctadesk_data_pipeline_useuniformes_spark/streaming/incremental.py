@@ -280,12 +280,35 @@ def advance_rollup(
         changes = versioned.changes_between(spark, path, key, from_version, to_version)
         delta = rollup_contribution(changes, group_cols, measures)
 
+    # the merge must be NULL-SAFE on the group keys (eqNullSafe, the
+    # changes_between contract): a plain equality full-outer never
+    # matches NULL == NULL, so a NULL group would split into a
+    # prev-only and a delta-only row and diverge from the full
+    # recompute's single NULL group
     p = prev_rollup.select(
-        *group_cols, *[F.col(n).alias(f"__p_{n}") for n in measures]
+        *[F.col(g).alias(f"__pg_{g}") for g in group_cols],
+        *[F.col(n).alias(f"__p_{n}") for n in measures],
+        F.lit(True).alias("__p_has"),
     )
-    d = delta.select(*group_cols, *[F.col(n).alias(f"__d_{n}") for n in measures])
-    merged = p.join(d, group_cols, "full_outer").select(
-        *group_cols,
+    d = delta.select(
+        *[F.col(g).alias(f"__dg_{g}") for g in group_cols],
+        *[F.col(n).alias(f"__d_{n}") for n in measures],
+        F.lit(True).alias("__d_has"),
+    )
+    cond = None
+    for g in group_cols:
+        eq = F.col(f"__pg_{g}").eqNullSafe(F.col(f"__dg_{g}"))
+        cond = eq if cond is None else (cond & eq)
+    # the presence markers (never NULL on their own side) tell an
+    # unmatched row apart from a matched row whose GROUP KEY is NULL —
+    # coalescing the keys themselves cannot
+    merged = p.join(d, cond, "full_outer").select(
+        *[
+            F.when(F.col("__d_has").isNotNull(), F.col(f"__dg_{g}"))
+            .otherwise(F.col(f"__pg_{g}"))
+            .alias(g)
+            for g in group_cols
+        ],
         *[
             (F.coalesce(F.col(f"__p_{n}"), F.lit(0)) + F.coalesce(F.col(f"__d_{n}"), F.lit(0)))
             .alias(n)

@@ -1469,17 +1469,19 @@ def test_ivf_incremental_assign_broadcasts_centroids_never_shuffles_vectors(spar
     """Incremental IVF maintenance (VERDICT r7 #2): both assignment
     halves must be in-row argmins against the ONE-row packed broadcast
     centroid table (the k-means _assign_in_row shape) — a window keyed
-    on vec_id would reshuffle the |corpus|×|seeds| fan-out. The only
-    exchanges allowed are metadata-grain: the two 1-row seed packs and
-    the two cell-grain aggregates; the combine of the two cell tables
-    broadcasts."""
+    on vec_id would reshuffle the |corpus|×|seeds| fan-out — and the
+    train/new combine is ONE conditional aggregation over the flagged
+    union (no join of any kind: a full-outer of per-half rollups
+    cannot broadcast and would plan a sort-merge exchange pair). The
+    only exchanges allowed are metadata-grain: the two 1-row seed
+    packs and the single cell-grain aggregate."""
     tree = tree_of(spark, "x_ann_ivf_incremental_assign")
     assert tree.count("BroadcastNestedLoopJoin") == 2, tree
-    for op in ("SortMergeJoin", "ShuffledHashJoin", "Window"):
+    for op in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin", "Window"):
         assert op not in tree, (op, tree)
-    # 2 single-row packs + 2 cell-grain aggs; nothing vector-grain
-    assert tree.count("+- Exchange") <= 4, tree
-    assert "BroadcastHashJoin LeftOuter" in tree, tree
+    # 2 single-row packs + 1 cell-grain agg; nothing vector-grain
+    assert tree.count("+- Exchange") <= 3, tree
+    assert "Union" in tree, tree
 
 
 def test_ivm_rollup_incremental_never_rescans_base_version(spark):

@@ -760,3 +760,20 @@ def test_ivf_incremental_assign_drift_semantics(spark):
     rows = {r["cell"]: r for r in S.ivf_assignment_drift(index, one_side, seeds).collect()}
     assert rows[1]["n_new"] == 0
     assert rows[1]["new_mean_dist_ppm"] is None and rows[1]["drift_ppm"] is None
+
+    # a cell whose ONLY members are new arrivals (a centroid that
+    # attracted no training vectors) must still surface — it is the
+    # strongest re-cluster signal — with n_train = 0 and NULL baseline
+    far_seed = spark.createDataFrame(
+        [(0, vec(1, 0)), (1, vec(0, 1)), (7, vec(-1, -1))],
+        "vec_id long, embedding array<float>",
+    ).select(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec"))
+    neg_batch = spark.createDataFrame(
+        [(200, vec(-2, -2))], "vec_id long, embedding array<float>"
+    )
+    rows = {
+        r["cell"]: r for r in S.ivf_assignment_drift(index, neg_batch, far_seed).collect()
+    }
+    assert rows[7]["n_train"] == 0 and rows[7]["n_new"] == 1
+    assert rows[7]["train_mean_dist_ppm"] is None and rows[7]["drift_ppm"] is None
+    assert rows[7]["new_mean_dist_ppm"] == 0  # batch sits on the centroid

@@ -762,3 +762,106 @@ def test_advance_rollup_replace_path_applies_signed_deltas(spark, tmp_path):
     # group 'b' lost its only original member (id=3 deleted) but gained
     # id=2 via the update — the signed arithmetic nets to 1 row; a group
     # netting to zero rows would be dropped entirely (drop_when_zero)
+
+
+def test_advance_rollup_null_group_key_merges_null_safe(spark, tmp_path):
+    """A NULL group key must merge into ONE row (eqNullSafe + presence
+    markers): a plain equality full-outer never matches NULL == NULL
+    and would split the NULL group into prev-only and delta-only rows,
+    diverging from the full recompute's single NULL group."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.incremental import (
+        advance_rollup,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    rtbl = str(tmp_path / "rollup")
+    measures = {"n": F.lit(1), "s": F.col("v")}
+    versioned.commit_append(
+        spark.createDataFrame(
+            [(1, None, 10), (2, "a", 20)], "id long, g string, v long"
+        ),
+        tbl,
+    )
+    versioned.commit_append(
+        spark.createDataFrame([(3, None, 7)], "id long, g string, v long"), tbl
+    )
+    rollup0 = (
+        versioned.read_version(spark, tbl, 0)
+        .groupBy("g")
+        .agg(*[F.sum(e).alias(n) for n, e in measures.items()])
+    )
+    versioned.commit_replace(rollup0, rtbl)
+    out = advance_rollup(
+        spark, tbl, "id", ["g"], measures, versioned.read_version(spark, rtbl), 0, 1
+    ).collect()
+    got = {r["g"]: (r["n"], r["s"]) for r in out}
+    assert len(out) == 2, out  # exactly one NULL-group row
+    assert got == {None: (2, 17), "a": (1, 20)}
+
+
+def test_compact_abort_reclaims_staged_rewrite(spark, tmp_path, monkeypatch):
+    """An aborted compaction (concurrent replace) must unlink its staged
+    rewrite: the files are referenced by no manifest, so vacuum can
+    never reclaim them and every aborted retry would leak a
+    table-sized file set."""
+    import os as _os
+
+    import pytest
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = str(tmp_path / "tbl")
+    versioned.commit_append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), path
+    )
+
+    # inject a replace between compact's snapshot and its publish
+    real = versioned._publish_replace_from
+
+    def racing(path_, new_files, base):
+        versioned.commit_replace(
+            spark.createDataFrame([(1, "a")], "k long, v string"), path_
+        )
+        return real(path_, new_files, base)
+
+    monkeypatch.setattr(versioned, "_publish_replace_from", racing)
+    with pytest.raises(versioned.ConcurrentReplaceError):
+        versioned.compact(spark, path)
+    monkeypatch.undo()
+
+    referenced = set()
+    for v in versioned._manifests(path):
+        referenced.update(versioned._files_of(path, v))
+    on_disk = {f for f in _os.listdir(path) if f.endswith(".parquet")}
+    assert on_disk == referenced, on_disk - referenced
+
+
+def test_curation_stream_caches_bounded_across_batches(spark, tmp_path):
+    """The in-batch self-probe persists a signature frame per batch; the
+    per-batch scope must release the previous batch's caches, so a
+    long-running stream holds at most one batch's worth (r8 review:
+    unbounded _ACTIVE_CACHES growth in foreachBatch)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark import query_scope
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.curation import (
+        streaming_curation,
+    )
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    sink = str(tmp_path / "curated")
+
+    for i in range(3):
+        _write_batch(
+            landing,
+            f"b{i}.jsonl",
+            [{"doc_id": 100 + i, "source": "web", "text": f"{EN_GOOD} extra{i} " * 2}],
+        )
+        streaming_curation(
+            spark, str(landing), sink, str(tmp_path / f"ckpt{i}"), near_dup=True
+        ).awaitTermination(120)
+
+    # one batch's worth: the self-probe signature cache plus the
+    # history probe's two signature frames
+    n_live = len(query_scope._ACTIVE_CACHES)
+    assert n_live <= 3, f"cache registry must stay bounded, saw {n_live}"

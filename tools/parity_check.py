@@ -53,12 +53,15 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 #: round and RE-ENTERS SENSITIVE immediately if its surface changes.
 #: Round-8 derivation (all surfaces diffed c245f84..HEAD — frozen
 #: since end of r4; all six sf0.1-green r2..r7): DEMOTED
-#: x_bloom_prune_join, x_approx_distinct_users, x_cms_heavy_hitters,
-#: x_global_row_number (each in the r8 driver window — carried class
-#: (c)/(a) of the r7 handoff) and x_global_running_revenue (owner
-#: global_running_sum composed by still-SENSITIVE x_vocab_coverage);
-#: KEPT x_table_checksum despite its frozen surface — no other query
-#: composes the order-independent checksum owner (criterion 2 fails).
+#: x_bloom_prune_join, x_approx_distinct_users, x_cms_heavy_hitters
+#: (each in the r8 driver window — carried class (c) of the r7
+#: handoff), x_global_row_number (fresh r7 driver row, and its owner
+#: prefix.global_row_number is composed by still-SENSITIVE
+#: x_vocab_coverage) and x_global_running_revenue (in the r8 driver
+#: window, and owner prefix.global_running_sum likewise composed by
+#: x_vocab_coverage); KEPT x_table_checksum despite its frozen
+#: surface — no other query composes the order-independent checksum
+#: owner (criterion 2 fails).
 SENSITIVE = [
     # scale tier (sketches, prefix sums, checksums, quantiles)
     "x_table_checksum",
