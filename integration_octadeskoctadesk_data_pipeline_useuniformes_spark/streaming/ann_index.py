@@ -1,0 +1,117 @@
+"""Streaming ANN index maintenance — the batch incremental-IVF
+assignment (operators/similarity.ivf_assign_with_distance) run
+continuously over an embedding landing zone, with the per-cell index
+statistics maintained INCREMENTALLY from the sink's own change feed.
+
+The shape a continuous-crawl embedding pipeline needs (the curation
+stream's precedent, applied to the index side):
+
+1. each micro-batch of new embeddings is assigned to the EXISTING
+   (small, broadcast) centroid table — in-row argmin, the index cells
+   never reshuffle, no state beyond the centroids is consulted;
+2. the assignments (vec_id, cell, dist_ppm) append to a versioned sink
+   — every batch is a time-travelable snapshot of the index membership
+   and the change feed shows exactly what each batch contributed;
+3. the cell-grain statistics table (n, sum of fixed-point distances —
+   the staleness-baseline the drift diagnostic ratios against) is
+   advanced from the PREVIOUS stats plus the appended files ONLY
+   (``advance_rollup`` over ``read_appended``'s manifest-delta scan) —
+   the assignment history is never re-aggregated, which is what lets
+   the stats stay current on a sink that grows by 0.1% per batch.
+
+Statistics are exact at any parallelism: dist_ppm is integer
+fixed-point, so sums are order-independent and the incremental rollup
+equals the full recompute bit-for-bit (pinned by test).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import ivf_assign_with_distance
+from ..sinks import versioned
+
+#: landing schema for embedding micro-batches (json lines)
+EMB_SCHEMA = "vec_id long, embedding array<float>"
+
+#: the covered sink version travels as a constant column on the
+#: cell-grain stats rows (≤ |centroids| rows — metadata, not data)
+_THROUGH = "_through_version"
+
+
+def advance_cell_stats(spark: SparkSession, sink_path: str, stats_path: str) -> int:
+    """Bring the cell-stats table up to the sink's latest version:
+    previous stats + the delta commits only (bootstrap = one full
+    aggregate when no stats exist yet). Returns the covered version.
+
+    Idempotent: if the stats already cover the latest sink version the
+    call is a no-op (no scan, no commit) — safe to run after every
+    micro-batch or from an independent maintenance schedule.
+    """
+    latest = versioned.latest_version(sink_path)
+    if latest < 0:
+        return -1
+    measures = {"n": F.lit(1), "sum_dist_ppm": F.col("dist_ppm")}
+    have = versioned.latest_version(stats_path)
+    if have >= 0:
+        stats = versioned.read_version(spark, stats_path, have)
+        through = stats.select(F.max(_THROUGH)).first()[0]
+        if through == latest:
+            return latest  # already current — no work
+        from .incremental import advance_rollup
+
+        out = advance_rollup(
+            spark,
+            sink_path,
+            key="vec_id",
+            group_cols=["cell"],
+            measures=measures,
+            prev_rollup=stats.drop(_THROUGH),
+            from_version=through,
+            to_version=latest,
+        )
+    else:
+        out = (
+            versioned.read_version(spark, sink_path, latest)
+            .groupBy("cell")
+            .agg(*[F.sum(e).alias(n) for n, e in measures.items()])
+        )
+    versioned.commit_replace(out.withColumn(_THROUGH, F.lit(latest)), stats_path)
+    return latest
+
+
+def streaming_ivf_assign(
+    spark: SparkSession,
+    landing_dir: str,
+    centroids: DataFrame,
+    sink_path: str,
+    checkpoint_dir: str,
+    stats_path: str | None = None,
+    available_now: bool = True,
+):
+    """Start the index-maintenance stream (availableNow drains the
+    landing dir). ``centroids`` is the (seed_id, seed_vec) table —
+    small by contract, broadcast into every batch's assignment.
+
+    Each micro-batch commits one sink version of (vec_id, cell,
+    dist_ppm) assignments; when ``stats_path`` is given the cell-stats
+    table is advanced after the append — incrementally, from the
+    appended files only. Returns the StreamingQuery.
+    """
+    stream = spark.readStream.schema(EMB_SCHEMA).json(landing_dir)
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        assigned = ivf_assign_with_distance(batch_df, centroids)
+        if assigned.limit(1).count() == 0:  # empty-batch short-circuit (T5)
+            return
+        versioned.commit_append(assigned, sink_path)
+        if stats_path is not None:
+            advance_cell_stats(batch_df.sparkSession, sink_path, stats_path)
+
+    writer = stream.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -865,3 +865,82 @@ def test_curation_stream_caches_bounded_across_batches(spark, tmp_path):
     # history probe's two signature frames
     n_live = len(query_scope._ACTIVE_CACHES)
     assert n_live <= 3, f"cache registry must stay bounded, saw {n_live}"
+
+
+def test_streaming_ivf_assign_maintains_incremental_cell_stats(spark, tmp_path):
+    """Streaming ANN index maintenance (composes the three r8 pieces):
+    micro-batches of embeddings assign to the existing broadcast
+    centroids, append to a versioned sink, and the cell-stats table
+    advances from the change feed — equal to the full recompute at
+    every step, with the advance reading only the appended files."""
+    import json as _json
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators import (
+        similarity as S,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.ann_index import (
+        advance_cell_stats,
+        streaming_ivf_assign,
+    )
+
+    landing = tmp_path / "emb"
+    landing.mkdir()
+    sink = str(tmp_path / "assignments")
+    stats = str(tmp_path / "cell_stats")
+    ckpt = str(tmp_path / "ckpt")
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "seed_id long, seed_vec array<float>"
+    )
+
+    def land(name, rows):
+        with open(landing / name, "w") as fh:
+            for vid, vec in rows:
+                fh.write(_json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+
+    land("b1.jsonl", [(10, [2.0, 0.1]), (11, [0.1, 3.0])])
+    streaming_ivf_assign(
+        spark, str(landing), centroids, sink, ckpt, stats_path=stats
+    ).awaitTermination(120)
+    assert versioned.latest_version(sink) == 0
+
+    # assignments match the batch operator run directly
+    direct = {
+        r["vec_id"]: (r["cell"], r["dist_ppm"])
+        for r in S.ivf_assign_with_distance(
+            spark.createDataFrame(
+                [(10, [2.0, 0.1]), (11, [0.1, 3.0])], "vec_id long, embedding array<float>"
+            ),
+            centroids,
+        ).collect()
+    }
+    got = {
+        r["vec_id"]: (r["cell"], r["dist_ppm"])
+        for r in versioned.read_version(spark, sink).collect()
+    }
+    assert got == direct
+
+    land("b2.jsonl", [(12, [1.0, 0.3]), (13, [0.2, 1.0]), (14, [3.0, 0.0])])
+    streaming_ivf_assign(
+        spark, str(landing), centroids, sink, ckpt, stats_path=stats
+    ).awaitTermination(120)
+    assert versioned.latest_version(sink) == 1
+
+    # stats == full recompute, exactly (integer fixed-point sums)
+    full = {
+        r["cell"]: (r["n"], r["sum_dist_ppm"])
+        for r in versioned.read_version(spark, sink)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dist_ppm").alias("sum_dist_ppm"))
+        .collect()
+    }
+    srows = versioned.read_version(spark, stats).collect()
+    assert {r["cell"]: (r["n"], r["sum_dist_ppm"]) for r in srows} == full
+    assert all(r["_through_version"] == 1 for r in srows)
+    assert sum(r["n"] for r in srows) == 5
+
+    # idempotent no-op when already current: no new stats version
+    v_before = versioned.latest_version(stats)
+    assert advance_cell_stats(spark, sink, stats) == 1
+    assert versioned.latest_version(stats) == v_before
