@@ -73,9 +73,10 @@ def register(name: str, oracle: str | None):
 #: rounds' rows persist in CORRECTNESS_r{N}.json; after round 4 every
 #: registered query has at least one green row.
 #:
-#: Round-8 window (VERDICT r7 #1): the three NEW queries lead
+#: Round-8 window (VERDICT r7 #1): the four NEW queries lead
 #: (x_ann_ivf_incremental_assign, x_ivm_rollup_incremental,
-#: x_unigram_em_step — ADVICE r2 standing rule), plus ONE changed-
+#: x_unigram_em_step, x_unigram_prune_curve — ADVICE r2 standing
+#: rule), plus ONE changed-
 #: owner re-window: x_dedup_minhash_lsh_pairs, because
 #: operators/dedup.py's lsh_candidate_pairs gained an optional
 #: precomputed-``signatures`` parameter for the streaming self-probe —
@@ -88,16 +89,17 @@ def register(name: str, oracle: str | None):
 #: operators/similarity.py's r8 edits are append-only for pre-existing
 #: queries (two new functions; zero deletions in the diff), so no ANN
 #: re-windows. Then the thirteen r3-cohort members carried per the r7
-#: handoff ledger, then 33 of the 43 queries whose newest green row is
+#: handoff ledger, then 32 of the 43 queries whose newest green row is
 #: r4 (recomputed from the seven CORRECTNESS jsons this round:
-#: histogram r7:50, r6:49, r5:47, r4:43, r3:13, r1:1). 4 + 13 + 43 =
-#: 60 candidates for 50 slots: ten r4-cohort members are displaced to
-#: r9 (rationale in the trailing comment).
+#: histogram r7:50, r6:49, r5:47, r4:43, r3:13, r1:1). 5 + 13 + 43 =
+#: 61 candidates for 50 slots: eleven r4-cohort members are displaced
+#: to r9 (rationale in the trailing comment).
 DRIVER_WINDOW: list[str] = [
     # new or changed-owner this round (verify first)
     "x_ann_ivf_incremental_assign",
     "x_ivm_rollup_incremental",
     "x_unigram_em_step",
+    "x_unigram_prune_curve",
     "x_dedup_minhash_lsh_pairs",
     # the thirteen carried r3-cohort members (r7 handoff ledger)
     "fn_date_parse_battery",
@@ -113,14 +115,13 @@ DRIVER_WINDOW: list[str] = [
     "x_approx_distinct_users",
     "x_bloom_prune_join",
     "x_cms_heavy_hitters",
-    # the r4-green-once cohort (33 of 43)
+    # the r4-green-once cohort (32 of 43)
     "x_ann_cosine_topk",
     "x_ann_hard_negatives",
     "x_ann_pq_recall",
     "x_ann_recall_at_k",
     "x_bpe_compression_curve",
     "x_bpe_merge_steps",
-    "x_bpe_vocab_usage",
     "x_budget_select_topquality",
     "x_constraint_audit",
     "x_corpus_datacard",
@@ -148,9 +149,9 @@ DRIVER_WINDOW: list[str] = [
     "x_word_entropy_quality",
     "x_wordpiece_encode_docs",
 ]
-# Slot arithmetic (r8): 3 new + 1 changed-owner re-window + 13 carried
-# r3-cohort + 33 of the 43 r4-green-once cohort = 50. Ten r4-cohort
-# members are DISPLACED to round 9 — all ten are SENSITIVE members,
+# Slot arithmetic (r8): 4 new + 1 changed-owner re-window + 13 carried
+# r3-cohort + 32 of the 43 r4-green-once cohort = 50. Eleven r4-cohort
+# members are DISPLACED to round 9 — all eleven are SENSITIVE members,
 # strictly value-verified at
 # sf0.1 by the local gate EVERY round (stronger ongoing coverage than
 # one more sf0.01 driver hash row), and each additionally has its
@@ -161,9 +162,10 @@ DRIVER_WINDOW: list[str] = [
 # (b) x_ann_pq_topk — the full PQ chain (codebook → encode → ADC →
 #     top-k) is composed verbatim by in-window x_ann_pq_recall, which
 #     also composes the brute-force truth chain;
-# (c) x_bpe_pair_counts, x_bpe_encode_docs — the pair-count and
-#     encode chains are composed per-step by in-window
-#     x_bpe_merge_steps / x_bpe_compression_curve / x_bpe_vocab_usage;
+# (c) x_bpe_pair_counts, x_bpe_encode_docs, x_bpe_vocab_usage — the
+#     pair-count and encode chains are composed per-step by in-window
+#     x_bpe_merge_steps / x_bpe_compression_curve (vocab_usage
+#     displaced late-round to fund the x_unigram_prune_curve slot);
 # (d) x_quality_classifier_score — the logit chain is composed by
 #     in-window x_quality_signal_agreement (and SENSITIVE
 #     x_quality_calibration);
@@ -175,7 +177,7 @@ DRIVER_WINDOW: list[str] = [
 #     — suffix/leakage/PMI surfaces with no in-window twin, displaced
 #     purely on their every-round sf0.1 strict coverage; FIRST in
 #     line for the r9 window.
-# All ten stay covered by the full-catalog strict sf0.01 gate every
+# All eleven stay covered by the full-catalog strict sf0.01 gate every
 # round. flagship_unresolved_distinct stays out as always: the
 # driver's entry() smoke verifies it every round regardless of the
 # window.

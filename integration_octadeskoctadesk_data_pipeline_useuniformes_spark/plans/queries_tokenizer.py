@@ -862,11 +862,18 @@ def _uni_ilog16_sql(x: str) -> str:
     return f"(16 * ({b} - 1) + (({x} - {base}) * 16) // {base})"
 
 
-def _unigram_oracle() -> str:
-    # dp CTE chain: dp{i} holds the best (cost, np, enc) state for
-    # every word of length >= i at position i; candidates extend
-    # dp{i-L} with the vocab piece covering (i-L, i]
-    dps = []
+def _uni_dp_ctes(vocab_cte: str, prefix: str) -> tuple[str, str]:
+    """Viterbi dp CTE chain over the ``wf`` word table using piece
+    costs from ``vocab_cte``: {prefix}{i} holds the best (cost, np,
+    enc) state for every word of length >= i at position i; candidates
+    extend {prefix}{i-L} with the piece covering (i-L, i]. Every level
+    is MATERIALIZED — DuckDB inlines CTEs by default and this 4-ary
+    recursion would expand exponentially. Returns (ctes_sql,
+    best_cte_name); the best CTE carries (word, cost, np, enc)."""
+    ctes = [
+        f"{prefix}0 AS MATERIALIZED ("
+        "SELECT word, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS enc FROM wf)"
+    ]
     for i in range(1, _UNI_WLEN + 1):
         arms = []
         for plen in range(1, min(_UNI_PLEN, i) + 1):
@@ -874,23 +881,33 @@ def _unigram_oracle() -> str:
             arms.append(
                 f"""SELECT d.word, d.cost + v.cost AS cost, d.np + 1 AS np,
        CASE WHEN d.enc = '' THEN v.piece ELSE d.enc || ' ' || v.piece END AS enc
-FROM dp{j} d JOIN vocab v ON v.piece = substr(d.word, {j + 1}, {plen})
+FROM {prefix}{j} d JOIN {vocab_cte} v ON v.piece = substr(d.word, {j + 1}, {plen})
 WHERE length(d.word) >= {i}"""
             )
         union = "\nUNION ALL\n".join(arms)
-        dps.append(
-            f"""dp{i} AS MATERIALIZED (
+        ctes.append(
+            f"""{prefix}{i} AS MATERIALIZED (
   SELECT word, cost, np, enc FROM (
     SELECT *, row_number() OVER (PARTITION BY word ORDER BY cost, np, enc) AS rn
     FROM ({union})
   ) WHERE rn = 1
 )"""
         )
+    best = f"{prefix}best"
     best_union = "\nUNION ALL\n".join(
-        f"SELECT word, enc FROM dp{i} WHERE length(word) = {i}"
+        f"SELECT word, cost, np, enc FROM {prefix}{i} WHERE length(word) = {i}"
         for i in range(1, _UNI_WLEN + 1)
     )
-    return f"""WITH w AS (
+    ctes.append(f"{best} AS ({best_union})")
+    return ",\n".join(ctes), best
+
+
+#: shared oracle base: corpus → word-frequency table → candidate
+#: inventory with integer sixteenth-bit costs → first Viterbi (dp*) →
+#: E-step counts. ONE owner for the EM query and the prune curve.
+def _uni_base_ctes() -> str:
+    dp_ctes, dp_best = _uni_dp_ctes("vocab", "dp")
+    return f"""w AS (
   SELECT unnest({_WORDS_SQL}) AS word FROM documents
 ), wf AS MATERIALIZED (
   SELECT lower(word) AS word, CAST(count(*) AS BIGINT) AS n FROM w
@@ -916,15 +933,17 @@ vocab AS MATERIALIZED (
               AS BIGINT) AS cost
   FROM vocab0, tot
 ),
-dp0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS enc FROM wf),
-{",".join(dps)},
-best AS ({best_union}),
+{dp_ctes},
 em AS (
   SELECT piece, CAST(sum(n) AS BIGINT) AS em_n FROM (
     SELECT wf.n, unnest(string_split(b.enc, ' ')) AS piece
-    FROM best b JOIN wf USING (word)
+    FROM {dp_best} b JOIN wf USING (word)
   ) GROUP BY piece
-)
+)"""
+
+
+def _unigram_oracle() -> str:
+    return f"""WITH {_uni_base_ctes()}
 SELECT v.piece, CAST(v.cost AS BIGINT) AS cost_ppm, v.cnt AS prior_n,
        CAST(coalesce(e.em_n, 0) AS BIGINT) AS em_n
 FROM vocab v LEFT JOIN em e USING (piece)
@@ -975,4 +994,149 @@ def x_unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cost_ppm",
         "prior_n",
         F.coalesce(F.col("em_n"), F.lit(0)).cast("long").alias("em_n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM pruning curve — the OTHER half of Kudo's trainer loop
+# (EM re-estimate, then PRUNE low-utility pieces, repeat): after the
+# registered EM step, the vocabulary is re-based on the E-step counts
+# (multi-char pieces the Viterbi never used drop out; single chars are
+# the permanent fallback alphabet, floor-counted at 1) and the corpus
+# is re-segmented under progressively pruned vocabularies — bottom-k
+# multi-char pieces by (em count, piece) — reporting total tokens and
+# total integer cost per stage: the compression-vs-vocab-budget curve
+# a tokenizer team prunes along (the x_bpe_compression_curve analogue
+# for the unigram family; k=99 prunes every multi-char piece = the
+# character-baseline endpoint).
+#
+# Catalog-growth discipline (r8): registry grep — the unigram surface
+# has only the r8 EM step, no prune/re-segment query (the BPE curve is
+# the merge-direction analogue, different trainer); fixture probe —
+# 17 multi-char pieces carry em_n > 0 at BOTH driver SFs, so stages
+# (0, 4, 8, 99) prune 0/4/8/all of a 17-piece live inventory and every
+# stage changes the segmentation (probed: total_tokens strictly
+# increases along the curve at both SFs).
+# ---------------------------------------------------------------------------
+
+_UNI_PRUNE_STAGES = (0, 4, 8, 99)
+
+
+def _unigram_prune_oracle() -> str:
+    stages = []
+    finals = []
+    for k in _UNI_PRUNE_STAGES:
+        dp_ctes, best = _uni_dp_ctes(f"vc{k}", f"p{k}_")
+        stages.append(
+            f"""v{k} AS (
+  SELECT piece, cnt FROM base WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, cnt FROM rankm WHERE rk > {k}
+), t{k} AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v{k}),
+vc{k} AS MATERIALIZED (
+  SELECT piece,
+         CAST(({_uni_ilog16_sql('total')} - {_uni_ilog16_sql('cnt')}) * 62500
+              AS BIGINT) AS cost
+  FROM v{k}, t{k}
+),
+{dp_ctes}"""
+        )
+        finals.append(
+            f"""SELECT CAST({k} AS BIGINT) AS n_pruned,
+       (SELECT CAST(count(*) AS BIGINT) FROM v{k}) AS vocab_size,
+       CAST(sum(wf.n * b.np) AS BIGINT) AS total_tokens,
+       CAST(sum(wf.n * b.cost) AS BIGINT) AS total_cost_ppm
+FROM {best} b JOIN wf USING (word)"""
+        )
+    return f"""WITH {_uni_base_ctes()},
+base AS MATERIALIZED (
+  SELECT v.piece,
+         CASE WHEN length(v.piece) = 1 THEN greatest(coalesce(e.em_n, 0), 1)
+              ELSE coalesce(e.em_n, 0) END AS cnt
+  FROM vocab v LEFT JOIN em e USING (piece)
+  WHERE length(v.piece) = 1 OR coalesce(e.em_n, 0) > 0
+),
+rankm AS MATERIALIZED (
+  SELECT piece, cnt, row_number() OVER (ORDER BY cnt ASC, piece ASC) AS rk
+  FROM base WHERE length(piece) > 1
+),
+{",".join(stages)}
+{" UNION ALL ".join(finals)}
+"""
+
+
+@register("x_unigram_prune_curve", _unigram_prune_oracle())
+def x_unigram_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram pruning curve: (n_pruned, vocab_size, total_tokens,
+    total_cost_ppm) for each prune stage — total corpus tokens and
+    total integer cost of the Viterbi-best segmentations under the
+    EM-rebased vocabulary with the bottom-k multi-char pieces removed.
+
+    Plan: ONE corpus scan into the persisted word-frequency table; the
+    first Viterbi + M-step collect the ≤64-row EM counts (the k-means
+    metadata class, exactly the EM query's collect); the stage
+    vocabularies and renormalized costs are derived driver-side from
+    those counts (pure-integer ilog16, mirrored in the oracle's SQL),
+    and ALL four stage re-segmentations run as in-row folds inside a
+    SINGLE aggregate pass over the word table (the compression-curve
+    precedent) — 4 rows out, zero joins, zero extra scans."""
+    from ..operators.unigram import (
+        candidate_pieces,
+        ilog16,
+        piece_cost_ppm,
+        viterbi_best_expr,
+    )
+    from ..query_scope import scoped_persist
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy(F.lower("word").alias("word"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.length("word") <= _UNI_WLEN)
+        .transform(scoped_persist)
+    )
+    cand = candidate_pieces(wf, _UNI_PLEN, _UNI_TOPK).collect()
+    total0 = sum(r["cnt"] for r in cand)
+    costs0 = {r["piece"]: piece_cost_ppm(r["cnt"], total0) for r in cand}
+
+    best0 = viterbi_best_expr(F.col("word"), costs0, _UNI_PLEN)
+    em_n = {
+        r["piece"]: r["em_n"]
+        for r in wf.select("n", F.explode(F.split(best0["enc"], " ")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").alias("em_n"))
+        .collect()
+    }
+    # EM re-base: chars always survive (floor count 1); multis need use
+    base = {
+        p: (max(em_n.get(p, 0), 1) if len(p) == 1 else em_n.get(p, 0))
+        for p in costs0
+    }
+    base = {p: c for p, c in base.items() if len(p) == 1 or c > 0}
+    multis = sorted(
+        ((p, c) for p, c in base.items() if len(p) > 1), key=lambda t: (t[1], t[0])
+    )
+    chars = {p: c for p, c in base.items() if len(p) == 1}
+
+    aggs, meta = [], []
+    for k in _UNI_PRUNE_STAGES:
+        kept = {**chars, **dict(multis[k:])}
+        tot = sum(kept.values())
+        costs_k = {p: (ilog16(tot) - ilog16(c)) * 62500 for p, c in kept.items()}
+        b = viterbi_best_expr(F.col("word"), costs_k, _UNI_PLEN)
+        aggs.append(F.sum(F.col("n") * b["np"]).cast("long").alias(f"tok_{k}"))
+        aggs.append(F.sum(F.col("n") * b["cost"]).cast("long").alias(f"cost_{k}"))
+        meta.append((k, len(kept)))
+    row = wf.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({k} AS BIGINT), CAST({vs} AS BIGINT), tok_{k}, cost_{k}"
+        for k, vs in meta
+    )
+    return row.select(
+        F.expr(
+            f"stack({len(meta)}, {stack}) AS "
+            "(n_pruned, vocab_size, total_tokens, total_cost_ppm)"
+        )
     )

@@ -1526,3 +1526,20 @@ def test_unigram_em_plan_scans_corpus_once_and_stays_in_row(spark):
     assert "LocalTableScan" in tree or "Scan ExistingRDD" in tree, tree
     for op in ("Window", "SortMergeJoin", "BatchEvalPython", "ArrowEvalPython"):
         assert op not in tree, (op, tree)
+
+
+def test_unigram_prune_curve_single_pass_over_word_table(spark):
+    """All four stage re-segmentations must run as in-row folds inside
+    ONE aggregate pass over the persisted word-frequency table (the
+    compression-curve precedent): one distinct parquet scan (the cache
+    child), a single partial/final aggregate pair, the stack() unpivot,
+    and no joins/windows/Python anywhere."""
+    tree = tree_of(spark, "x_unigram_prune_curve")
+    assert "InMemoryTableScan" in tree, tree
+    assert len(set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))) <= 1, tree
+    for op in ("Join", "Window", "BatchEvalPython", "ArrowEvalPython"):
+        assert op not in tree, (op, tree)
+    # one aggregation above the cache: partial + final HashAggregate
+    # around one exchange (the other distinct ids belong to the
+    # displayed cache-population child, which aggregates wf itself)
+    assert len(set(re.findall(r"Exchange\s+\((\d+)\)", tree))) <= 3, tree

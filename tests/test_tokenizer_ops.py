@@ -225,3 +225,107 @@ def test_unigram_em_step_matches_python_reference(spark):
 
     want = {p: (cost[p], vocab[p], em.get(p, 0)) for p in vocab}
     assert got == want
+
+
+def test_unigram_prune_curve_matches_python_reference_and_em_query(spark):
+    """The prune curve must reproduce a pure-Python reference of the
+    whole second phase (EM re-base → bottom-k prune → re-segment →
+    weighted totals) exactly, and its EM re-base must agree with the
+    registered EM query's em_n counts (single-owner consistency)."""
+    from collections import Counter
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.unigram import (
+        ilog16,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_tokenizer import (
+        _UNI_PLEN,
+        _UNI_PRUNE_STAGES,
+        _UNI_TOPK,
+        _UNI_WLEN,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        got = {
+            r["n_pruned"]: (r["vocab_size"], r["total_tokens"], r["total_cost_ppm"])
+            for r in catalog.queries()["x_unigram_prune_curve"](spark, sf).collect()
+        }
+        em_query = {
+            r["piece"]: r["em_n"]
+            for r in catalog.queries()["x_unigram_em_step"](spark, sf).collect()
+        }
+    finally:
+        query_scope.release()
+
+    # -- reference: plain Python over the same word-frequency table
+    import duckdb
+
+    wf = dict(
+        duckdb.connect()
+        .execute(
+            "SELECT lower(word) AS w, count(*) FROM (SELECT unnest("
+            "string_split_regex(trim(text), '\\s+')) AS word FROM "
+            f"read_parquet('{sf}/documents.parquet')) WHERE word <> '' "
+            f"AND length(lower(word)) <= {_UNI_WLEN} GROUP BY 1"
+        )
+        .fetchall()
+    )
+    subs = Counter()
+    for w, n in wf.items():
+        for i in range(len(w)):
+            for L in range(1, _UNI_PLEN + 1):
+                if i + L <= len(w):
+                    subs[w[i : i + L]] += n
+    chars0 = {p: c for p, c in subs.items() if len(p) == 1}
+    multi0 = dict(
+        sorted(
+            ((p, c) for p, c in subs.items() if len(p) > 1),
+            key=lambda t: (-t[1], t[0]),
+        )[:_UNI_TOPK]
+    )
+    vocab0 = {**chars0, **multi0}
+    tot0 = sum(vocab0.values())
+    cost0 = {p: (ilog16(tot0) - ilog16(c)) * 62500 for p, c in vocab0.items()}
+
+    def viterbi(w, cost):
+        dp = [(0, 0, "")] + [None] * len(w)
+        for i in range(1, len(w) + 1):
+            cands = []
+            for L in range(1, min(_UNI_PLEN, i) + 1):
+                p = w[i - L : i]
+                if p in cost and dp[i - L] is not None:
+                    pc, pn, pe = dp[i - L]
+                    cands.append((pc + cost[p], pn + 1, pe + " " + p if pe else p))
+            dp[i] = min(cands)
+        return dp[len(w)]
+
+    em = Counter()
+    for w, n in wf.items():
+        for p in viterbi(w, cost0)[2].split(" "):
+            em[p] += n
+    # the prune query's EM re-base and the EM query count the same thing
+    for p in vocab0:
+        assert em.get(p, 0) == em_query[p], p
+
+    base = {
+        p: (max(em.get(p, 0), 1) if len(p) == 1 else em.get(p, 0)) for p in vocab0
+    }
+    base = {p: c for p, c in base.items() if len(p) == 1 or c > 0}
+    multis = sorted(((p, c) for p, c in base.items() if len(p) > 1), key=lambda t: (t[1], t[0]))
+    chars = {p: c for p, c in base.items() if len(p) == 1}
+    want = {}
+    for k in _UNI_PRUNE_STAGES:
+        kept = {**chars, **dict(multis[k:])}
+        tot = sum(kept.values())
+        cost_k = {p: (ilog16(tot) - ilog16(c)) * 62500 for p, c in kept.items()}
+        toks = cost_sum = 0
+        for w, n in wf.items():
+            c, np_, _ = viterbi(w, cost_k)
+            toks += n * np_
+            cost_sum += n * c
+        want[k] = (len(kept), toks, cost_sum)
+    assert got == want
+
+    # pruning a unigram vocab can only lengthen segmentations
+    toks_along_curve = [got[k][1] for k in sorted(got)]
+    assert toks_along_curve == sorted(toks_along_curve)

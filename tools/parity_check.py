@@ -28,8 +28,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 #: (VERDICT r3 item 6), round 4's iterative BPE, the round-5 additions,
 #: round 6's trigram LM, round 7's incremental-minhash/funnel/
 #: RRF-fusion/epoch-planner/overlap-curve/calibration and round 8's
-#: IVF-assignment/unigram-EM — 46 members as of round 8 (registry-sync
-#: pinned by tests/test_units.py), against a 206-query catalog
+#: IVF-assignment/unigram-EM+prune — 47 members as of round 8 (registry-sync
+#: pinned by tests/test_units.py), against a 207-query catalog
 #: (x_dedup_containment_topk is sample-bounded by construction, like
 #: the recall-sample/band-tuning reports — not volume-sensitive;
 #: x_dedup_cross_source_matrix re-verifies through its in-SENSITIVE
@@ -144,8 +144,10 @@ SENSITIVE = [
     "x_ann_ivf_incremental_assign",
     # ...and the unigram inventory's top-K budget cut plus the Viterbi
     # (cost, np, enc) ties move with corpus size (the pmi/vocab-cap
-    # class)
+    # class) — the prune curve additionally carries the bottom-k
+    # prune-rank tie boundary
     "x_unigram_em_step",
+    "x_unigram_prune_curve",
 ]
 
 
