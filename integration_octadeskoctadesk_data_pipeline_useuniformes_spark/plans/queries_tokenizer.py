@@ -942,6 +942,51 @@ em AS (
 )"""
 
 
+def _uni_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus -> persisted (word, n) table at the unigram tier's grain
+    (lowered, nonempty, lowered length <= _UNI_WLEN) — the ONE Spark
+    owner both unigram queries build on (the _uni_base_ctes twin; the
+    cross-query EM-count consistency the suite pins depends on the two
+    queries deriving from literally the same frame)."""
+    from ..query_scope import scoped_persist
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy(F.lower("word").alias("word"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.length("word") <= _UNI_WLEN)
+        .transform(scoped_persist)
+    )
+
+
+def _uni_inventory(wf: DataFrame) -> tuple[list, dict[str, int]]:
+    """Candidate inventory + integer costs off the word table: the
+    collected <=64-row vocabulary (piece, cnt, cost_ppm) and its
+    piece -> cost map (single owner of the selection + quantization)."""
+    from ..operators.unigram import candidate_pieces, piece_cost_ppm
+
+    cand = candidate_pieces(wf, _UNI_PLEN, _UNI_TOPK).collect()
+    total = sum(r["cnt"] for r in cand)
+    vocab = [(r["piece"], r["cnt"], piece_cost_ppm(r["cnt"], total)) for r in cand]
+    return vocab, {p: c for p, _, c in vocab}
+
+
+def _uni_em_counts(wf: DataFrame, costs: dict[str, int]) -> DataFrame:
+    """E-step counts under ``costs``: (piece, em_n) — Viterbi-best
+    piece usage weighted by word frequency, one map-side-combined
+    aggregation (the M-step's input, shared by both unigram queries)."""
+    from ..operators.unigram import viterbi_best_expr
+
+    best = viterbi_best_expr(F.col("word"), costs, _UNI_PLEN)
+    return (
+        wf.select("n", F.explode(F.split(best["enc"], " ")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").alias("em_n"))
+    )
+
+
 def _unigram_oracle() -> str:
     return f"""WITH {_uni_base_ctes()}
 SELECT v.piece, CAST(v.cost AS BIGINT) AS cost_ppm, v.cnt AS prior_n,
@@ -963,29 +1008,9 @@ def x_unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate selection + E + M all run at vocab/word grain on that
     frame; only the selected ≤ 64-row vocabulary is collected (the
     k-means metadata class) and re-enters the plan as cost literals."""
-    from ..operators.unigram import candidate_pieces, piece_cost_ppm, viterbi_best_expr
-    from ..query_scope import scoped_persist
-
-    d = load_table(spark, sf_dir, "documents")
-    wf = (
-        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy(F.lower("word").alias("word"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .filter(F.length("word") <= _UNI_WLEN)
-        .transform(scoped_persist)
-    )
-    cand = candidate_pieces(wf, _UNI_PLEN, _UNI_TOPK).collect()
-    total = sum(r["cnt"] for r in cand)
-    vocab = [(r["piece"], r["cnt"], piece_cost_ppm(r["cnt"], total)) for r in cand]
-    costs = {p: c for p, _, c in vocab}
-
-    best = viterbi_best_expr(F.col("word"), costs, _UNI_PLEN)
-    em = (
-        wf.select("n", F.explode(F.split(best["enc"], " ")).alias("piece"))
-        .groupBy("piece")
-        .agg(F.sum("n").alias("em_n"))
-    )
+    wf = _uni_word_freq(spark, sf_dir)
+    vocab, costs = _uni_inventory(wf)
+    em = _uni_em_counts(wf, costs)
     vocab_df = spark.createDataFrame(
         vocab, "piece string, prior_n long, cost_ppm long"
     )
@@ -1080,35 +1105,11 @@ def x_unigram_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     and ALL four stage re-segmentations run as in-row folds inside a
     SINGLE aggregate pass over the word table (the compression-curve
     precedent) — 4 rows out, zero joins, zero extra scans."""
-    from ..operators.unigram import (
-        candidate_pieces,
-        ilog16,
-        piece_cost_ppm,
-        viterbi_best_expr,
-    )
-    from ..query_scope import scoped_persist
+    from ..operators.unigram import ilog16, viterbi_best_expr
 
-    d = load_table(spark, sf_dir, "documents")
-    wf = (
-        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy(F.lower("word").alias("word"))
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .filter(F.length("word") <= _UNI_WLEN)
-        .transform(scoped_persist)
-    )
-    cand = candidate_pieces(wf, _UNI_PLEN, _UNI_TOPK).collect()
-    total0 = sum(r["cnt"] for r in cand)
-    costs0 = {r["piece"]: piece_cost_ppm(r["cnt"], total0) for r in cand}
-
-    best0 = viterbi_best_expr(F.col("word"), costs0, _UNI_PLEN)
-    em_n = {
-        r["piece"]: r["em_n"]
-        for r in wf.select("n", F.explode(F.split(best0["enc"], " ")).alias("piece"))
-        .groupBy("piece")
-        .agg(F.sum("n").alias("em_n"))
-        .collect()
-    }
+    wf = _uni_word_freq(spark, sf_dir)
+    _, costs0 = _uni_inventory(wf)
+    em_n = {r["piece"]: r["em_n"] for r in _uni_em_counts(wf, costs0).collect()}
     # EM re-base: chars always survive (floor count 1); multis need use
     base = {
         p: (max(em_n.get(p, 0), 1) if len(p) == 1 else em_n.get(p, 0))

@@ -102,7 +102,21 @@ def streaming_ivf_assign(
     stream = spark.readStream.schema(EMB_SCHEMA).json(landing_dir)
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
-        assigned = ivf_assign_with_distance(batch_df, centroids)
+        # exactly-once-ish (T2, the curation/incremental_ingest
+        # contract): foreachBatch is at-least-once — a crash between
+        # commit_append and the offset commit replays the batch — so
+        # dedup in-batch and anti-join against the sink's existing ids
+        # before appending; a replayed embedding's assignment is
+        # deterministic, so dropping by id loses nothing and the cell
+        # stats can never double-count
+        assigned = ivf_assign_with_distance(batch_df, centroids).dropDuplicates(
+            ["vec_id"]
+        )
+        if versioned.latest_version(sink_path) >= 0:
+            seen = versioned.read_version(batch_df.sparkSession, sink_path).select(
+                "vec_id"
+            )
+            assigned = assigned.join(seen, "vec_id", "left_anti")
         if assigned.limit(1).count() == 0:  # empty-batch short-circuit (T5)
             return
         versioned.commit_append(assigned, sink_path)

@@ -944,3 +944,41 @@ def test_streaming_ivf_assign_maintains_incremental_cell_stats(spark, tmp_path):
     v_before = versioned.latest_version(stats)
     assert advance_cell_stats(spark, sink, stats) == 1
     assert versioned.latest_version(stats) == v_before
+
+
+def test_streaming_ivf_assign_replay_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: a replayed micro-batch (fresh
+    checkpoint over the same landing file — the crash-after-append
+    shape) must not duplicate assignments or inflate the cell stats."""
+    import json as _json
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.ann_index import (
+        streaming_ivf_assign,
+    )
+
+    landing = tmp_path / "emb"
+    landing.mkdir()
+    sink = str(tmp_path / "assignments")
+    stats = str(tmp_path / "cell_stats")
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "seed_id long, seed_vec array<float>"
+    )
+    with open(landing / "b1.jsonl", "w") as fh:
+        # an in-batch duplicate id too: exactly one assignment survives
+        for vid, vec in [(10, [2.0, 0.1]), (10, [2.0, 0.1]), (11, [0.1, 3.0])]:
+            fh.write(_json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+
+    for i in range(2):  # second pass = full replay from a fresh checkpoint
+        streaming_ivf_assign(
+            spark, str(landing), centroids, sink, str(tmp_path / f"ckpt{i}"),
+            stats_path=stats,
+        ).awaitTermination(120)
+
+    rows = versioned.read_version(spark, sink).collect()
+    assert sorted(r["vec_id"] for r in rows) == [10, 11], rows
+    srows = versioned.read_version(spark, stats).collect()
+    assert sum(r["n"] for r in srows) == 2, srows
+    # the replay appended nothing: still exactly one sink version
+    assert versioned.latest_version(sink) == 0
