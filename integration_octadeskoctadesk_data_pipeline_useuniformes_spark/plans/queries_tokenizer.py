@@ -856,10 +856,17 @@ _UNI_TOPK = 40
 
 def _uni_ilog16_sql(x: str) -> str:
     """floor(16·log2(x)) with in-octave interpolation — the integer
-    form of operators/unigram.ilog16, DuckDB dialect."""
+    form of operators/unigram.ilog16, DuckDB dialect. The interpolation
+    product rides HUGEINT: (x − base)·16 overflows INT64 for x above
+    2^62/16 ≈ 5.8e17 while the Python owner is bigint-exact — found by
+    the ilog16 cross-engine property test; the quotient is ≤ 15 and
+    casts back down."""
     b = f"length(bin({x}))"
     base = f"(CAST(1 AS BIGINT) << ({b} - 1))"
-    return f"(16 * ({b} - 1) + (({x} - {base}) * 16) // {base})"
+    return (
+        f"(16 * ({b} - 1) + "
+        f"CAST((CAST({x} AS HUGEINT) - {base}) * 16 // {base} AS BIGINT))"
+    )
 
 
 def _uni_dp_ctes(vocab_cte: str, prefix: str) -> tuple[str, str]:

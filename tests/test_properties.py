@@ -3260,3 +3260,127 @@ def test_aggregate_ppm_exprs_survive_huge_counts(spark):
         "], recursive := true))"
     ).fetchone()
     assert (got["tpw"], got["cpt"]) == tuple(got_o) == (want_tpw, want_cpt)
+
+
+@given(
+    ns=st.lists(st.integers(min_value=1, max_value=2**62), min_size=1, max_size=30)
+)
+@_SETTINGS
+def test_ilog16_integer_log_properties_and_cross_engine(spark, ns):
+    """operators/unigram.ilog16: exact 16·log2 at powers of two, within
+    the documented in-octave interpolation error elsewhere, monotone —
+    and bit-identical to the DuckDB SQL form the unigram oracles embed
+    (the cross-engine contract the whole tier's exactness rests on)."""
+    import duckdb
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.unigram import (
+        ilog16,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_tokenizer import (
+        _uni_ilog16_sql,
+    )
+
+    vals = sorted(set(ns) | {1, 2, 3, 95, (1 << 40) - 1, 1 << 40, (1 << 62) + 7})
+    got = [ilog16(n) for n in vals]
+    # exact at powers of two; elsewhere the linear chord undershoots
+    # log2 by at most 1/ln2 − 1 − log2(1/ln2) ≈ 0.0861 bits (1.378
+    # sixteenths) and the floor takes at most one more
+    for n, g in zip(vals, got):
+        if n & (n - 1) == 0:
+            assert g == 16 * (n.bit_length() - 1), n
+        true = 16 * math.log2(n)
+        assert true - 2.378 - 1e-9 <= g <= true + 1e-9, (n, g, true)
+    # monotone non-decreasing over sorted inputs
+    assert got == sorted(got)
+    # DuckDB computes the identical integers from the same SQL owner
+    duck = duckdb.connect().execute(
+        f"SELECT {_uni_ilog16_sql('x')} FROM (SELECT unnest(?) AS x) ",
+        [[*map(int, vals)]],
+    ).fetchall()
+    assert [int(r[0]) for r in duck] == got
+
+
+@given(
+    commits=st.lists(
+        st.tuples(
+            st.booleans(),  # True = append, False = replace
+            st.lists(
+                st.tuples(
+                    st.integers(min_value=0, max_value=15),  # key
+                    st.sampled_from(["a", "b", None]),  # group (incl. NULL)
+                    st.integers(min_value=-5, max_value=5),  # value
+                ),
+                min_size=0,
+                max_size=6,
+            ),
+        ),
+        min_size=2,
+        max_size=4,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_advance_rollup_equals_full_recompute_for_any_commit_sequence(
+    spark, commits, tmp_path_factory
+):
+    """IVM soundness under ARBITRARY commit histories: whatever mix of
+    appends and keyed replaces lands (including NULL group keys,
+    negative values, deleted keys and empty commits), advancing the
+    materialized rollup version-by-version must equal the full
+    recompute at every step."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.incremental import (
+        advance_rollup,
+    )
+
+    tmp = tmp_path_factory.mktemp("ivm_prop")
+    tbl = str(tmp / "tbl")
+    measures = {"n": F.lit(1), "s": F.col("v")}
+    schema = "id long, g string, v long"
+
+    # build the version history: appends add NEW keys (id offset per
+    # commit keeps keys unique); replaces overwrite the FULL state with
+    # the given rows (keyed on id)
+    state: dict[int, tuple] = {}
+    versions = []
+    for ci, (is_append, rows) in enumerate(commits):
+        rows = [(ci * 100 + k if is_append else k, g, v) for k, g, v in rows]
+        # keys must be unique within a snapshot (the change feed is keyed)
+        rows = list({r[0]: r for r in rows}.values())
+        if is_append and state:
+            rows = [r for r in rows if r[0] not in state]
+        df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+        if is_append or not versions:
+            if not rows:
+                continue  # empty append = no commit (the writer's short-circuit)
+            versioned.commit_append(df, tbl)
+            state.update({r[0]: r for r in rows})
+        else:
+            versioned.commit_replace(df, tbl)
+            state = {r[0]: r for r in rows}
+        versions.append(dict(state))
+    if len(versions) < 2:
+        return
+
+    def full(vstate):
+        agg: dict = {}
+        for _, g, v in vstate.values():
+            n, s = agg.get(g, (0, 0))
+            agg[g] = (n + 1, s + v)
+        return agg
+
+    rollup = (
+        versioned.read_version(spark, tbl, 0)
+        .groupBy("g")
+        .agg(*[F.sum(e).alias(n) for n, e in measures.items()])
+    )
+    for v in range(1, len(versions)):
+        rollup = advance_rollup(
+            spark, tbl, "id", ["g"], measures, rollup, v - 1, v, drop_when_zero="n"
+        )
+        got = {r["g"]: (r["n"], r["s"]) for r in rollup.collect()}
+        want = full(versions[v])
+        assert got == want, (v, got, want, commits)
+        # re-materialize so the next advance reads a table, not lineage
+        rollup = spark.createDataFrame(
+            [(g, n, s) for g, (n, s) in got.items()], "g string, n long, s long"
+        )
