@@ -857,8 +857,9 @@ _UNI_TOPK = 40
 def _uni_ilog16_sql(x: str) -> str:
     """floor(16·log2(x)) with in-octave interpolation — the integer
     form of operators/unigram.ilog16, DuckDB dialect. The interpolation
-    product rides HUGEINT: (x − base)·16 overflows INT64 for x above
-    2^62/16 ≈ 5.8e17 while the Python owner is bigint-exact — found by
+    product rides HUGEINT: (x − base)·16 overflows INT64 once
+    x − base > 2^59, i.e. first at x = 2^60 + 2^59 ≈ 1.73e18 (verified
+    empirically), while the Python owner is bigint-exact — found by
     the ilog16 cross-engine property test; the quotient is ≤ 15 and
     casts back down."""
     b = f"length(bin({x}))"

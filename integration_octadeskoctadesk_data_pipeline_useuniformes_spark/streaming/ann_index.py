@@ -106,20 +106,32 @@ def streaming_ivf_assign(
         # contract): foreachBatch is at-least-once — a crash between
         # commit_append and the offset commit replays the batch — so
         # dedup in-batch and anti-join against the sink's existing ids
-        # before appending; a replayed embedding's assignment is
-        # deterministic, so dropping by id loses nothing and the cell
-        # stats can never double-count
-        assigned = ivf_assign_with_distance(batch_df, centroids).dropDuplicates(
-            ["vec_id"]
+        # before appending. CONTRACT: vec_id is an immutable embedding
+        # identity, so a re-emitted id is a replay/duplicate by
+        # definition and dropping it loses nothing; re-EMBEDDING an
+        # existing id is an update, a different operation that needs a
+        # keyed merge or a compact-and-replace, not this append path.
+        # The in-batch pick is min(struct(embedding)) per id, not
+        # dropDuplicates, so which duplicate survives is deterministic
+        # across retries even for ids that VIOLATE the contract.
+        batch = (
+            batch_df.groupBy("vec_id")
+            .agg(F.min(F.struct("embedding")).alias("__e"))
+            .select("vec_id", F.col("__e.embedding").alias("embedding"))
         )
+        assigned = ivf_assign_with_distance(batch, centroids)
         if versioned.latest_version(sink_path) >= 0:
             seen = versioned.read_version(batch_df.sparkSession, sink_path).select(
                 "vec_id"
             )
             assigned = assigned.join(seen, "vec_id", "left_anti")
-        if assigned.limit(1).count() == 0:  # empty-batch short-circuit (T5)
-            return
-        versioned.commit_append(assigned, sink_path)
+        if assigned.limit(1).count() > 0:  # empty-batch short-circuit (T5)
+            versioned.commit_append(assigned, sink_path)
+        # advance stats even when the (deduped) batch appended nothing:
+        # the crash this module guards against lands BETWEEN the append
+        # and the stats advance, and on replay the anti-join empties the
+        # batch — skipping the (idempotent, no-op-when-current) advance
+        # here would leave the stats stale behind the sink forever
         if stats_path is not None:
             advance_cell_stats(batch_df.sparkSession, sink_path, stats_path)
 

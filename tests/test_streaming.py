@@ -982,3 +982,62 @@ def test_streaming_ivf_assign_replay_is_idempotent(spark, tmp_path):
     assert sum(r["n"] for r in srows) == 2, srows
     # the replay appended nothing: still exactly one sink version
     assert versioned.latest_version(sink) == 0
+
+
+def test_streaming_ivf_assign_stats_catch_up_after_crash_between_append_and_stats(
+    spark, tmp_path
+):
+    """The crash window this module guards: the sink advanced but the
+    stats advance never ran. On the next batch (whose own rows may all
+    dedup away — the replay case), the stats must still catch up to the
+    sink's latest version instead of staying stale forever."""
+    import json as _json
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators import (
+        similarity as S,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.ann_index import (
+        streaming_ivf_assign,
+    )
+
+    landing = tmp_path / "emb"
+    landing.mkdir()
+    sink = str(tmp_path / "assignments")
+    stats = str(tmp_path / "cell_stats")
+
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "seed_id long, seed_vec array<float>"
+    )
+    with open(landing / "b1.jsonl", "w") as fh:
+        fh.write(_json.dumps({"vec_id": 10, "embedding": [2.0, 0.1]}) + "\n")
+    streaming_ivf_assign(
+        spark, str(landing), centroids, sink, str(tmp_path / "ckpt1"), stats_path=stats
+    ).awaitTermination(120)
+
+    # simulate the crash: an append landed but its stats advance did not
+    extra = S.ivf_assign_with_distance(
+        spark.createDataFrame([(20, [0.1, 4.0])], "vec_id long, embedding array<float>"),
+        centroids,
+    )
+    versioned.commit_append(extra, sink)
+    assert versioned.latest_version(sink) == 1
+    pre = versioned.read_version(spark, stats).collect()
+    assert all(r["_through_version"] == 0 for r in pre)  # stale
+
+    # replay of b1 from a fresh checkpoint: every row dedups away, yet
+    # the stats must catch up to the sink's latest version
+    streaming_ivf_assign(
+        spark, str(landing), centroids, sink, str(tmp_path / "ckpt2"), stats_path=stats
+    ).awaitTermination(120)
+    srows = versioned.read_version(spark, stats).collect()
+    assert all(r["_through_version"] == 1 for r in srows)
+    assert sum(r["n"] for r in srows) == 2
+    full = {
+        r["cell"]: (r["n"], r["sum_dist_ppm"])
+        for r in versioned.read_version(spark, sink)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("dist_ppm").alias("sum_dist_ppm"))
+        .collect()
+    }
+    assert {r["cell"]: (r["n"], r["sum_dist_ppm"]) for r in srows} == full
