@@ -911,12 +911,34 @@ def x_ivm_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is snapped to integer cents per row before any aggregation, so the
     incremental and full-recompute sums are exactly equal, which the
     oracle (a full recompute) verifies value-for-value."""
+    from ..sinks import versioned
+    from ..streaming.incremental import advance_rollup
+
+    measures = {"n": F.lit(1), "sum_cents": F.col("cents")}
+    tbl, rollup_tbl = _ivm_fixture_sink(spark, sf_dir)
+    prev = versioned.read_version(spark, rollup_tbl)
+    return advance_rollup(
+        spark, tbl, "event_id", ["event_type"], measures, prev, 0, 1
+    )
+
+
+#: sf_dir -> (events sink path, materialized-rollup path). The fixture
+#: sink is deterministic given sf_dir, so ONE build per interpreter is
+#: reused across re-invocations (plan test, value test, sweeps) — a
+#: fresh mkdtemp + atexit per call accumulated temp dirs and atexit
+#: entries for the session's lifetime (ADVICE r8), and rebuilding did
+#: Spark write work at every catalog build
+_IVM_SINKS: dict[str, tuple[str, str]] = {}
+
+
+def _ivm_fixture_sink(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    if sf_dir in _IVM_SINKS:
+        return _IVM_SINKS[sf_dir]
     import atexit
     import shutil
     import tempfile
 
     from ..sinks import versioned
-    from ..streaming.incremental import advance_rollup
 
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -926,8 +948,8 @@ def x_ivm_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cutoff = F.expr("TIMESTAMP_NTZ '2024-01-08 00:00:00'")
     base = tempfile.mkdtemp(prefix="spark_ivm_")
-    # the returned plan lazily reads these files until the caller
-    # collects, so reclaim at interpreter exit, not eagerly
+    # returned plans lazily read these files until the caller collects,
+    # so reclaim at interpreter exit, not eagerly
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     tbl = f"{base}/events_tbl"
     rollup_tbl = f"{base}/rollup"
@@ -945,7 +967,5 @@ def x_ivm_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(*[F.sum(expr).alias(name) for name, expr in measures.items()])
     )
     versioned.commit_replace(rollup0, rollup_tbl)  # materialize N−1's result
-    prev = versioned.read_version(spark, rollup_tbl)
-    return advance_rollup(
-        spark, tbl, "event_id", ["event_type"], measures, prev, 0, 1
-    )
+    _IVM_SINKS[sf_dir] = (tbl, rollup_tbl)
+    return tbl, rollup_tbl

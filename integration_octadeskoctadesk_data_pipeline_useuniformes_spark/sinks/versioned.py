@@ -116,14 +116,21 @@ def _publish_manifest(
     """
 
     def compute(prev: int) -> tuple[list[str], dict | None]:
-        files = (
-            ([] if prev < 0 else _files_of(path, prev)) + new_files
-            if carry_prev
-            else new_files
-        )
+        carried = [] if prev < 0 else _files_of(path, prev)
+        files = carried + new_files if carry_prev else new_files
         out_schema = schema
         if carry_prev and prev >= 0 and schema is not None:
-            out_schema = _merge_schema(_manifest_of(path, prev).get("schema"), schema)
+            prev_schema = _manifest_of(path, prev).get("schema")
+            if prev_schema is None and carried:
+                # LEGACY (pre-schema-era) manifest with carried files:
+                # pinning the APPEND's schema would silently drop any
+                # column that exists only in those legacy files from
+                # every later read. Refuse to pin — this version stays
+                # on the deterministic mergeSchema fallback, exactly
+                # like the legacy versions it extends (ADVICE r8).
+                out_schema = None
+            else:
+                out_schema = _merge_schema(prev_schema, schema)
         return files, out_schema
 
     return _claim_slot(path, compute)
@@ -157,9 +164,20 @@ def _claim_slot(path: str, compute) -> int:
 def commit_append(df: DataFrame, path: str) -> int:
     """Append ``df`` as a new version; returns the version number."""
     os.makedirs(path, exist_ok=True)
-    return _publish_manifest(
-        path, _write_files(df, path), carry_prev=True, schema=df.schema.jsonValue()
-    )
+    new_files = _write_files(df, path)
+    try:
+        return _publish_manifest(
+            path, new_files, carry_prev=True, schema=df.schema.jsonValue()
+        )
+    except ValueError:
+        # a schema-conflict abort publishes nothing, so the staged
+        # files are referenced by NO manifest — vacuum only sweeps
+        # files expired manifests reference, so the rejected append
+        # must reclaim its own staging or leak it forever (the same
+        # leak class compact()'s ConcurrentReplaceError path cleans)
+        for f in new_files:
+            os.remove(os.path.join(path, f))
+        raise
 
 
 def commit_replace(df: DataFrame, path: str) -> int:

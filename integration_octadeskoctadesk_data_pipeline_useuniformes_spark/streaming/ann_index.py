@@ -101,7 +101,27 @@ def streaming_ivf_assign(
     """
     stream = spark.readStream.schema(EMB_SCHEMA).json(landing_dir)
 
+    import uuid as _uuid
+
+    # per-stream nonce (the curation stream's convention): batch_id is
+    # only unique within one checkpoint lineage
+    stream_nonce = _uuid.uuid4().hex[:8]
+
     def commit(batch_df: DataFrame, batch_id: int) -> None:
+        # per-batch cache scope (curation's convention): the assignment
+        # pipeline — including the left-anti join against the sink's
+        # full history — is evaluated TWICE per batch (empty-batch
+        # probe, then the append's write) without a persist; the scope
+        # bounds the cache to this batch's lifetime (ADVICE r8)
+        from .. import query_scope
+
+        query_scope.enter(f"ann-index-{stream_nonce}-batch-{batch_id}@{sink_path}")
+        try:
+            _commit_inner(batch_df)
+        finally:
+            query_scope.exit_scope()
+
+    def _commit_inner(batch_df: DataFrame) -> None:
         # exactly-once-ish (T2, the curation/incremental_ingest
         # contract): foreachBatch is at-least-once — a crash between
         # commit_append and the offset commit replays the batch — so
@@ -125,6 +145,9 @@ def streaming_ivf_assign(
                 "vec_id"
             )
             assigned = assigned.join(seen, "vec_id", "left_anti")
+        from ..query_scope import scoped_persist
+
+        assigned = scoped_persist(assigned)
         if assigned.limit(1).count() > 0:  # empty-batch short-circuit (T5)
             versioned.commit_append(assigned, sink_path)
         # advance stats even when the (deduped) batch appended nothing:

@@ -175,6 +175,8 @@ def streaming_curation(
             query_scope.exit_scope()
 
     def _commit_inner(batch_df: DataFrame) -> None:
+        from ..query_scope import scoped_persist
+
         kept = curate_batch(batch_df, min_quality, lang)
         if near_dup:
             kept = kept.withColumn("minhash", D.minhash_signature(F.col("text")))
@@ -199,7 +201,12 @@ def streaming_curation(
                     batch_signatures=kept.select("doc_id", "minhash"),
                 )
                 kept = kept.join(survivors, "doc_id", "left_semi")
-        out = kept.select(*cols)
+        # persist before the probe: the empty-batch count and the
+        # append's write otherwise evaluate the whole gate pipeline —
+        # including the anti-joins against the full sink history —
+        # twice per micro-batch (ADVICE r8); the per-batch scope above
+        # bounds the cache's lifetime
+        out = scoped_persist(kept.select(*cols))
         if out.limit(1).count() > 0:  # empty-batch short-circuit (T5)
             versioned.commit_append(out, sink_path)
 

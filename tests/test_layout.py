@@ -425,3 +425,83 @@ def test_versioned_manifest_schema_pins_mixed_schema_reads(spark, tmp_path):
 
     with pytest.raises(ValueError, match="schema conflict"):
         commit_append(spark.createDataFrame([(3, 9)], "k long, v long"), path)
+
+
+def test_versioned_rejected_append_leaves_no_orphan_files(spark, tmp_path):
+    """A schema-conflict abort must reclaim its staged data files:
+    nothing references them (the manifest was never published), so
+    vacuum would never sweep them and the table dir would leak one
+    table-sized staging per rejected append (ADVICE r8)."""
+    import os
+
+    import pytest
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        _files_of,
+        commit_append,
+        latest_version,
+        read_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    commit_append(spark.createDataFrame([(1, "a")], "k long, v string"), path)
+    with pytest.raises(ValueError, match="schema conflict"):
+        commit_append(spark.createDataFrame([(2, 9)], "k long, v long"), path)
+
+    assert latest_version(path) == 0, "rejected append must publish nothing"
+    on_disk = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    assert on_disk == set(_files_of(path, 0)), "staged files of the rejected append must be reclaimed"
+    assert read_version(spark, path).count() == 1
+
+
+def test_versioned_legacy_manifest_append_keeps_merge_schema(spark, tmp_path):
+    """Appending onto a LEGACY (pre-schema-era) manifest must not pin
+    the append's schema: columns living only in the carried-forward
+    legacy files would silently vanish from every later read. The new
+    version refuses to pin (schema=None) and stays on the mergeSchema
+    fallback (ADVICE r8)."""
+    import json
+    import os
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        commit_append,
+        read_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    commit_append(
+        spark.createDataFrame([(1, "a", "legacy-only")], "k long, v string, note string"),
+        path,
+    )
+    # simulate a pre-schema-era manifest
+    mpath = os.path.join(path, "_v0.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    m["schema"] = None
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+
+    # append with a NARROWER schema (no `note`)
+    commit_append(spark.createDataFrame([(2, "b")], "k long, v string"), path)
+    with open(os.path.join(path, "_v1.json")) as fh:
+        m1 = json.load(fh)
+    assert m1["schema"] is None, "legacy carry-forward must not pin the append's schema"
+    snap = read_version(spark, path)
+    assert "note" in snap.columns, "legacy-only column must stay visible"
+    assert {r.k: r.note for r in snap.collect()} == {1: "legacy-only", 2: None}
+
+
+def test_ivm_fixture_sink_built_once_per_sf_dir(spark):
+    """The IVM query's fixture sink is deterministic per sf_dir, so
+    repeat invocations (plan test, value test, sweeps) must reuse ONE
+    build instead of accumulating temp dirs + atexit entries and doing
+    Spark write work at every catalog build (ADVICE r8)."""
+    import os
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans import queries_scale as QS
+
+    sf = "/root/testdata/sf0.001"
+    first = QS._ivm_fixture_sink(spark, sf)
+    second = QS._ivm_fixture_sink(spark, sf)
+    assert first == second
+    assert os.path.isdir(first[0]) and os.path.isdir(first[1])

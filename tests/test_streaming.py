@@ -861,10 +861,11 @@ def test_curation_stream_caches_bounded_across_batches(spark, tmp_path):
             spark, str(landing), sink, str(tmp_path / f"ckpt{i}"), near_dup=True
         ).awaitTermination(120)
 
-    # one batch's worth: the self-probe signature cache plus the
-    # history probe's two signature frames
+    # one batch's worth: the self-probe signature cache, the history
+    # probe's two signature frames, and the committed batch's persist
+    # (the double-evaluation fix, ADVICE r8)
     n_live = len(query_scope._ACTIVE_CACHES)
-    assert n_live <= 3, f"cache registry must stay bounded, saw {n_live}"
+    assert n_live <= 4, f"cache registry must stay bounded, saw {n_live}"
 
 
 def test_streaming_ivf_assign_maintains_incremental_cell_stats(spark, tmp_path):
