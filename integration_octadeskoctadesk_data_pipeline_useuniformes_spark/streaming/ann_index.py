@@ -134,22 +134,30 @@ def streaming_ivf_assign(
         # The in-batch pick is min(struct(embedding)) per id, not
         # dropDuplicates, so which duplicate survives is deterministic
         # across retries even for ids that VIOLATE the contract.
-        batch = (
+        from ..query_scope import scoped_persist
+
+        batch = scoped_persist(
             batch_df.groupBy("vec_id")
             .agg(F.min(F.struct("embedding")).alias("__e"))
             .select("vec_id", F.col("__e.embedding").alias("embedding"))
         )
         assigned = ivf_assign_with_distance(batch, centroids)
         if versioned.latest_version(sink_path) >= 0:
-            seen = versioned.read_version(batch_df.sparkSession, sink_path).select(
-                "vec_id"
-            )
-            assigned = assigned.join(seen, "vec_id", "left_anti")
-        from ..query_scope import scoped_persist
-
+            # manifest-level key pruning (VERDICT r8 #2): probe history
+            # with THIS batch's ids — the scan covers only files whose
+            # stats/blooms might contain them, O(matching files) as
+            # history grows. Batch ids are micro-batch-grain by
+            # contract (just deduped above, served from the cache).
+            batch_ids = [r.vec_id for r in batch.select("vec_id").collect()]
+            if batch_ids:
+                seen = versioned.read_version_for_keys(
+                    batch_df.sparkSession, sink_path, "vec_id", batch_ids
+                ).select("vec_id")
+                assigned = assigned.join(seen, "vec_id", "left_anti")
         assigned = scoped_persist(assigned)
         if assigned.limit(1).count() > 0:  # empty-batch short-circuit (T5)
-            versioned.commit_append(assigned, sink_path)
+            # vec_id blooms make this commit prunable by later probes
+            versioned.commit_append(assigned, sink_path, bloom_keys=["vec_id"])
         # advance stats even when the (deduped) batch appended nothing:
         # the crash this module guards against lands BETWEEN the append
         # and the stats advance, and on replay the anti-join empties the

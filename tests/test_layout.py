@@ -505,3 +505,106 @@ def test_ivm_fixture_sink_built_once_per_sf_dir(spark):
     second = QS._ivm_fixture_sink(spark, sf)
     assert first == second
     assert os.path.isdir(first[0]) and os.path.isdir(first[1])
+
+
+def test_versioned_key_probe_prunes_history_files(spark, tmp_path):
+    """VERDICT r8 #2: a key probe over a multi-commit sink must plan a
+    scan of a STRICT SUBSET of the history's files (stats + blooms),
+    while still returning every row whose key is probed (no false
+    negatives by construction)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        _files_of,
+        commit_append,
+        latest_version,
+        read_version_for_keys,
+    )
+
+    path = str(tmp_path / "tbl")
+    for base in (0, 1000, 2000):
+        df = spark.createDataFrame(
+            [(base + i, f"fp-{base + i}") for i in range(20)], "k long, fp string"
+        )
+        commit_append(df.coalesce(1), path, bloom_keys=["fp", "k"])
+
+    all_files = set(_files_of(path, latest_version(path)))
+    probe = read_version_for_keys(spark, path, "fp", ["fp-1003", "fp-1007"])
+    scanned = {f.rsplit("/", 1)[-1] for f in probe.inputFiles()}
+    assert scanned < all_files, "probe must scan a strict subset of history files"
+    got = {r.fp for r in probe.filter(probe.fp.isin("fp-1003", "fp-1007")).collect()}
+    assert got == {"fp-1003", "fp-1007"}, "every probed key's row must be present"
+
+    # same via the int key's min/max zones alone (disjoint ranges)
+    probe_k = read_version_for_keys(spark, path, "k", [2001])
+    assert len(probe_k.inputFiles()) == 1
+    assert probe_k.filter("k = 2001").count() == 1
+
+    # a key in NO commit prunes everything (bloom miss on all entries)
+    none = read_version_for_keys(spark, path, "fp", ["fp-absent"])
+    assert none.count() == 0 and none.columns == ["k", "fp"]
+
+
+def test_versioned_read_version_prune_predicate_skips_files(spark, tmp_path):
+    """VERDICT r8 #3: data skipping on the batch read path — a
+    selective range predicate plans a scan of only the files whose
+    min/max zones intersect it; the result is a sound SUPERSET of the
+    matching rows (caller still filters)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        _files_of,
+        commit_append,
+        latest_version,
+        read_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    for day in (1, 2, 3):
+        df = spark.createDataFrame(
+            [(day * 100 + i, f"2024-01-0{day}") for i in range(10)],
+            "id long, day string",
+        )
+        commit_append(df.coalesce(1), path)
+
+    all_files = set(_files_of(path, latest_version(path)))
+    snap = read_version(spark, path, prune={"day": {"lo": "2024-01-02", "hi": "2024-01-02"}})
+    scanned = {f.rsplit("/", 1)[-1] for f in snap.inputFiles()}
+    assert scanned < all_files and len(scanned) == 1
+    assert snap.filter("day = '2024-01-02'").count() == 10
+
+    # files with no stats (legacy manifest) are always kept — sound
+    import json
+    import os
+
+    mpath = os.path.join(path, f"_v{latest_version(path)}.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    m["file_stats"] = {}
+    m["blooms"] = []
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    legacy = read_version(spark, path, prune={"day": {"values": ["2024-01-02"]}})
+    assert {f.rsplit("/", 1)[-1] for f in legacy.inputFiles()} == all_files
+
+
+def test_versioned_compact_preserves_pruning_soundness(spark, tmp_path):
+    """Compaction rewrites rows into fresh (un-bloomed) files; old
+    bloom entries anchored to retired files must not prune the
+    rewritten data — the rewritten files are always scanned until the
+    next keyed commit."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        commit_append,
+        compact,
+        read_version_for_keys,
+    )
+
+    path = str(tmp_path / "tbl")
+    for base in (0, 1000):
+        commit_append(
+            spark.createDataFrame(
+                [(base + i, f"fp-{base + i}") for i in range(5)], "k long, fp string"
+            ).coalesce(1),
+            path,
+            bloom_keys=["fp"],
+        )
+    compact(spark, path, target_files=1)
+    probe = read_version_for_keys(spark, path, "fp", ["fp-3", "fp-1004"])
+    got = {r.fp for r in probe.collect() if r.fp in ("fp-3", "fp-1004")}
+    assert got == {"fp-3", "fp-1004"}

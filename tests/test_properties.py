@@ -3384,3 +3384,40 @@ def test_advance_rollup_equals_full_recompute_for_any_commit_sequence(
         rollup = spark.createDataFrame(
             [(g, n, s) for g, (n, s) in got.items()], "g string, n long, s long"
         )
+
+
+@given(
+    commits=st.lists(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=8),
+        min_size=1,
+        max_size=4,
+    ),
+    probe=st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=6),
+)
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_key_probe_pruning_never_drops_matching_rows(
+    spark, commits, probe, tmp_path_factory
+):
+    """Data-skipping soundness (VERDICT r8 #2): for ANY commit history
+    (duplicate keys across commits included) and ANY probe key set, the
+    pruned key-probe read contains EVERY row whose key is probed — the
+    no-false-negatives property blooms + min/max zones must preserve.
+    Probes include keys absent from the table (may prune to nothing)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    tmp = tmp_path_factory.mktemp("bloom_prop")
+    tbl = str(tmp / "tbl")
+    all_rows = []
+    for ci, keys in enumerate(commits):
+        rows = [(k, f"c{ci}-k{k}") for k in sorted(set(keys))]
+        all_rows.extend(rows)
+        versioned.commit_append(
+            spark.createDataFrame(rows, "k long, payload string"),
+            tbl,
+            bloom_keys=["k"],
+            bloom_m_bits=256,  # small bitmap: force false POSITIVES, never negatives
+        )
+    want = {(k, p) for k, p in all_rows if k in set(probe)}
+    got_df = versioned.read_version_for_keys(spark, tbl, "k", probe)
+    got = {(r.k, r.payload) for r in got_df.collect() if r.k in set(probe)}
+    assert got == want, (got, want, commits, probe)

@@ -861,11 +861,11 @@ def test_curation_stream_caches_bounded_across_batches(spark, tmp_path):
             spark, str(landing), sink, str(tmp_path / f"ckpt{i}"), near_dup=True
         ).awaitTermination(120)
 
-    # one batch's worth: the self-probe signature cache, the history
-    # probe's two signature frames, and the committed batch's persist
-    # (the double-evaluation fix, ADVICE r8)
+    # one batch's worth: the self-probe signature cache, the gated
+    # batch + committed-output persists (the double-evaluation fix,
+    # ADVICE r8), and the history probe's two signature frames
     n_live = len(query_scope._ACTIVE_CACHES)
-    assert n_live <= 4, f"cache registry must stay bounded, saw {n_live}"
+    assert n_live <= 5, f"cache registry must stay bounded, saw {n_live}"
 
 
 def test_streaming_ivf_assign_maintains_incremental_cell_stats(spark, tmp_path):
@@ -1042,3 +1042,57 @@ def test_streaming_ivf_assign_stats_catch_up_after_crash_between_append_and_stat
         .collect()
     }
     assert {r["cell"]: (r["n"], r["sum_dist_ppm"]) for r in srows} == full
+
+
+def test_curation_history_probe_scans_file_subset(spark, tmp_path, monkeypatch):
+    """VERDICT r8 #2 end-to-end: after several bloom-keyed commits, a
+    new micro-batch's exact-gate history probe plans a scan of a
+    STRICT SUBSET of the sink's files — and the gate results are
+    unchanged (novel docs commit, replayed docs dedup)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.curation import (
+        streaming_curation,
+    )
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    sink = str(tmp_path / "curated")
+
+    # four committed batches, each with distinct content
+    for i in range(4):
+        _write_batch(
+            landing,
+            f"b{i}.jsonl",
+            [{"doc_id": i, "source": "web", "text": f"{EN_GOOD} unique{i} " * 2}],
+        )
+        # ONE checkpoint lineage: each run drains only the NEW file —
+        # a fresh checkpoint would replay the whole landing dir and the
+        # probe keys would legitimately hit every commit's bloom
+        streaming_curation(spark, str(landing), sink, str(tmp_path / "ck")).awaitTermination(120)
+    assert versioned.latest_version(sink) == 3
+
+    recorded = {}
+    orig = versioned.read_version_for_keys
+
+    def spy(spark_, path, key_col, keys, version=None):
+        df = orig(spark_, path, key_col, keys, version)
+        recorded["scanned"] = len(df.inputFiles())
+        recorded["total"] = len(versioned._files_of(path, versioned.latest_version(path)))
+        return df
+
+    monkeypatch.setattr(versioned, "read_version_for_keys", spy)
+    # batch 5: one novel doc + one replay of batch-0's content
+    _write_batch(
+        landing,
+        "b4.jsonl",
+        [
+            {"doc_id": 40, "source": "web", "text": f"{EN_GOOD} unique4 " * 2},
+            {"doc_id": 41, "source": "web", "text": f"{EN_GOOD} unique0 " * 2},
+        ],
+    )
+    streaming_curation(spark, str(landing), sink, str(tmp_path / "ck")).awaitTermination(120)
+
+    assert recorded["scanned"] < recorded["total"], recorded
+    final = versioned.read_version(spark, sink)
+    ids = {r.doc_id for r in final.collect()}
+    assert 40 in ids and 41 not in ids, "novel doc commits; replayed content dedups"
