@@ -248,6 +248,7 @@ def advance_rollup(
     from_version: int,
     to_version: int,
     drop_when_zero: str | None = None,
+    extreme_measures: dict | None = None,
 ) -> DataFrame:
     """Incremental-view maintenance over the versioned sink (VERDICT r7
     #3): the rollup at ``to_version`` computed from the MATERIALIZED
@@ -268,17 +269,65 @@ def advance_rollup(
     full-outer join AT ROLLUP GRAIN (|groups| rows, not |rows|),
     coalescing absent sides to 0; ``drop_when_zero`` names a count
     measure whose merged value of 0 means the group vanished.
-    """
+
+    ``extreme_measures`` (VERDICT r8 #4) adds MIN/MAX measures —
+    {name: ("min"|"max", per-row Column)} — which are NOT retract-safe
+    under the signed delta rule (a deleted row might BE the max). The
+    standard affected-group recompute applies:
+
+    - insert-only contributions merge exactly (min/max are monotone
+      under inserts): merged = least/greatest(prev, delta);
+    - groups touched by a delete/update_pre row are AFFECTED — their
+      extremes are recomputed by rescanning ONLY those groups from the
+      new snapshot, via the sink's data-skipping read
+      (``read_version(..., prune=...)``): untouched groups' files are
+      never rescanned (pinned by lineage test). The affected-group
+      set is rollup-grain by construction (collected driver-side, the
+      pivot-domain convention) — when retractions touch most groups a
+      full recompute is the right tool anyway.
+
+    ``prev_rollup`` must carry the extreme measure columns alongside
+    the additive ones; a group that vanishes keeps a row with NULL
+    extremes (and 0 counts) unless ``drop_when_zero`` removes it —
+    identical to the additive contract."""
     from ..sinks import versioned
 
+    extreme_measures = extreme_measures or {}
+    ins_ext = affected = None
     appended = versioned.read_appended(spark, path, from_version, to_version)
     if appended is not None:
         delta = appended.groupBy(*group_cols).agg(
             *[F.sum(expr).alias(name) for name, expr in measures.items()]
         )
+        if extreme_measures:
+            ins_ext = appended.groupBy(*group_cols).agg(
+                *[
+                    (F.min(expr) if kind == "min" else F.max(expr)).alias(name)
+                    for name, (kind, expr) in extreme_measures.items()
+                ]
+            )
     else:
         changes = versioned.changes_between(spark, path, key, from_version, to_version)
+        if extreme_measures:
+            # the feed has three consumers below (signed delta, insert
+            # extremes, affected groups) — one snapshot diff, not three
+            from ..query_scope import scoped_persist
+
+            changes = scoped_persist(changes)
         delta = rollup_contribution(changes, group_cols, measures)
+        if extreme_measures:
+            adds = changes.filter(F.col("_change_type").isin("insert", "update_post"))
+            ins_ext = adds.groupBy(*group_cols).agg(
+                *[
+                    (F.min(expr) if kind == "min" else F.max(expr)).alias(name)
+                    for name, (kind, expr) in extreme_measures.items()
+                ]
+            )
+            affected = (
+                changes.filter(F.col("_change_type").isin("delete", "update_pre"))
+                .select(*group_cols)
+                .distinct()
+            )
 
     # the merge must be NULL-SAFE on the group keys (eqNullSafe, the
     # changes_between contract): a plain equality full-outer never
@@ -288,6 +337,7 @@ def advance_rollup(
     p = prev_rollup.select(
         *[F.col(g).alias(f"__pg_{g}") for g in group_cols],
         *[F.col(n).alias(f"__p_{n}") for n in measures],
+        *[F.col(n).alias(f"__p_{n}") for n in extreme_measures],
         F.lit(True).alias("__p_has"),
     )
     d = delta.select(
@@ -314,7 +364,118 @@ def advance_rollup(
             .alias(n)
             for n in measures
         ],
+        *[F.col(f"__p_{n}") for n in extreme_measures],
     )
+    if extreme_measures:
+        merged = _merge_extremes(
+            spark, path, merged, group_cols, extreme_measures, ins_ext, affected, to_version
+        )
     if drop_when_zero is not None:
         merged = merged.filter(F.col(drop_when_zero) != 0)
     return merged
+
+
+def _nullsafe_cond(left_names: list[str], right_names: list[str]):
+    cond = None
+    for a, b in zip(left_names, right_names):
+        eq = F.col(a).eqNullSafe(F.col(b))
+        cond = eq if cond is None else (cond & eq)
+    return cond
+
+
+def _merge_extremes(
+    spark: SparkSession,
+    path: str,
+    merged: DataFrame,
+    group_cols: list[str],
+    extreme_measures: dict,
+    ins_ext: DataFrame | None,
+    affected: DataFrame | None,
+    to_version: int,
+) -> DataFrame:
+    """Fold MIN/MAX measures into the advanced rollup: insert-only
+    contributions combine via least/greatest (NULL-skipping, so an
+    absent side never wins); AFFECTED groups (any retraction) take the
+    value recomputed from a data-skipping rescan of only their files
+    in the new snapshot — a vanished affected group stays NULL instead
+    of resurrecting its stale previous extreme. All joins are at
+    rollup grain (|groups| rows)."""
+    from ..sinks import versioned
+
+    # carried prev extremes travel as __p_{name} on `merged`
+    if ins_ext is not None:
+        i = ins_ext.select(
+            *[F.col(g).alias(f"__ig_{g}") for g in group_cols],
+            *[F.col(n).alias(f"__i_{n}") for n in extreme_measures],
+        )
+        merged = merged.join(
+            i,
+            _nullsafe_cond(group_cols, [f"__ig_{g}" for g in group_cols]),
+            "left",
+        ).drop(*[f"__ig_{g}" for g in group_cols])
+    else:
+        for n in extreme_measures:
+            merged = merged.withColumn(f"__i_{n}", F.lit(None))
+
+    aff_rows = affected.collect() if affected is not None else []
+    if aff_rows:
+        # data-skipping rescan of ONLY the affected groups' files:
+        # zone/bloom pruning per group column over the collected
+        # (rollup-grain) affected values; a NULL affected value cannot
+        # be zone-expressed, so that column contributes no pruning
+        prune = {}
+        for g in group_cols:
+            vals = [r[g] for r in aff_rows if r[g] is not None]
+            if vals and not any(r[g] is None for r in aff_rows):
+                prune[g] = {"values": vals}
+        snap = versioned.read_version(spark, path, to_version, prune=prune or None)
+        aff_keyed = affected.select(
+            *[F.col(g).alias(f"__ag_{g}") for g in group_cols]
+        )
+        members = snap.join(
+            F.broadcast(aff_keyed),
+            _nullsafe_cond(group_cols, [f"__ag_{g}" for g in group_cols]),
+            "left_semi",
+        )
+        recomputed = members.groupBy(*group_cols).agg(
+            *[
+                (F.min(expr) if kind == "min" else F.max(expr)).alias(f"__r_{name}")
+                for name, (kind, expr) in extreme_measures.items()
+            ]
+        ).select(
+            *[F.col(g).alias(f"__rg_{g}") for g in group_cols],
+            *[f"__r_{n}" for n in extreme_measures],
+        )
+        flag = affected.select(
+            *[F.col(g).alias(f"__fg_{g}") for g in group_cols],
+            F.lit(True).alias("__aff"),
+        )
+        merged = (
+            merged.join(
+                F.broadcast(flag),
+                _nullsafe_cond(group_cols, [f"__fg_{g}" for g in group_cols]),
+                "left",
+            )
+            .drop(*[f"__fg_{g}" for g in group_cols])
+            .join(
+                F.broadcast(recomputed),
+                _nullsafe_cond(group_cols, [f"__rg_{g}" for g in group_cols]),
+                "left",
+            )
+            .drop(*[f"__rg_{g}" for g in group_cols])
+        )
+    else:
+        merged = merged.withColumn("__aff", F.lit(None).cast("boolean"))
+        for n in extreme_measures:
+            merged = merged.withColumn(f"__r_{n}", F.lit(None))
+
+    combine = {"min": F.least, "max": F.greatest}
+    out_cols = [
+        F.when(F.col("__aff").isNotNull(), F.col(f"__r_{name}"))
+        .otherwise(combine[kind](F.col(f"__p_{name}"), F.col(f"__i_{name}")))
+        .alias(name)
+        for name, (kind, _) in extreme_measures.items()
+    ]
+    keep = [c for c in merged.columns if not c.startswith("__")
+            and c not in extreme_measures]
+    return merged.select(*keep, *out_cols)

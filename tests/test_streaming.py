@@ -1096,3 +1096,72 @@ def test_curation_history_probe_scans_file_subset(spark, tmp_path, monkeypatch):
     final = versioned.read_version(spark, sink)
     ids = {r.doc_id for r in final.collect()}
     assert 40 in ids and 41 not in ids, "novel doc commits; replayed content dedups"
+
+
+def test_advance_rollup_minmax_rescans_only_affected_groups_files(spark, tmp_path, monkeypatch):
+    """VERDICT r8 #4 lineage: the affected-group MIN/MAX recompute must
+    read the new snapshot through the data-skipping path — untouched
+    groups' files never appear in the rescan's plan."""
+    from pyspark.sql import functions as F
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.incremental import (
+        advance_rollup,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    a_rows = [(i, "a", i * 10) for i in range(1, 5)]
+    b_rows = [(100 + i, "b", i * 7) for i in range(1, 5)]
+    versioned.commit_append(
+        spark.createDataFrame(a_rows + b_rows, "id long, g string, v long"), tbl
+    )
+    # v1 replace: delete b's max row (104, v=28) — group-clustered files
+    # so the zones can separate a from b
+    new_state = a_rows + [(100 + i, "b", i * 7) for i in range(1, 4)]
+    versioned.commit_replace(
+        spark.createDataFrame(new_state, "id long, g string, v long")
+        .repartitionByRange(2, "g"),
+        tbl,
+    )
+    # precondition: v1's manifest zones actually separate the groups
+    m = versioned._manifest_of(tbl, 1)
+    g_zones = [
+        (s["g"]["min"], s["g"]["max"])
+        for s in m["file_stats"].values()
+        if "g" in s and "min" in s["g"]
+    ]
+    assert ("a", "a") in g_zones and ("b", "b") in g_zones, g_zones
+
+    pruned_scans = []
+    orig = versioned.read_version
+
+    def spy(spark_, path, version=None, prune=None):
+        df = orig(spark_, path, version, prune)
+        if prune:
+            pruned_scans.append({f.rsplit("/", 1)[-1] for f in df.inputFiles()})
+        return df
+
+    monkeypatch.setattr(versioned, "read_version", spy)
+
+    prev = (
+        orig(spark, tbl, 0)
+        .groupBy("g")
+        .agg(F.sum(F.lit(1)).alias("n"), F.max("v").alias("mx"))
+    )
+    out = advance_rollup(
+        spark, tbl, "id", ["g"], {"n": F.lit(1)}, prev, 0, 1,
+        extreme_measures={"mx": ("max", F.col("v"))},
+    )
+    got = {r["g"]: (r["n"], r["mx"]) for r in out.collect()}
+    assert got == {"a": (4, 40), "b": (3, 21)}, got
+
+    assert len(pruned_scans) == 1, "exactly one affected-group rescan"
+    a_only_files = {
+        f for f, s in m["file_stats"].items()
+        if s.get("g", {}).get("min") == "a" and s["g"].get("max") == "a"
+    }
+    assert pruned_scans[0] and not (pruned_scans[0] & a_only_files), (
+        "untouched group a's files must not be rescanned",
+        pruned_scans[0],
+        a_only_files,
+    )
