@@ -172,3 +172,57 @@ def streaming_ivf_assign(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def recluster_drifted_cells(
+    spark: SparkSession,
+    sink_path: str,
+    embeddings: DataFrame,
+    centroids_path: str,
+    drifted_cells: list,
+    iters: int = 3,
+) -> tuple[int, int]:
+    """Act on the drift diagnostic (VERDICT r8 #5): split ONLY the
+    drifted cells and commit both sides as versioned snapshots, so the
+    index stays time-travelable across maintenance.
+
+    - ``sink_path`` is the assignments sink this module maintains
+      ((vec_id, cell, dist_ppm) — one snapshot per micro-batch);
+      ``centroids_path`` is a versioned sink of (seed_id, seed_vec)
+      whose LATEST version is the live centroid table.
+    - the drifted cells' members are fetched by filtering the CURRENT
+      assignment snapshot to those cells FIRST (pushed into the scan —
+      stable cells' rows are never read), then joining only those ids
+      against ``embeddings`` for their vectors;
+    - ``operators/similarity.split_drifted_cells`` re-partitions them
+      between two fresh child centroids per drifted cell (stable
+      centroids and assignments are carried BIT-IDENTICAL);
+    - one ``commit_replace`` per table publishes the new index state:
+      time travel to the pre-split index keeps working, and the change
+      feed between the two assignment versions is exactly the drifted
+      members.
+
+    Returns (assignments version, centroids version).
+    """
+    from ..operators.similarity import split_drifted_cells
+
+    seeds = versioned.read_version(spark, centroids_path)
+    assign = versioned.read_version(spark, sink_path)
+    drifted = sorted(set(drifted_cells))
+    members = (
+        assign.filter(F.col("cell").isin(drifted))
+        .select("vec_id")
+        .join(embeddings.select("vec_id", "embedding"), "vec_id")
+        .join(
+            assign.filter(F.col("cell").isin(drifted)).select("vec_id", "cell"),
+            "vec_id",
+        )
+    )
+    new_seeds, reassigned = split_drifted_cells(
+        members, seeds, drifted, iters=iters
+    )
+    stable_rows = assign.filter(~F.col("cell").isin(drifted))
+    new_assign = stable_rows.unionByName(reassigned.select(*stable_rows.columns))
+    v_assign = versioned.commit_replace(new_assign, sink_path, bloom_keys=["vec_id"])
+    v_cents = versioned.commit_replace(new_seeds, centroids_path)
+    return v_assign, v_cents
