@@ -84,10 +84,59 @@ def preflight_load_gate(
     return raw, raw, 0.0
 
 
+#: cache-probe read size: big enough that cold-vs-warm timing is
+#: unambiguous (page cache serves ~8 MB in single-digit ms; a dropped
+#: cache pays real I/O), small enough that the probe itself barely
+#: warms the dataset the timed queries then read
+_CACHE_PROBE_BYTES = 8 << 20
+
+
+def sample_cache_state(sf_dir: str) -> dict:
+    """Self-explaining page-cache sample next to the load samples
+    (VERDICT r8 #7): a host-level page-cache drop is INVISIBLE in
+    loadavg but inflates cold totals ~2× (observed 53.5/63.3 s
+    outliers at idle load, buff/cache collapsing 30 GB → 1 GB). Two
+    readings: /proc/meminfo Cached (how much page cache the host holds
+    right now) and a timed re-read of the first ~8 MB of the largest
+    fixture file (is THIS dataset warm — RAM-speed ms when cached,
+    one-to-two orders slower after a drop). Sampled BEFORE the Spark
+    JVM exists, like the load samples."""
+    out: dict = {"page_cache_mb": None, "cache_probe_ms": None, "cache_probe_mb": None}
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("Cached:"):
+                    out["page_cache_mb"] = int(line.split()[1]) // 1024
+                    break
+    except OSError:
+        pass
+    try:
+        files = sorted(
+            (os.path.join(sf_dir, n) for n in os.listdir(sf_dir) if n.endswith(".parquet")),
+            key=os.path.getsize,
+            reverse=True,
+        )
+        if files:
+            t0 = time.perf_counter()
+            read = 0
+            with open(files[0], "rb") as fh:
+                while read < _CACHE_PROBE_BYTES:
+                    chunk = fh.read(1 << 20)
+                    if not chunk:
+                        break
+                    read += len(chunk)
+            out["cache_probe_ms"] = round((time.perf_counter() - t0) * 1000, 2)
+            out["cache_probe_mb"] = round(read / (1 << 20), 2)
+    except OSError:
+        pass
+    return out
+
+
 def main() -> None:
     global _LOAD_PRE
     load_raw, _LOAD_PRE, slept = preflight_load_gate()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cache_state = sample_cache_state(sf_dir)
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -186,6 +235,7 @@ def main() -> None:
         "loadavg_1m_pre": _LOAD_PRE,
         "loadavg_1m_post": load_post,
         "preflight_slept_sec": slept,
+        **cache_state,
         "queries": {n: round(t, 2) for n, t in times.items()},
         "queries_warm": {n: round(t, 2) for n, t in warm.items()},
         "value": total,

@@ -482,3 +482,25 @@ def test_mixture_epochs_survives_huge_corpora(spark, tmp_path):
         for r in con.execute(oracle_sql()["x_mixture_epochs"]).fetchall()
     }
     assert got_o == want
+
+
+def test_bench_cache_state_sample_present_and_wellformed():
+    """VERDICT r8 #7: the bench artifact must carry a page-cache sample
+    next to the load samples, so a cache-cold capture (loadavg-invisible)
+    is self-explaining from the JSON alone."""
+    import inspect
+
+    import bench
+
+    s = bench.sample_cache_state("/root/testdata/sf0.001")
+    assert set(s) == {"page_cache_mb", "cache_probe_ms", "cache_probe_mb"}
+    assert s["page_cache_mb"] is None or s["page_cache_mb"] >= 0
+    assert s["cache_probe_ms"] is not None and s["cache_probe_ms"] >= 0
+    assert s["cache_probe_mb"] is not None and 0 < s["cache_probe_mb"] <= 8.01
+
+    # emitted before the protected headline tail, sampled pre-JVM
+    src = inspect.getsource(bench.main)
+    assert "cache_state = sample_cache_state(sf_dir)" in src
+    assert "**cache_state," in src
+    assert src.index("**cache_state,") < src.index('"queries":')
+    assert src.index("sample_cache_state") < src.index("get_spark")
