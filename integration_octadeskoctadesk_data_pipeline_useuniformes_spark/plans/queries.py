@@ -73,114 +73,106 @@ def register(name: str, oracle: str | None):
 #: rounds' rows persist in CORRECTNESS_r{N}.json; after round 4 every
 #: registered query has at least one green row.
 #:
-#: Round-8 window (VERDICT r7 #1): the four NEW queries lead
-#: (x_ann_ivf_incremental_assign, x_ivm_rollup_incremental,
-#: x_unigram_em_step, x_unigram_prune_curve — ADVICE r2 standing
-#: rule), plus ONE changed-
-#: owner re-window: x_dedup_minhash_lsh_pairs, because
-#: operators/dedup.py's lsh_candidate_pairs gained an optional
-#: precomputed-``signatures`` parameter for the streaming self-probe —
-#: its default text path is construction-identical (same
-#: minhash_signatures call, same persist), but the stricter r5-r7
-#: precedent re-windows on any owner-file change. The OTHER dedup.py
-#: consumers keep their rows: the parameter is additive, and the
-#: sigs/banding owners are additionally re-verified by three in-window
-#: queries (cluster_sizes, lsh_recall_sample, estimate_error).
-#: operators/similarity.py's r8 edits are append-only for pre-existing
-#: queries (two new functions; zero deletions in the diff), so no ANN
-#: re-windows. Then the thirteen r3-cohort members carried per the r7
-#: handoff ledger, then 32 of the 43 queries whose newest green row is
-#: r4 (recomputed from the seven CORRECTNESS jsons this round:
-#: histogram r7:50, r6:49, r5:47, r4:43, r3:13, r1:1). 5 + 13 + 43 =
-#: 61 candidates for 50 slots: eleven r4-cohort members are displaced
-#: to r9 (rationale in the trailing comment).
+#: Round-9 window (VERDICT r8 #1): the two NEW queries lead
+#: (x_versioned_skipping_read, x_ivm_rollup_minmax — ADVICE r2
+#: standing rule), plus ONE changed-owner re-window:
+#: x_ivm_rollup_incremental — its owners changed three ways this round
+#: (sinks/versioned.py manifest refactor for data skipping,
+#: streaming/incremental.py's advance_rollup gained extreme_measures,
+#: and its own @register block's fixture build moved to a cached
+#: per-sf_dir builder, ADVICE r8). operators/similarity.py's r9 edit
+#: is append-only (split_drifted_cells; zero deletions), so no ANN
+#: re-windows — the r8 precedent. streaming/curation.py and
+#: ann_index.py changed (probe pruning) but are test-covered surfaces
+#: with no query mapping. Then the ELEVEN displaced r4-cohort members
+#: carried per the r8 handoff ledger (exact_substring / leakage_safe /
+#: word_pmi first — no in-window twin last round), then 36 of the 47
+#: queries whose newest green row is r5 (recomputed from the eight
+#: CORRECTNESS jsons this round: histogram r8:50, r7:49, r6:49, r5:47,
+#: r4:11, r1:1). 3 + 11 + 47 = 61 candidates for 50 slots: eleven
+#: r5-cohort members are displaced to r10 (rationale in the trailing
+#: comment).
 DRIVER_WINDOW: list[str] = [
     # new or changed-owner this round (verify first)
-    "x_ann_ivf_incremental_assign",
+    "x_versioned_skipping_read",
+    "x_ivm_rollup_minmax",
     "x_ivm_rollup_incremental",
-    "x_unigram_em_step",
-    "x_unigram_prune_curve",
-    "x_dedup_minhash_lsh_pairs",
-    # the thirteen carried r3-cohort members (r7 handoff ledger)
-    "fn_date_parse_battery",
-    "x_doc_length_buckets",
-    "x_pii_redact",
-    "x_chunk_documents",
-    "x_quality_repetition",
-    "x_contamination_3gram",
-    "x_dedup_cluster_sizes",
-    "x_hybrid_retrieval_rerank",
-    "x_dedup_lsh_recall_sample",
-    "x_dedup_estimate_error",
-    "x_approx_distinct_users",
-    "x_bloom_prune_join",
-    "x_cms_heavy_hitters",
-    # the r4-green-once cohort (32 of 43)
-    "x_ann_cosine_topk",
-    "x_ann_hard_negatives",
-    "x_ann_pq_recall",
-    "x_ann_recall_at_k",
-    "x_bpe_compression_curve",
-    "x_bpe_merge_steps",
-    "x_budget_select_topquality",
-    "x_constraint_audit",
-    "x_corpus_datacard",
-    "x_curation_pipeline",
-    "x_dedup_clusters",
-    "x_dsir_hashed_importance",
-    "x_duplicate_span_fraction",
-    "x_fuzzy_name_match",
-    "x_global_running_revenue",
-    "x_langid_mismatch_by_source",
-    "x_length_histogram",
-    "x_lm_bigram_predictability",
-    "x_mixture_apportion_budget",
-    "x_multimodal_audio_energy",
-    "x_pagerank_dup_graph",
-    "x_profile_documents",
-    "x_quality_gopher_rules",
-    "x_quality_signal_agreement",
-    "x_retrieval_mrr",
-    "x_retrieval_ndcg",
-    "x_sample_by_quality",
-    "x_sample_uniform_k",
-    "x_split_train_val",
-    "x_text_sentiment",
-    "x_word_entropy_quality",
-    "x_wordpiece_encode_docs",
+    # the eleven carried r4-cohort members (r8 handoff ledger)
+    "x_dedup_exact_substring",
+    "x_split_leakage_safe",
+    "x_word_pmi_pairs",
+    "x_ann_pq_topk",
+    "x_bm25_search",
+    "x_bpe_encode_docs",
+    "x_bpe_pair_counts",
+    "x_bpe_vocab_usage",
+    "x_dedup_survivors",
+    "x_kmeans_semantic_clusters",
+    "x_quality_classifier_score",
+    # the r5-green-once cohort (36 of 47)
+    "a2_distinct_collection",
+    "a3_dedup_removed_count",
+    "c11_custom_fields_extract",
+    "c13_pivot_event_types",
+    "c14_json_flatten",
+    "c1_iso_format",
+    "c4_sliding_lookback",
+    "c5_regex_normalize_values",
+    "c7_try_cast_fallback",
+    "f1_range_filter_events",
+    "f2_equality_filter",
+    "f5_first_match_per_chat",
+    "j1_full_outer_integrate",
+    "j2_left_join_enrich",
+    "j3_anti_dedup",
+    "j4_zip_custom_fields",
+    "o1_sort_limit_topn",
+    "o3_point_lookup",
+    "p3_sanitize_columns",
+    "p7_null_key_fill",
+    "u1_union_by_name",
+    "x_ann_ivf_topk",
+    "x_ann_lsh_topk",
+    "x_ann_rp_topk",
+    "x_dedup_embedding_cosine",
+    "x_dedup_exact",
+    "x_dedup_lsh_band_tuning",
+    "x_dedup_ngram_jaccard",
+    "x_dedup_simhash",
+    "x_multimodal_features",
+    "x_source_overlap_jaccard",
+    "x_text_fingerprint",
+    "x_text_langid",
+    "x_text_quality",
+    "x_text_stats",
+    "x_vocab_growth_curve",
 ]
-# Slot arithmetic (r8): 4 new + 1 changed-owner re-window + 13 carried
-# r3-cohort + 32 of the 43 r4-green-once cohort = 50. Eleven r4-cohort
-# members are DISPLACED to round 9 — all eleven are SENSITIVE members,
-# strictly value-verified at
-# sf0.1 by the local gate EVERY round (stronger ongoing coverage than
-# one more sf0.01 driver hash row), and each additionally has its
-# owners exercised by an in-window or bench surface this round:
-# (a) x_bm25_search, x_kmeans_semantic_clusters — also bench
-#     headliners, executed (and compared against their clean bands)
-#     every round;
-# (b) x_ann_pq_topk — the full PQ chain (codebook → encode → ADC →
-#     top-k) is composed verbatim by in-window x_ann_pq_recall, which
-#     also composes the brute-force truth chain;
-# (c) x_bpe_pair_counts, x_bpe_encode_docs, x_bpe_vocab_usage — the
-#     pair-count and encode chains are composed per-step by in-window
-#     x_bpe_merge_steps / x_bpe_compression_curve (vocab_usage
-#     displaced late-round to fund the x_unigram_prune_curve slot);
-# (d) x_quality_classifier_score — the logit chain is composed by
-#     in-window x_quality_signal_agreement (and SENSITIVE
-#     x_quality_calibration);
-# (e) x_dedup_survivors — its survivor rule rides the same
-#     sigs/banding/cluster owners that FOUR in-window queries
-#     re-verify (lsh_pairs itself, cluster_sizes, lsh_recall_sample,
-#     estimate_error), displaced to fund the lsh_pairs re-window;
-# (f) x_dedup_exact_substring, x_split_leakage_safe, x_word_pmi_pairs
-#     — suffix/leakage/PMI surfaces with no in-window twin, displaced
-#     purely on their every-round sf0.1 strict coverage; FIRST in
-#     line for the r9 window.
+# Slot arithmetic (r9): 2 new + 1 changed-owner re-window + 11 carried
+# r4-cohort + 36 of the 47 r5-green-once cohort = 50. Eleven r5-cohort
+# members are DISPLACED to round 10, chosen for the strongest ongoing
+# coverage elsewhere:
+# (a) six SENSITIVE members — x_exact_quantiles_chars,
+#     x_ann_matryoshka_topk, x_ann_matryoshka_recall,
+#     x_ccnet_perplexity_buckets, x_dedup_simhash_hamming_pairs,
+#     x_quality_threshold_by_source — strictly value-verified at
+#     sf0.1 by the local gate EVERY round;
+# (b) x_ann_lsh_buckets, x_ann_lsh_multiprobe_topk — the RH-LSH
+#     bucket-assignment owner chain is composed verbatim by in-window
+#     x_ann_lsh_topk (multiprobe adds only the probe-set expansion on
+#     the same chain);
+# (c) c13_dynamic_pivot_flags — the two-pass guarded pivot owner
+#     (operators/pivot.py) is composed by in-window
+#     c13_pivot_event_types (also a bench headliner);
+# (d) x_multimodal_frames — the Arrow mapInPandas fan-out shape is
+#     re-verified by in-window x_multimodal_features and by the
+#     byte-exact multimodal pytest suite;
+# (e) pipeline_integrate_full — every stage it composes (sanitize,
+#     project, integrate join, anti-dedup) is covered by in-window
+#     p3/j1/j3 plus the pipeline pytest suite.
 # All eleven stay covered by the full-catalog strict sf0.01 gate every
-# round. flagship_unresolved_distinct stays out as always: the
-# driver's entry() smoke verifies it every round regardless of the
-# window.
+# round and are FIRST in line for the r10 window.
+# flagship_unresolved_distinct stays out as always: the driver's
+# entry() smoke verifies it every round regardless of the window.
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:

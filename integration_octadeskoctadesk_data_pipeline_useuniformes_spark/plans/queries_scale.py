@@ -969,3 +969,181 @@ def _ivm_fixture_sink(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     versioned.commit_replace(rollup0, rollup_tbl)  # materialize N−1's result
     _IVM_SINKS[sf_dir] = (tbl, rollup_tbl)
     return tbl, rollup_tbl
+
+
+# ---------------------------------------------------------------------------
+# Data skipping on the versioned sink (VERDICT r8 #3): a selective read
+# plans a scan of ONLY the files whose manifest min/max zones can
+# satisfy the predicate. The fixture sink commits events ONE EVENT TYPE
+# PER COMMIT, so the zones separate types exactly (the layout a
+# partitioned/clustered 100 TB table has naturally); the pruned read
+# then touches 1/|types| of the files (pinned by plan test) and the
+# residual filter on top makes the result exactly the predicate's rows
+# — which the oracle (a plain filtered scan) verifies value-for-value.
+#
+# Catalog-growth discipline (r9): registry grep — no file-skipping /
+# versioned-read query exists (x_bloom_prune_join is JOIN-side key
+# pruning; the IVM queries read version DELTAS); fixture probe:
+# 'purchase' has 202 rows at sf0.001 and 1,981 at sf0.01 of five
+# balanced types — selective but non-degenerate at every driver SF.
+# ---------------------------------------------------------------------------
+
+#: sf_dir -> type-clustered versioned events sink (the _IVM_SINKS
+#: convention: one deterministic build per interpreter)
+_SKIP_SINKS: dict[str, str] = {}
+
+#: the five fixture event types, committed in this order (driver-side
+#: literal — the domain is fixed by TESTDATA.md, the pivot-guard class)
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _skipping_fixture_sink(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _SKIP_SINKS:
+        return _SKIP_SINKS[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sinks import versioned
+
+    base = tempfile.mkdtemp(prefix="spark_skip_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    tbl = f"{base}/events_by_type"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    for t in _EVENT_TYPES:
+        versioned.commit_append(ev.filter(F.col("event_type") == t), tbl)
+    _SKIP_SINKS[sf_dir] = tbl
+    return tbl
+
+
+@register(
+    "x_versioned_skipping_read",
+    """
+SELECT event_id, event_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+FROM events WHERE event_type = 'purchase'
+""",
+)
+def x_versioned_skipping_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pruned snapshot read + residual filter (sinks/versioned.py
+    ``read_version(prune=...)``): the manifest zones eliminate every
+    non-purchase commit's files before the scan is planned — the plan
+    test pins inputFiles to 1/|types| of the snapshot."""
+    from ..sinks import versioned
+
+    tbl = _skipping_fixture_sink(spark, sf_dir)
+    snap = versioned.read_version(
+        spark, tbl, prune={"event_type": {"values": ["purchase"]}}
+    )
+    # the residual predicate: skipping guarantees a superset, the
+    # filter makes it exact (and is itself pushed into the pruned scan)
+    return snap.filter(F.col("event_type") == "purchase").select(
+        "event_id", "event_type", "cents"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-view maintenance with MIN/MAX measures (VERDICT r8 #4):
+# the rollup is advanced across a REPLACE commit that deletes rows —
+# including current per-group maxima — so the signed delta rule cannot
+# apply to the extremes; the affected-group recompute rescans ONLY the
+# touched groups (via the data-skipping read) and the oracle is the
+# full recompute over the post-delete state, making the driver hash
+# itself the incremental == full proof (the x_ivm_rollup_incremental
+# convention, extended to the non-retractable measure class).
+#
+# Catalog-growth discipline (r9): registry grep — the only IVM query
+# (x_ivm_rollup_incremental) is SUM/COUNT-only over an append-only
+# range; no query exercises the changes_between fallback or extreme
+# measures. Fixture probe: the delete predicate (click AND cents % 3 =
+# 0) removes 77 of 210 click rows at sf0.001 and 699 of 2,006 at
+# sf0.01 — the affected group keeps rows, its max moves or survives by
+# data, and four groups stay untouched (the merge path) at every SF.
+# ---------------------------------------------------------------------------
+
+#: sf_dir -> (sink path, materialized v0 rollup path)
+_IVM_MM_SINKS: dict[str, tuple[str, str]] = {}
+
+
+def _ivm_minmax_fixture_sink(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    if sf_dir in _IVM_MM_SINKS:
+        return _IVM_MM_SINKS[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sinks import versioned
+
+    base = tempfile.mkdtemp(prefix="spark_ivm_mm_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    tbl = f"{base}/events_tbl"
+    rollup_tbl = f"{base}/rollup"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    versioned.commit_append(ev, tbl)  # v0: everything
+    deleted = (F.col("event_type") == "click") & (F.col("cents") % 3 == 0)
+    # v1: REPLACE — the post-delete state; the range 0→1 is not
+    # append-only, forcing the changes_between + affected-group path.
+    # Group-clustered files (hash repartition — at 8 partitions the
+    # five fixture types give 'click' a partition of its own, and
+    # unlike repartitionByRange the layout is sampling-free, so the
+    # clustering is deterministic at every SF) let the recompute's
+    # data-skipping read prune the untouched groups' files.
+    versioned.commit_replace(
+        ev.filter(~deleted).repartition(8, "event_type"), tbl
+    )
+    rollup0 = (
+        versioned.read_version(spark, tbl, 0)
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.lit(1)).alias("n"),
+            F.max("cents").alias("max_cents"),
+        )
+    )
+    versioned.commit_replace(rollup0, rollup_tbl)
+    _IVM_MM_SINKS[sf_dir] = (tbl, rollup_tbl)
+    return tbl, rollup_tbl
+
+
+@register(
+    "x_ivm_rollup_minmax",
+    """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(cents) AS BIGINT) AS max_cents
+FROM (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+) WHERE NOT (event_type = 'click' AND cents % 3 = 0)
+GROUP BY event_type
+""",
+)
+def x_ivm_rollup_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX-capable IVM (streaming/incremental.advance_rollup with
+    ``extreme_measures``): v0→v1 is a replace that deletes some of
+    click's rows, so click's max is recomputed from a pruned rescan of
+    ONLY click's files while the other four groups merge prev ⊕ inserts
+    without touching data (plan test pins the pruned lineage)."""
+    from ..sinks import versioned
+    from ..streaming.incremental import advance_rollup
+
+    tbl, rollup_tbl = _ivm_minmax_fixture_sink(spark, sf_dir)
+    prev = versioned.read_version(spark, rollup_tbl)
+    return advance_rollup(
+        spark,
+        tbl,
+        "event_id",
+        ["event_type"],
+        {"n": F.lit(1)},
+        prev,
+        0,
+        1,
+        drop_when_zero="n",
+        extreme_measures={"max_cents": ("max", F.col("cents"))},
+    )

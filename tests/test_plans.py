@@ -1543,3 +1543,65 @@ def test_unigram_prune_curve_single_pass_over_word_table(spark):
     # around one exchange (the other distinct ids belong to the
     # displayed cache-population child, which aggregates wf itself)
     assert len(set(re.findall(r"Exchange\s+\((\d+)\)", tree))) <= 3, tree
+
+
+def test_versioned_skipping_read_scans_one_types_files_only(spark):
+    """The registered data-skipping query's lineage must be exactly the
+    purchase commit's files — 1/|types| of the snapshot; the other four
+    event types' files are zone-pruned before planning."""
+    import os
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_scale import (
+        _skipping_fixture_sink,
+    )
+
+    df = catalog.queries()["x_versioned_skipping_read"](spark, SF)
+    tbl = _skipping_fixture_sink(spark, SF)
+    all_files = set(versioned._files_of(tbl, versioned.latest_version(tbl)))
+    scanned = {os.path.basename(p) for p in df.inputFiles()}
+    assert scanned and scanned < all_files, (scanned, all_files)
+    # exactly the purchase commit's files: version 2 minus version 1
+    purchase_files = set(versioned.delta_files_between(tbl, 1, 2))
+    assert scanned == purchase_files, (scanned, purchase_files)
+
+
+def test_ivm_rollup_minmax_rescan_prunes_untouched_groups(spark):
+    """The MIN/MAX IVM query's affected-group rescan must read only the
+    affected group's (click's) files of the new snapshot — the other
+    four groups' files never re-enter the lineage."""
+    import json
+    import os
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_scale import (
+        _ivm_minmax_fixture_sink,
+    )
+
+    df = catalog.queries()["x_ivm_rollup_minmax"](spark, SF)
+    tbl, _ = _ivm_minmax_fixture_sink(spark, SF)
+    with open(os.path.join(tbl, "_v1.json")) as fh:
+        m1 = json.load(fh)
+    # precondition: v1's group-clustered layout gives disjoint zones
+    click_files = {
+        f
+        for f, s in m1["file_stats"].items()
+        if s.get("event_type", {}).get("min") == "click"
+        and s["event_type"].get("max") == "click"
+    }
+    nonclick_files = {
+        f
+        for f, s in m1["file_stats"].items()
+        if "event_type" in s and s["event_type"].get("min", "click") != "click"
+    }
+    assert click_files and nonclick_files, m1["file_stats"]
+    inputs = {os.path.basename(p) for p in df.inputFiles()}
+    # v1 files in the lineage: the changes_between diff reads all of v1
+    # (by design — it derives the feed), but the affected-group RESCAN
+    # adds no second read of non-click files; assert the click files are
+    # scanned and the plan contains exactly one scan of the non-click
+    # files (the diff), not two
+    assert click_files <= inputs
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    sample = next(iter(nonclick_files))
+    assert tree.count(sample) <= 1, f"non-click file {sample} scanned more than once"

@@ -28,7 +28,8 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 #: (VERDICT r3 item 6), round 4's iterative BPE, the round-5 additions,
 #: round 6's trigram LM, round 7's incremental-minhash/funnel/
 #: RRF-fusion/epoch-planner/overlap-curve/calibration and round 8's
-#: IVF-assignment/unigram-EM+prune — 47 members as of round 8 (registry-sync
+#: IVF-assignment/unigram-EM+prune, minus the r8+r9 demotions — 42
+#: members as of round 9 (registry-sync
 #: pinned by tests/test_units.py), against a 207-query catalog
 #: (x_dedup_containment_topk is sample-bounded by construction, like
 #: the recall-sample/band-tuning reports — not volume-sensitive;
@@ -62,6 +63,33 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 #: x_vocab_coverage); KEPT x_table_checksum despite its frozen
 #: surface — no other query composes the order-independent checksum
 #: owner (criterion 2 fails).
+#:
+#: Round-9 derivation (register blocks + composed helper defs diffed
+#: at the round boundaries 45fd154 (end r6) → e4476f1 (r7) → 76a4813
+#: (r8) → HEAD; all eleven r8-ledger candidates are in the r9 driver
+#: window, i.e. land fresh rows). DEMOTED five: x_ann_pq_topk (PQ
+#: chain composed verbatim by still-SENSITIVE x_ann_pq_recall),
+#: x_bm25_search (stage lists composed by still-SENSITIVE
+#: x_retrieval_rrf_fusion / x_retrieval_rank_overlap_curve; bench
+#: headliner besides), x_bpe_pair_counts and x_bpe_vocab_usage
+#: (pair-count and merge/encode owners — bpe_merge_steps,
+#: encode_pieces_expr, both frozen ≥ r6 — composed per-step by
+#: still-SENSITIVE x_bpe_merge_steps and x_bpe_encode_docs),
+#: x_quality_classifier_score (_qc_feature_frame/_qc_logit_col frozen
+#: ≥ r6; the logit chain composed by still-SENSITIVE
+#: x_quality_signal_agreement and x_quality_calibration). KEPT six of
+#: the candidates: x_bpe_encode_docs (its block changed in r7 — only
+#: 2 rounds frozen, criterion 1 fails), x_dedup_survivors and
+#: x_split_leakage_safe (both compose lsh_candidate_pairs, which
+#: changed in r8 — owner frozen 1 round), x_kmeans_semantic_clusters
+#: (the Lloyd chain's only other composer, x_semdedup_within_clusters,
+#: is neither in-window nor SENSITIVE this round — criterion 2 fails,
+#: the x_table_checksum precedent), x_dedup_exact_substring and
+#: x_word_pmi_pairs (no other query composes their shingle-boundary /
+#: top-V-cap owners — criterion 2 fails). The two r9-new queries
+#: (x_versioned_skipping_read, x_ivm_rollup_minmax) are NOT added:
+#: pure integer equality/count/max arithmetic with no volume-moving
+#: boundary (the x_ivm_rollup_incremental exclusion class).
 SENSITIVE = [
     # scale tier (sketches, prefix sums, checksums, quantiles)
     "x_table_checksum",
@@ -69,14 +97,11 @@ SENSITIVE = [
     "x_vocab_coverage",
     # float/iteration-sensitive retrieval
     "x_kmeans_semantic_clusters",
-    "x_bm25_search",
     "x_tfidf_top_terms",
     # round-3 additions
-    "x_bpe_pair_counts",
     "x_word_entropy_quality",
     "x_ann_recall_at_k",
     "x_dedup_exact_substring",
-    "x_quality_classifier_score",
     "x_dedup_simhash_hamming_pairs",
     # round-4 additions
     "x_bpe_merge_steps",
@@ -94,14 +119,11 @@ SENSITIVE = [
     "x_word_pmi_pairs",
     # graph shape (degrees, components) moves with corpus size
     "x_pagerank_dup_graph",
-    # merge winners (and so the counted symbols) move with corpus size
-    "x_bpe_vocab_usage",
     # full-precision logit>0 boundary at volume (classifier chain)
     "x_quality_signal_agreement",
     # top-k rank boundaries (round-6 cosine ties) move with corpus size
     "x_retrieval_ndcg",
     # codebook sample and ADC rank boundaries move with corpus size
-    "x_ann_pq_topk",
     "x_ann_pq_recall",
     # merge winners (and so the munch vocabulary) move with corpus size
     "x_wordpiece_encode_docs",
