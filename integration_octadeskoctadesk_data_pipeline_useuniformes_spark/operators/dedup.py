@@ -628,3 +628,20 @@ def integer_pagerank(
             )
         )
     return r.join(deg, "u").select("u", F.col("r").alias("pagerank_ppm"), "deg")
+
+
+def band_key_strings(num_hashes: int = 8, rows_per_band: int = 2) -> Column:
+    """The banding scheme's keys as flat strings ('band:bucket') over a
+    ``minhash`` column — built FROM ``_band_key_structs`` (the single
+    scheme owner), so a scheme edit cannot desynchronize this view.
+
+    Purpose: derived-key Bloom indexing of a signature sink
+    (sinks/versioned.commit_append's ``bloom_frames``) — a near-dup
+    history probe collides on (band, bucket), so a history file whose
+    band-key bloom misses EVERY batch band key cannot produce a
+    candidate pair and is pruned from the probe's scan (no false
+    negatives: the bloom sees exactly the keys the equi-join would)."""
+    return F.transform(
+        _band_key_structs(num_hashes, rows_per_band),
+        lambda bb: F.concat_ws(":", bb["band"].cast("string"), bb["bucket"]),
+    )

@@ -184,26 +184,39 @@ def _collect_file_stats(path: str, files: list[str]) -> dict[str, dict]:
 
 
 def _build_bloom_entries(
-    df: DataFrame, new_files: list[str], bloom_keys: Sequence[str], m_bits: int
+    df: DataFrame,
+    new_files: list[str],
+    bloom_keys: Sequence[str],
+    m_bits: int,
+    bloom_frames: dict[str, DataFrame] | None = None,
 ) -> list[dict]:
-    """One Bloom bitmap per declared key column over THIS commit's rows
+    """One Bloom bitmap per declared key over THIS commit's rows
     (== the new files), via operators/bloom.bloom_build — the lanes are
     ≤ m_bits/32 BIGINTs, metadata-grain by construction. Keys must be
-    int or string columns (their Spark ``cast('string')`` rendering is
-    reproduced driver-side at probe time)."""
+    int or string values (their Spark ``cast('string')`` rendering is
+    reproduced driver-side at probe time).
+
+    ``bloom_frames`` indexes DERIVED keys: {name: single-column frame
+    of key values computed from the commit's rows} — e.g. the LSH
+    (band, bucket) keys a near-dup probe collides on, which exist per
+    signature slice, not as a row column. The entry prunes exactly
+    like a column bloom; min/max zones simply never constrain a
+    derived key (no such column in the footer — sound)."""
     from ..operators.bloom import DEFAULT_SEEDS, bloom_build
 
     entries = []
-    for key in bloom_keys:
+    sources = [(k, df.select(k).na.drop(), k) for k in bloom_keys] + [
+        (name, frame.na.drop(), frame.columns[0])
+        for name, frame in (bloom_frames or {}).items()
+    ]
+    for name, keys_df, col in sources:
         lanes = {
             str(r["lane"]): r["bits"]
-            for r in bloom_build(
-                df.select(key).na.drop(), key, m_bits=m_bits
-            ).collect()
+            for r in bloom_build(keys_df, col, m_bits=m_bits).collect()
         }
         entries.append(
             {
-                "key": key,
+                "key": name,
                 "m_bits": m_bits,
                 "seeds": list(DEFAULT_SEEDS),
                 "files": list(new_files),
@@ -397,6 +410,7 @@ def commit_append(
     path: str,
     bloom_keys: Sequence[str] = (),
     bloom_m_bits: int = 4096,
+    bloom_frames: dict[str, DataFrame] | None = None,
 ) -> int:
     """Append ``df`` as a new version; returns the version number.
 
@@ -405,7 +419,8 @@ def commit_append(
     ``read_version_for_keys`` probes can skip this commit's files when
     none of their keys can be present — the manifest-level pruning a
     streaming gate's per-batch history probe needs to stay O(matching
-    files) as history grows (VERDICT r8 #2)."""
+    files) as history grows (VERDICT r8 #2). ``bloom_frames`` does the
+    same for DERIVED keys (see ``_build_bloom_entries``)."""
     os.makedirs(path, exist_ok=True)
     new_files = _write_files(df, path)
     try:
@@ -414,7 +429,9 @@ def commit_append(
             new_files,
             carry_prev=True,
             schema=df.schema.jsonValue(),
-            bloom_entries=_build_bloom_entries(df, new_files, bloom_keys, bloom_m_bits),
+            bloom_entries=_build_bloom_entries(
+                df, new_files, bloom_keys, bloom_m_bits, bloom_frames
+            ),
         )
     except ValueError:
         # a schema-conflict abort publishes nothing, so the staged

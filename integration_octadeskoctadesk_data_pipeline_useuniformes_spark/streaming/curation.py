@@ -210,11 +210,21 @@ def streaming_curation(
             ).select("fingerprint")
             kept = kept.join(seen, "fingerprint", "left_anti")
             if near_dup:
-                # the fuzzy probe compares BAND KEYS, not row keys, so
-                # it still reads the full history's (doc_id, minhash)
-                # projection — the one remaining history-grain probe
-                # (band-key blooms would prune it too; noted for r10)
-                history = versioned.read_version(batch_df.sparkSession, sink_path)
+                # the fuzzy probe compares BAND KEYS, not row keys —
+                # prune history by the batch's own band keys against
+                # each commit's derived-key bloom (committed below as
+                # __lsh_band): a file whose bloom misses every batch
+                # band key cannot produce a candidate pair, so the
+                # probe scans only potentially-colliding commits
+                batch_bands = [
+                    r.bk
+                    for r in kept.select(
+                        F.explode(D.band_key_strings()).alias("bk")
+                    ).collect()
+                ]
+                history = versioned.read_version_for_keys(
+                    batch_df.sparkSession, sink_path, "__lsh_band", batch_bands
+                )
                 survivors = D.incremental_lsh_dedup(
                     kept,
                     corpus_signatures=history.select("doc_id", "minhash"),
@@ -227,8 +237,20 @@ def streaming_curation(
         out = scoped_persist(kept.select(*cols))
         if out.limit(1).count() > 0:  # empty-batch short-circuit (T5)
             # fingerprint blooms make THIS commit's files prunable by
-            # every later batch's history probe
-            versioned.commit_append(out, sink_path, bloom_keys=["fingerprint"])
+            # the exact gate; the derived band-key bloom does the same
+            # for the fuzzy gate's (band, bucket) probe
+            frames = (
+                {
+                    "__lsh_band": out.select(
+                        F.explode(D.band_key_strings()).alias("__lsh_band")
+                    )
+                }
+                if near_dup
+                else None
+            )
+            versioned.commit_append(
+                out, sink_path, bloom_keys=["fingerprint"], bloom_frames=frames
+            )
 
     writer = stream.writeStream.foreachBatch(commit).option(
         "checkpointLocation", checkpoint_dir

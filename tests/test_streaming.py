@@ -1256,3 +1256,63 @@ def test_recluster_drifted_cells_splits_locally_and_stays_time_travelable(spark,
         m, versioned.read_version(spark, cents_path, 0), [0]
     )
     assert reassigned.count() == 20
+
+
+def test_curation_near_dup_probe_prunes_by_band_keys(spark, tmp_path, monkeypatch):
+    """The fuzzy gate's history probe prunes by DERIVED band-key blooms:
+    a new batch scans only the commits whose band keys might collide —
+    and a genuine near-dup against an OLD commit is still caught (no
+    false negatives through the pruned read)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.curation import (
+        streaming_curation,
+    )
+
+    landing = tmp_path / "docs"
+    landing.mkdir()
+    sink = str(tmp_path / "curated")
+    # each batch's text gets a LONG distinct tail so the shared
+    # stopword prefix cannot make the batches near-dups of each other
+    texts = {
+        i: EN_GOOD + " ".join(f"tail{i}word{j}" for j in range(40))
+        for i in range(3)
+    }
+    for i, txt in texts.items():
+        _write_batch(landing, f"b{i}.jsonl", [{"doc_id": i, "source": "web", "text": txt}])
+        streaming_curation(
+            spark, str(landing), sink, str(tmp_path / "ck"), near_dup=True
+        ).awaitTermination(120)
+    assert versioned.latest_version(sink) == 2
+
+    probes = []
+    orig = versioned.read_version_for_keys
+
+    def spy(spark_, path, key_col, keys, version=None):
+        df = orig(spark_, path, key_col, keys, version)
+        probes.append((key_col, len(df.inputFiles()),
+                       len(versioned._files_of(path, versioned.latest_version(path)))))
+        return df
+
+    monkeypatch.setattr(versioned, "read_version_for_keys", spy)
+    # batch 4: near-dup of batch 0's text (one word changed) + novel doc
+    near = texts[0].replace("tail0word20", "changedword", 1)
+    _write_batch(
+        landing,
+        "b3.jsonl",
+        [
+            {"doc_id": 30, "source": "web", "text": near},
+            {"doc_id": 31, "source": "web", "text": EN_GOOD + " ".join(f"novelword{j}" for j in range(40))},
+        ],
+    )
+    streaming_curation(
+        spark, str(landing), sink, str(tmp_path / "ck"), near_dup=True
+    ).awaitTermination(120)
+
+    band_probes = [p for p in probes if p[0] == "__lsh_band"]
+    assert band_probes, probes
+    scanned, total = band_probes[0][1], band_probes[0][2]
+    assert scanned < total, (scanned, total)
+
+    final = {r.doc_id for r in versioned.read_version(spark, sink).collect()}
+    assert 31 in final, "novel doc must commit"
+    assert 30 not in final, "near-dup vs OLD commit must still be caught through the pruned probe"
