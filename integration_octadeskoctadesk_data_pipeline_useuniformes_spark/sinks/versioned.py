@@ -210,20 +210,35 @@ def _build_bloom_entries(
         for name, frame in (bloom_frames or {}).items()
     ]
     for name, keys_df, col in sources:
+        # adaptive sizing: ``m_bits`` is the floor; a big commit gets
+        # ~16 bits/key (3 hashes → ~0.5% FPR) so its bloom stays
+        # selective instead of saturating, capped so the manifest's
+        # lane table stays metadata-grain (~8k BIGINT lanes ≈ 200 KB
+        # JSON; beyond ~16k keys/commit the filter degrades gracefully
+        # toward keep-everything, which is sound)
+        n_keys = keys_df.count()
+        sized = min(max(m_bits, _next_mult32(16 * n_keys)), _BLOOM_M_BITS_CAP)
         lanes = {
             str(r["lane"]): r["bits"]
-            for r in bloom_build(keys_df, col, m_bits=m_bits).collect()
+            for r in bloom_build(keys_df, col, m_bits=sized).collect()
         }
         entries.append(
             {
                 "key": name,
-                "m_bits": m_bits,
+                "m_bits": sized,
                 "seeds": list(DEFAULT_SEEDS),
                 "files": list(new_files),
                 "lanes": lanes,
             }
         )
     return entries
+
+
+_BLOOM_M_BITS_CAP = 1 << 18
+
+
+def _next_mult32(n: int) -> int:
+    return ((max(n, 1) + 31) // 32) * 32
 
 
 def _bloom_positions(key_value, seeds: list[str], m_bits: int) -> list[int]:
