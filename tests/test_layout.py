@@ -608,3 +608,52 @@ def test_versioned_compact_preserves_pruning_soundness(spark, tmp_path):
     probe = read_version_for_keys(spark, path, "fp", ["fp-3", "fp-1004"])
     got = {r.fp for r in probe.collect() if r.fp in ("fp-3", "fp-1004")}
     assert got == {"fp-3", "fp-1004"}
+
+
+def test_changes_between_key_prune_scopes_and_skips(spark, tmp_path):
+    """Key-scoped change feed: the pruned feed equals the full feed
+    restricted to the key predicate, and BOTH snapshot scans are
+    data-skipped (strict inputFiles subset)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        changes_between,
+        commit_append,
+        commit_replace,
+        read_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    # v0: two key ranges in separate files (bloom-keyed commits)
+    commit_append(
+        spark.createDataFrame([(i, "a") for i in range(10)], "k long, v string").coalesce(1),
+        path,
+        bloom_keys=["k"],
+    )
+    commit_append(
+        spark.createDataFrame([(100 + i, "b") for i in range(10)], "k long, v string").coalesce(1),
+        path,
+        bloom_keys=["k"],
+    )
+    # v2: replace — update k=3, delete k=105, insert k=200; clustered by
+    # key range so v2's zones can prune too
+    state = [(i, "a") for i in range(10) if True]
+    state[3] = (3, "a2")
+    state += [(100 + i, "b") for i in range(10) if i != 5] + [(200, "c")]
+    commit_replace(
+        spark.createDataFrame(state, "k long, v string").repartitionByRange(3, "k"),
+        path,
+        bloom_keys=["k"],
+    )
+
+    full = changes_between(spark, path, "k", 1, 2)
+    scoped = changes_between(spark, path, "k", 1, 2, key_prune={"lo": 0, "hi": 50})
+    want = {(r.k, r._change_type) for r in full.collect() if 0 <= r.k <= 50}
+    got = {(r.k, r._change_type) for r in scoped.collect()}
+    assert got == want and got == {(3, "update_pre"), (3, "update_post")}
+
+    full_files = set(read_version(spark, path, 1).inputFiles()) | set(
+        read_version(spark, path, 2).inputFiles()
+    )
+    scoped_files = set()
+    for df in (scoped,):
+        scoped_files |= set(df.inputFiles())
+    assert scoped_files < full_files, (len(scoped_files), len(full_files))
