@@ -3514,3 +3514,42 @@ def test_advance_rollup_minmax_equals_full_recompute_for_any_commit_sequence(
             [(g, n, s, mx, mn) for g, (n, s, mx, mn) in got.items()],
             "g string, n long, s long, mx long, mn long",
         )
+
+
+@given(
+    members=st.lists(
+        st.tuples(
+            st.sampled_from([0, 1]),  # home cell
+            st.integers(min_value=-4, max_value=4),
+            st.integers(min_value=-4, max_value=4),
+        ),
+        min_size=2,
+        max_size=12,
+    ).filter(lambda ms: any(c == 0 for c, _, _ in ms) and not all(x == 0 and y == 0 for _, x, y in ms))
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_split_drifted_cells_partitions_members_and_keeps_fresh_ids(spark, members):
+    """Partial re-clustering invariants under ARBITRARY member sets:
+    the reassignment covers EXACTLY the drifted cell's members, every
+    new cell id is fresh (> max existing seed id), and the stable
+    cell's members never appear in the output."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.similarity import (
+        split_drifted_cells,
+    )
+
+    rows = [
+        (i, [float(x) + 0.01, float(y) + 0.02, 1.0], c)
+        for i, (c, x, y) in enumerate(members)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, cell long")
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.5]), (1, [0.0, 1.0, 0.5])], "seed_id long, seed_vec array<float>"
+    )
+    new_seeds, reassigned = split_drifted_cells(df, seeds, [0], iters=2)
+    got = reassigned.collect()
+    want_ids = {i for i, (c, _, _) in enumerate(members) if c == 0}
+    assert {r.vec_id for r in got} == want_ids
+    assert all(r.cell in (2, 3) for r in got), got
+    seed_ids = {r.seed_id for r in new_seeds.collect()}
+    assert seed_ids == {1, 2, 3}
+    assert all(r.dist_ppm >= 0 for r in got)
