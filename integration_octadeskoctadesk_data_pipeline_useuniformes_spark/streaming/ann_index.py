@@ -226,3 +226,76 @@ def recluster_drifted_cells(
     v_assign = versioned.commit_replace(new_assign, sink_path, bloom_keys=["vec_id"])
     v_cents = versioned.commit_replace(new_seeds, centroids_path)
     return v_assign, v_cents
+
+
+def drifted_cells_from_stats(
+    spark: SparkSession,
+    stats_path: str,
+    threshold_ppm: int = 1_200_000,
+    min_cell_n: int = 4,
+    baseline_version: int = 0,
+) -> list:
+    """Name the cells whose CURRENT mean assignment distance has
+    drifted past ``threshold_ppm`` (ppm ratio) of their BASELINE mean —
+    the versioned stats table's own time travel supplies the baseline
+    (version 0 = training time), so drift detection reads two
+    cell-grain snapshots and no assignment data at all.
+
+    Integer arithmetic throughout (the stats are exact fixed-point
+    sums), inner join at cell grain; cells below ``min_cell_n`` current
+    mass are ignored (too little evidence to split). Coarser than the
+    batch-level ``ivf_assignment_drift`` (the whole history's mean
+    moves slowly as the index grows — use the batch diagnostic for a
+    sharp per-arrival alarm); this is the cheap standing check a
+    maintenance schedule runs."""
+    base = versioned.read_version(spark, stats_path, baseline_version).select(
+        F.col("cell").alias("__bc"),
+        F.expr("sum_dist_ppm div greatest(n, 1L)").alias("__bmean"),
+    )
+    cur = versioned.read_version(spark, stats_path).select(
+        "cell", "n", F.expr("sum_dist_ppm div greatest(n, 1L)").alias("__cmean")
+    )
+    drifted = (
+        cur.join(F.broadcast(base), F.col("cell") == F.col("__bc"))
+        .filter(
+            (F.col("n") >= min_cell_n)
+            & (
+                (F.col("__cmean") * F.lit(1_000_000))
+                / F.greatest(F.col("__bmean"), F.lit(1))
+                >= threshold_ppm
+            )
+        )
+        .select("cell")
+    )
+    return sorted(r.cell for r in drifted.collect())  # cell-grain metadata
+
+
+def maintain_index(
+    spark: SparkSession,
+    sink_path: str,
+    stats_path: str,
+    centroids_path: str,
+    embeddings: DataFrame,
+    threshold_ppm: int = 1_200_000,
+    min_cell_n: int = 4,
+    iters: int = 3,
+) -> list:
+    """The full index-maintenance loop, composed: read the drift check
+    off the incrementally-maintained stats table; if any cell drifted,
+    split ONLY those cells (``recluster_drifted_cells`` — versioned
+    commits on both tables, stable cells bit-identical) and bring the
+    stats current over the resulting replace commit
+    (``advance_cell_stats``'s changes_between fallback — the stats
+    never re-aggregate untouched history). Returns the re-clustered
+    cells (empty when the index is healthy — then nothing is read
+    beyond two cell-grain snapshots and nothing is committed)."""
+    drifted = drifted_cells_from_stats(
+        spark, stats_path, threshold_ppm, min_cell_n
+    )
+    if not drifted:
+        return []
+    recluster_drifted_cells(
+        spark, sink_path, embeddings, centroids_path, drifted, iters=iters
+    )
+    advance_cell_stats(spark, sink_path, stats_path)
+    return drifted

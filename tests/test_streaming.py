@@ -1316,3 +1316,72 @@ def test_curation_near_dup_probe_prunes_by_band_keys(spark, tmp_path, monkeypatc
     final = {r.doc_id for r in versioned.read_version(spark, sink).collect()}
     assert 31 in final, "novel doc must commit"
     assert 30 not in final, "near-dup vs OLD commit must still be caught through the pruned probe"
+
+
+def test_maintain_index_full_loop_detects_and_splits_drifted_cell(spark, tmp_path):
+    """The composed maintenance loop: stream batches in (incremental
+    stats), a drifting cell crosses the stats-level threshold, ONLY it
+    is split, the stats advance over the replace commit, and a healthy
+    index is a no-op (nothing committed)."""
+    import json as _json
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.ann_index import (
+        maintain_index,
+        streaming_ivf_assign,
+    )
+
+    landing = tmp_path / "emb"
+    landing.mkdir()
+    sink = str(tmp_path / "assign")
+    stats = str(tmp_path / "stats")
+    cents_path = str(tmp_path / "cents")
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0])],
+        "seed_id long, seed_vec array<float>",
+    )
+    versioned.commit_replace(centroids, cents_path)
+
+    def run(name, rows):
+        with open(landing / name, "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+        streaming_ivf_assign(
+            spark, str(landing), centroids, sink, str(tmp_path / "ck"), stats_path=stats
+        ).awaitTermination(120)
+
+    # batch 0: on-centroid arrivals for both cells (baseline stats v0-ish)
+    run("b0.jsonl", [{"vec_id": i, "embedding": [1.0, 0.0, 0.001 * i]} for i in range(6)]
+        + [{"vec_id": 100 + i, "embedding": [0.0, 0.0, 1.0]} for i in range(6)])
+
+    emb_rows = [(i, [1.0, 0.0, 0.001 * i]) for i in range(6)] + [
+        (100 + i, [0.0, 0.0, 1.0]) for i in range(6)
+    ]
+    # healthy index: no-op, nothing committed
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>")
+    v_before = (versioned.latest_version(sink), versioned.latest_version(cents_path))
+    assert maintain_index(spark, sink, stats, cents_path, emb) == []
+    assert (versioned.latest_version(sink), versioned.latest_version(cents_path)) == v_before
+
+    # batch 1: cell 0 receives far-off arrivals (a second sub-cluster)
+    drift_rows = [(50 + i, [0.55, 0.9, 0.0]) for i in range(8)]
+    run("b1.jsonl", [{"vec_id": k, "embedding": v} for k, v in drift_rows])
+    emb_all = spark.createDataFrame(
+        emb_rows + drift_rows, "vec_id long, embedding array<float>"
+    )
+
+    drifted = maintain_index(
+        spark, sink, stats, cents_path, emb_all, threshold_ppm=1_050_000
+    )
+    assert drifted == [0], drifted
+    # cell 1's assignments bit-identical; cell 0's members split to fresh ids
+    final = {r.vec_id: r.cell for r in versioned.read_version(spark, sink).collect()}
+    assert all(final[100 + i] == 1 for i in range(6))
+    cell0_members = {i for i in range(6)} | {50 + i for i in range(8)}
+    new_cells = {final[m] for m in cell0_members}
+    assert new_cells == {2, 3}
+    # the on-centroid originals separate from the drift arrivals
+    assert {final[i] for i in range(6)} != {final[50 + i] for i in range(8)}
+    # stats advanced over the replace: per-cell n matches the new state
+    st = {r.cell: r.n for r in versioned.read_version(spark, stats).collect()}
+    assert st[1] == 6 and st.get(2, 0) + st.get(3, 0) == 14, st
