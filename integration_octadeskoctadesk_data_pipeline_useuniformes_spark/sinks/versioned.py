@@ -210,6 +210,20 @@ def _build_bloom_entries(
         for name, frame in (bloom_frames or {}).items()
     ]
     for name, keys_df, col in sources:
+        # SOUNDNESS guard: the probe re-renders keys driver-side with
+        # Python str(), which matches Spark's CAST(x AS STRING) only
+        # for integers and strings. Any other type (boolean "True" vs
+        # "true", float/decimal/timestamp formatting) would hash to
+        # different positions and prune files that DO contain the key
+        # — a false negative. Reject at commit time, loudly.
+        dt = keys_df.schema[col].dataType.typeName()
+        if dt not in ("string", "long", "integer", "short", "byte"):
+            raise ValueError(
+                f"bloom key '{name}' has type {dt}: only int/string keys "
+                "render identically in Spark's CAST(x AS STRING) and the "
+                "probe's driver-side str() — bloom another column, or "
+                "pre-cast the key to string yourself"
+            )
         # adaptive sizing: ``m_bits`` is the floor; a big commit gets
         # ~16 bits/key (3 hashes → ~0.5% FPR) so its bloom stays
         # selective instead of saturating, capped so the manifest's

@@ -657,3 +657,22 @@ def test_changes_between_key_prune_scopes_and_skips(spark, tmp_path):
     for df in (scoped,):
         scoped_files |= set(df.inputFiles())
     assert scoped_files < full_files, (len(scoped_files), len(full_files))
+
+
+def test_versioned_bloom_keys_reject_unrenderable_types(spark, tmp_path):
+    """A bloom key whose Spark string-cast differs from Python's str()
+    (boolean: 'true' vs 'True') would prune files that DO contain the
+    key — reject loudly at commit time instead."""
+    import pytest
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        commit_append,
+    )
+
+    path = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, True, 1.5)], "k long, flag boolean, v double")
+    with pytest.raises(ValueError, match="bloom key 'flag' has type boolean"):
+        commit_append(df, path, bloom_keys=["flag"])
+    with pytest.raises(ValueError, match="bloom key 'v' has type double"):
+        commit_append(df, path, bloom_keys=["v"])
+    commit_append(df, path, bloom_keys=["k"])  # int keys fine
