@@ -179,8 +179,45 @@ def _collect_file_stats(path: str, files: list[str]) -> dict[str, dict]:
                     "nulls": e["nulls"],
                     "rows": e["rows"],
                 }
+        # file-level row count (independent of any column's stats) —
+        # what metadata_count() answers from; the key is reserved and
+        # cannot collide with column entries (columns live in `packed`
+        # keyed by their own names, this sits beside them)
+        packed["__file_rows__"] = sum(
+            md.row_group(rg).num_rows for rg in range(md.num_row_groups)
+        )
         out[fn] = packed
     return out
+
+
+def metadata_count(
+    path: str, version: int | None = None, prune: dict[str, dict] | None = None
+) -> int | None:
+    """``SELECT count(*)`` of a snapshot answered from manifest stats
+    alone — no Spark job, no data scan (Delta's metadata-only count).
+    Returns None when any file lacks a row-count stat (legacy manifest
+    or pre-stats commit): the caller falls back to a scan.
+
+    With ``prune``, counts the prune-SURVIVING file subset — per the
+    skipping contract that is a count of a SUPERSET of the matching
+    rows, exact only when the predicate selects whole files (e.g.
+    values aligned with the commit/cluster layout, like the
+    one-type-per-commit fixture). Callers needing an exact predicate
+    count on unaligned data must scan."""
+    if version is None:
+        version = latest_version(path)
+    manifest = _manifest_of(path, version)
+    files = (
+        prune_files(path, version, prune) if prune else manifest["files"]
+    )
+    stats = manifest.get("file_stats") or {}
+    total = 0
+    for f in files:
+        rows = (stats.get(f) or {}).get("__file_rows__")
+        if rows is None:
+            return None
+        total += rows
+    return total
 
 
 def _build_bloom_entries(
@@ -285,8 +322,8 @@ def _file_may_match(stats: dict | None, values=None, lo=None, hi=None) -> bool:
     no row can satisfy the predicate. Missing or unbounded stats keep
     the file (sound); an all-null zone cannot match a value predicate
     (SQL comparisons with NULL are never true)."""
-    if not stats or stats.get("unbounded"):
-        return True
+    if not isinstance(stats, dict) or not stats or stats.get("unbounded"):
+        return True  # includes a column shadowing the reserved rows key
     if stats.get("allnull"):
         return False
     mn, mx = _dec_stat(stats["min"]), _dec_stat(stats["max"])

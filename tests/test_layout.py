@@ -676,3 +676,38 @@ def test_versioned_bloom_keys_reject_unrenderable_types(spark, tmp_path):
     with pytest.raises(ValueError, match="bloom key 'v' has type double"):
         commit_append(df, path, bloom_keys=["v"])
     commit_append(df, path, bloom_keys=["k"])  # int keys fine
+
+
+def test_versioned_metadata_count_answers_without_scan(spark, tmp_path):
+    """Metadata-only count(*): exact from manifest stats (no Spark job),
+    None on legacy manifests (caller scans), and composable with
+    pruning when the predicate aligns with the commit layout."""
+    import json
+    import os
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        commit_append,
+        latest_version,
+        metadata_count,
+        read_version,
+    )
+
+    path = str(tmp_path / "tbl")
+    for day, n in (("d1", 7), ("d2", 11)):
+        commit_append(
+            spark.createDataFrame([(i, day) for i in range(n)], "id long, day string"),
+            path,
+        )
+    assert metadata_count(path) == 18
+    assert metadata_count(path, version=0) == 7
+    assert metadata_count(path, prune={"day": {"values": ["d2"]}}) == 11
+    assert metadata_count(path) == read_version(spark, path).count()
+
+    # legacy manifest (stats stripped) → None, never a wrong number
+    mpath = os.path.join(path, f"_v{latest_version(path)}.json")
+    with open(mpath) as fh:
+        m = json.load(fh)
+    m["file_stats"] = {}
+    with open(mpath, "w") as fh:
+        json.dump(m, fh)
+    assert metadata_count(path) is None
