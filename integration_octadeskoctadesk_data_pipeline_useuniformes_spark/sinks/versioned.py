@@ -348,6 +348,8 @@ def prune_files(path: str, version: int, prune: dict[str, dict]) -> list[str]:
     keep = []
     for f in files:
         fs = file_stats.get(f) or {}
+        if fs.get("__file_rows__") == 0:
+            continue  # a 0-row file (empty write partition) matches nothing
         if all(
             _file_may_match(
                 fs.get(col), spec.get("values"), spec.get("lo"), spec.get("hi")

@@ -211,12 +211,8 @@ def recluster_drifted_cells(
     drifted = sorted(set(drifted_cells))
     members = (
         assign.filter(F.col("cell").isin(drifted))
-        .select("vec_id")
+        .select("vec_id", "cell")
         .join(embeddings.select("vec_id", "embedding"), "vec_id")
-        .join(
-            assign.filter(F.col("cell").isin(drifted)).select("vec_id", "cell"),
-            "vec_id",
-        )
     )
     new_seeds, reassigned = split_drifted_cells(
         members, seeds, drifted, iters=iters
