@@ -537,7 +537,12 @@ class ConcurrentReplaceError(RuntimeError):
     caller against the new state (Delta OPTIMIZE's conflict abort)."""
 
 
-def _publish_replace_from(path: str, new_files: list[str], base_version: int) -> int:
+def _publish_replace_from(
+    path: str,
+    new_files: list[str],
+    base_version: int,
+    new_bloom_entries: list[dict] | None = None,
+) -> int:
     """Publish ``new_files`` as the rewrite of snapshot ``base_version``,
     MERGING any files appended concurrently since the base.
 
@@ -578,7 +583,7 @@ def _publish_replace_from(path: str, new_files: list[str], base_version: int) ->
         # carried (concurrently-appended) files; the rewritten files
         # themselves go un-bloomed (always scanned — sound) until the
         # next keyed commit
-        blooms = [
+        blooms = list(new_bloom_entries or []) + [
             {**e, "files": kept}
             for e in (prev_manifest.get("blooms") or [])
             if (kept := [f for f in e["files"] if f in carried])
@@ -598,7 +603,14 @@ def _publish_replace_from(path: str, new_files: list[str], base_version: int) ->
     return _claim_slot(path, compute)
 
 
-def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_files: int = 1,
+    cluster_by: Sequence[str] = (),
+    bloom_keys: Sequence[str] = (),
+    bloom_m_bits: int = 4096,
+) -> int:
     """OPTIMIZE analogue: rewrite the CURRENT snapshot into
     ``target_files`` evenly-sized files and commit it as a new version
     with byte-identical rows.
@@ -621,14 +633,31 @@ def compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     even-sized regardless of the input file-size skew; the one shuffle
     is the cost of any physical re-layout (cluster_for_skipping's
     documented tradeoff).
+
+    ``cluster_by`` makes compaction IMPROVE data skipping instead of
+    destroying it (Delta OPTIMIZE ZORDER's role): the rewrite range-
+    partitions + sorts by those columns, so the rewritten files carry
+    near-disjoint min/max zones — without it, a micro-batched sink's
+    per-commit clustering (one batch's keys per file) is shuffled away
+    by the rewrite and every later pruned probe degrades to
+    scan-everything. ``bloom_keys`` re-indexes the rewritten files
+    (old bloom entries retire with the files they described); both
+    ride the one snapshot read the rewrite already pays.
     """
     base = latest_version(path)
     if base < 0:
         raise ValueError(f"cannot compact {path}: table has no committed versions")
     snap = read_version(spark, path, base)
-    rewritten = _write_files(snap.repartition(target_files), path)
+    if cluster_by:
+        relaid = snap.repartitionByRange(target_files, *cluster_by).sortWithinPartitions(
+            *cluster_by
+        )
+    else:
+        relaid = snap.repartition(target_files)
+    rewritten = _write_files(relaid, path)
+    entries = _build_bloom_entries(snap, rewritten, bloom_keys, bloom_m_bits)
     try:
-        return _publish_replace_from(path, rewritten, base)
+        return _publish_replace_from(path, rewritten, base, entries)
     except ConcurrentReplaceError:
         # the staged rewrite is referenced by no manifest — vacuum only
         # sweeps files EXPIRED manifests reference, so an aborted

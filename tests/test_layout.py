@@ -711,3 +711,48 @@ def test_versioned_metadata_count_answers_without_scan(spark, tmp_path):
     with open(mpath, "w") as fh:
         json.dump(m, fh)
     assert metadata_count(path) is None
+
+
+def test_versioned_clustered_compaction_restores_skipping(spark, tmp_path):
+    """OPTIMIZE-with-clustering: after many interleaved commits, plain
+    compaction would shuffle the keys together and degrade pruning to
+    scan-everything; cluster_by re-lays the rewrite with near-disjoint
+    zones and bloom_keys re-indexes the rewritten files, so pruned
+    probes stay selective across maintenance."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        _files_of,
+        commit_append,
+        compact,
+        latest_version,
+        read_version,
+        read_version_for_keys,
+    )
+
+    path = str(tmp_path / "tbl")
+    # interleaved keys per commit: per-commit zones are USELESS (every
+    # commit spans the whole key range)
+    for c in range(3):
+        commit_append(
+            spark.createDataFrame(
+                [(c + 10 * i, f"p{c + 10 * i}") for i in range(12)], "k long, fp string"
+            ).coalesce(1),
+            path,
+            bloom_keys=["fp"],
+        )
+    v = compact(spark, path, target_files=4, cluster_by=["k"], bloom_keys=["fp"])
+    all_files = set(_files_of(path, v))
+    assert len(all_files) >= 3
+
+    # range prune: only the file(s) whose zone holds the low keys
+    lo = read_version(spark, path, prune={"k": {"lo": 0, "hi": 5}})
+    assert 0 < len(lo.inputFiles()) < len(all_files)
+    assert lo.filter("k <= 5").count() == 3  # keys 0,1,2
+
+    # bloom re-index: an absent key prunes EVERYTHING (fresh entries
+    # cover the rewritten files)
+    none = read_version_for_keys(spark, path, "fp", ["absent"])
+    assert none.count() == 0 and len(none.inputFiles()) == 0
+
+    # rows intact
+    assert read_version(spark, path, v).count() == 36
+    assert latest_version(path) == v
