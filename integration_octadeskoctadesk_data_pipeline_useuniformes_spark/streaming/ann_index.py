@@ -70,6 +70,10 @@ def advance_cell_stats(spark: SparkSession, sink_path: str, stats_path: str) -> 
             prev_rollup=stats.drop(_THROUGH),
             from_version=through,
             to_version=latest,
+            # a re-clustering replace retires whole cells; without the
+            # drop their rows would linger at n=0 and diverge from the
+            # full recompute (which has no such groups)
+            drop_when_zero="n",
         )
     else:
         out = (

@@ -1385,3 +1385,53 @@ def test_maintain_index_full_loop_detects_and_splits_drifted_cell(spark, tmp_pat
     # stats advanced over the replace: per-cell n matches the new state
     st = {r.cell: r.n for r in versioned.read_version(spark, stats).collect()}
     assert st[1] == 6 and st.get(2, 0) + st.get(3, 0) == 14, st
+
+
+def test_advance_cell_stats_drops_retired_cells_after_recluster(spark, tmp_path):
+    """After a re-clustering replace, the retired cell must VANISH from
+    the advanced stats (the full recompute has no such group), not
+    linger at n=0."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.ann_index import (
+        advance_cell_stats,
+        recluster_drifted_cells,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.similarity import (
+        ivf_assign_with_distance,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0, 0.001 * i]) for i in range(4)]
+        + [(10 + i, [0.0, 1.0, 0.001 * i]) for i in range(4)]
+        + [(20 + i, [0.0, 0.0, 1.0]) for i in range(4)],
+        "vec_id long, embedding array<float>",
+    )
+    cents_path = str(tmp_path / "cents")
+    sink = str(tmp_path / "assign")
+    stats = str(tmp_path / "stats")
+    versioned.commit_replace(
+        spark.createDataFrame(
+            [(0, [0.7, 0.7, 0.0]), (1, [0.0, 0.0, 1.0])],
+            "seed_id long, seed_vec array<float>",
+        ),
+        cents_path,
+    )
+    versioned.commit_append(
+        ivf_assign_with_distance(emb, versioned.read_version(spark, cents_path)), sink
+    )
+    advance_cell_stats(spark, sink, stats)
+    recluster_drifted_cells(spark, sink, emb, cents_path, [0])
+    advance_cell_stats(spark, sink, stats)
+    st = {r.cell: r.n for r in versioned.read_version(spark, stats).collect()}
+    assert 0 not in st, st
+    assert st[1] == 4 and st.get(2, 0) + st.get(3, 0) == 8, st
+    # and the incremental stats equal the full recompute exactly
+    full = {
+        r.cell: r.n
+        for r in versioned.read_version(spark, sink)
+        .groupBy("cell")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert st == full
