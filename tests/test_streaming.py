@@ -819,11 +819,11 @@ def test_compact_abort_reclaims_staged_rewrite(spark, tmp_path, monkeypatch):
     # inject a replace between compact's snapshot and its publish
     real = versioned._publish_replace_from
 
-    def racing(path_, new_files, base):
+    def racing(path_, new_files, base, new_bloom_entries=None):
         versioned.commit_replace(
             spark.createDataFrame([(1, "a")], "k long, v string"), path_
         )
-        return real(path_, new_files, base)
+        return real(path_, new_files, base, new_bloom_entries)
 
     monkeypatch.setattr(versioned, "_publish_replace_from", racing)
     with pytest.raises(versioned.ConcurrentReplaceError):
