@@ -305,13 +305,27 @@ def _bloom_positions(key_value, seeds: list[str], m_bits: int) -> list[int]:
     ]
 
 
-def _bloom_may_contain_any(entry: dict, values: Iterable) -> bool:
+def _bloom_may_contain_any(
+    entry: dict, values: Iterable, memo: dict | None = None
+) -> bool:
+    """``memo`` (optional, keyed by (m_bits, seeds-tuple)) caches each
+    value's hash positions across entries: a probe against a
+    thousands-of-commits history pays the 3 md5s per key ONCE per
+    distinct bitmap geometry, not once per commit."""
     lanes = entry["lanes"]
-    m_bits, seeds = entry["m_bits"], entry["seeds"]
+    m_bits, seeds = entry["m_bits"], tuple(entry["seeds"])
+    pos_of = None
+    if memo is not None:
+        pos_of = memo.setdefault((m_bits, seeds), {})
     for v in values:
+        if pos_of is not None and v in pos_of:
+            positions = pos_of[v]
+        else:
+            positions = _bloom_positions(v, seeds, m_bits)
+            if pos_of is not None:
+                pos_of[v] = positions
         if all(
-            lanes.get(str(pos // 32), 0) & (1 << (pos % 32))
-            for pos in _bloom_positions(v, seeds, m_bits)
+            lanes.get(str(pos // 32), 0) & (1 << (pos % 32)) for pos in positions
         ):
             return True
     return False
@@ -321,14 +335,22 @@ def _file_may_match(stats: dict | None, values=None, lo=None, hi=None) -> bool:
     """Zone check for one file/column: False only when the stats PROVE
     no row can satisfy the predicate. Missing or unbounded stats keep
     the file (sound); an all-null zone cannot match a value predicate
-    (SQL comparisons with NULL are never true)."""
+    (SQL comparisons with NULL are never true).
+
+    ``values`` must be SORTED (prune_files sorts once): the in-zone
+    test is a bisect, so a probe over thousands of files × thousands
+    of keys costs O(files · log keys) driver-side, not O(files · keys)."""
     if not isinstance(stats, dict) or not stats or stats.get("unbounded"):
         return True  # includes a column shadowing the reserved rows key
     if stats.get("allnull"):
         return False
     mn, mx = _dec_stat(stats["min"]), _dec_stat(stats["max"])
-    if values is not None and not any(mn <= v <= mx for v in values):
-        return False
+    if values is not None:
+        import bisect
+
+        i = bisect.bisect_left(values, mn)
+        if i >= len(values) or values[i] > mx:
+            return False
     if lo is not None and mx < lo:
         return False
     if hi is not None and mn > hi:
@@ -345,6 +367,13 @@ def prune_files(path: str, version: int, prune: dict[str, dict]) -> list[str]:
     manifest = _manifest_of(path, version)
     files = list(manifest["files"])
     file_stats = manifest.get("file_stats") or {}
+    # sort value lists once: _file_may_match bisects them per file
+    prune = {
+        col: {**spec, "values": sorted(spec["values"])}
+        if spec.get("values") is not None
+        else spec
+        for col, spec in prune.items()
+    }
     keep = []
     for f in files:
         fs = file_stats.get(f) or {}
@@ -358,6 +387,7 @@ def prune_files(path: str, version: int, prune: dict[str, dict]) -> list[str]:
         ):
             keep.append(f)
     manifest_files = set(keep)
+    memo: dict = {}
     for col, spec in prune.items():
         values = spec.get("values")
         if values is None:
@@ -366,7 +396,7 @@ def prune_files(path: str, version: int, prune: dict[str, dict]) -> list[str]:
             if entry["key"] != col:
                 continue
             covered = set(entry["files"]) & manifest_files
-            if covered and not _bloom_may_contain_any(entry, values):
+            if covered and not _bloom_may_contain_any(entry, values, memo):
                 manifest_files -= covered
     return [f for f in keep if f in manifest_files]
 
