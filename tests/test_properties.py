@@ -3553,3 +3553,44 @@ def test_split_drifted_cells_partitions_members_and_keeps_fresh_ids(spark, membe
     seed_ids = {r.seed_id for r in new_seeds.collect()}
     assert seed_ids == {1, 2, 3}
     assert all(r.dist_ppm >= 0 for r in got)
+
+
+@given(
+    commits=st.lists(
+        st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=6),
+        min_size=2,
+        max_size=4,
+    ),
+    probe=st.lists(st.integers(min_value=0, max_value=60), min_size=1, max_size=5),
+    clustered=st.booleans(),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_key_probe_pruning_sound_across_compaction(
+    spark, commits, probe, clustered, tmp_path_factory
+):
+    """Maintenance composition soundness: after ANY commit history is
+    compacted (clustered or plain, re-bloomed or not), a key probe
+    still returns every matching row — retired bloom entries must
+    never prune the rewritten files that now hold their keys."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    tmp = tmp_path_factory.mktemp("bloom_compact_prop")
+    tbl = str(tmp / "tbl")
+    all_rows = []
+    for ci, keys in enumerate(commits):
+        rows = [(k, f"c{ci}-k{k}") for k in sorted(set(keys))]
+        all_rows.extend(rows)
+        versioned.commit_append(
+            spark.createDataFrame(rows, "k long, payload string"),
+            tbl,
+            bloom_keys=["k"],
+            bloom_m_bits=256,
+        )
+    if clustered:
+        versioned.compact(spark, tbl, target_files=2, cluster_by=["k"], bloom_keys=["k"], bloom_m_bits=256)
+    else:
+        versioned.compact(spark, tbl, target_files=2)
+    want = {(k, p) for k, p in all_rows if k in set(probe)}
+    got_df = versioned.read_version_for_keys(spark, tbl, "k", probe)
+    got = {(r.k, r.payload) for r in got_df.collect() if r.k in set(probe)}
+    assert got == want, (got, want, commits, probe, clustered)
