@@ -904,7 +904,13 @@ def split_drifted_cells(
 
     # fresh child ids: retire every drifted seed id entirely so a stale
     # assignment row can never alias a NEW cell
-    base = seeds.agg(F.max("seed_id")).first()[0] + 1
+    max_seed = seeds.agg(F.max("seed_id")).first()[0]
+    if max_seed is None:
+        raise ValueError(
+            "split_drifted_cells: seeds table is empty — nothing to split "
+            "(drifted cells were named against a different centroid table?)"
+        )
+    base = max_seed + 1
     child_id = {
         (c, j): base + 2 * i + j for i, c in enumerate(drifted) for j in (0, 1)
     }

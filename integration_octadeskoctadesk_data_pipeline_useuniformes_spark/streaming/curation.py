@@ -100,6 +100,12 @@ def _check_history_signatures(spark: SparkSession, sink_path: str) -> None:
         )
 
 
+#: driver-side key-probe gate (VERDICT r9 #3) — see
+#: streaming/ann_index.MAX_PROBE_KEYS for the rationale; band keys are
+#: 4 per doc, so the fuzzy probe's list is gated at 4x this
+MAX_PROBE_KEYS = 100_000
+
+
 def streaming_curation(
     spark: SparkSession,
     landing_dir: str,
@@ -109,6 +115,7 @@ def streaming_curation(
     lang: str = "en",
     available_now: bool = True,
     near_dup: bool = False,
+    max_probe_keys: int = MAX_PROBE_KEYS,
 ):
     """Start the curation stream (availableNow drains the landing dir).
 
@@ -196,18 +203,35 @@ def streaming_curation(
         # per-batch scope bounds the cache's lifetime
         kept = scoped_persist(kept)
         if versioned.latest_version(sink_path) >= 0:
+            n_kept = kept.count()
+            if n_kept == 0:
+                return  # whole batch gated out — nothing to probe or commit
             # manifest-level key pruning (VERDICT r8 #2): the exact
             # gate probes history with THIS batch's fingerprints, so
             # the scan covers only files whose stats/blooms might
             # collide — O(matching files), not O(history). The keys
             # are micro-batch-grain by contract (the batch is already
-            # gated and in-batch deduped when collected).
-            batch_fps = [r.fingerprint for r in kept.select("fingerprint").collect()]
-            if not batch_fps:
-                return  # whole batch gated out — nothing to probe or commit
-            seen = versioned.read_version_for_keys(
-                batch_df.sparkSession, sink_path, "fingerprint", batch_fps
-            ).select("fingerprint")
+            # gated and in-batch deduped when collected); the size
+            # gate (VERDICT r9 #3) enforces the contract — a
+            # backfill-sized replay batch skips pruning and scans the
+            # (still-correct superset) unpruned history instead of
+            # materializing millions of strings on the driver.
+            # NULL fingerprints (null text) are dropped from the PROBE
+            # list only — they would TypeError against typed zone
+            # bounds (ADVICE r9) and can never match the anti-join
+            if n_kept <= max_probe_keys:
+                batch_fps = [
+                    r.fingerprint
+                    for r in kept.select("fingerprint").collect()
+                    if r.fingerprint is not None
+                ]
+                seen = versioned.read_version_for_keys(
+                    batch_df.sparkSession, sink_path, "fingerprint", batch_fps
+                ).select("fingerprint")
+            else:
+                seen = versioned.read_version(
+                    batch_df.sparkSession, sink_path
+                ).select("fingerprint")
             kept = kept.join(seen, "fingerprint", "left_anti")
             if near_dup:
                 # the fuzzy probe compares BAND KEYS, not row keys —
@@ -215,16 +239,21 @@ def streaming_curation(
                 # each commit's derived-key bloom (committed below as
                 # __lsh_band): a file whose bloom misses every batch
                 # band key cannot produce a candidate pair, so the
-                # probe scans only potentially-colliding commits
-                batch_bands = [
-                    r.bk
-                    for r in kept.select(
-                        F.explode(D.band_key_strings()).alias("bk")
-                    ).collect()
-                ]
-                history = versioned.read_version_for_keys(
-                    batch_df.sparkSession, sink_path, "__lsh_band", batch_bands
-                )
+                # probe scans only potentially-colliding commits.
+                # Same size gate: the band list is 4x the batch.
+                if n_kept <= max_probe_keys:
+                    batch_bands = [
+                        r.bk
+                        for r in kept.select(
+                            F.explode(D.band_key_strings()).alias("bk")
+                        ).collect()
+                        if r.bk is not None
+                    ]
+                    history = versioned.read_version_for_keys(
+                        batch_df.sparkSession, sink_path, "__lsh_band", batch_bands
+                    )
+                else:
+                    history = versioned.read_version(batch_df.sparkSession, sink_path)
                 survivors = D.incremental_lsh_dedup(
                     kept,
                     corpus_signatures=history.select("doc_id", "minhash"),

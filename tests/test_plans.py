@@ -1605,3 +1605,32 @@ def test_ivm_rollup_minmax_rescan_prunes_untouched_groups(spark):
     tree = df._jdf.queryExecution().executedPlan().toString()
     sample = next(iter(nonclick_files))
     assert tree.count(sample) <= 1, f"non-click file {sample} scanned more than once"
+
+
+def test_versioned_merge_upsert_carries_untouched_files_name_identical(spark):
+    """The MERGE query's copy-on-write lineage: the update batch lives
+    inside ONE of the five id-range files, so the post-merge manifest
+    must carry the other four base files verbatim (never rewritten) and
+    replace exactly one."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_scale import (
+        _merge_fixture_sink,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    catalog.queries()["x_versioned_merge_upsert"](spark, SF)
+    tbl = _merge_fixture_sink(spark, SF)
+    base_v = versioned.latest_version(tbl) - 1  # the merge is the last commit
+    base_files = set(versioned._files_of(tbl, base_v))
+    merged_files = set(versioned._files_of(tbl, base_v + 1))
+    carried = base_files & merged_files
+    assert len(base_files) == 5 and len(carried) == 4, (base_files, merged_files)
+    # and the one replaced file is the middle id-range's (zone check)
+    import json
+    import os
+
+    with open(os.path.join(tbl, f"_v{base_v}.json")) as fh:
+        stats = json.load(fh)["file_stats"]
+    (replaced,) = base_files - carried
+    zone = stats[replaced]["event_id"]
+    total = sum(stats[f]["__file_rows__"] for f in base_files)
+    assert zone["min"] == 2 * total // 5 and zone["max"] == 3 * total // 5 - 1, zone

@@ -1435,3 +1435,419 @@ def test_advance_cell_stats_drops_retired_cells_after_recluster(spark, tmp_path)
         .collect()
     }
     assert st == full
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r9 regressions
+# ---------------------------------------------------------------------------
+
+
+def test_commit_blooms_built_from_written_files_not_replayed_plan(spark, tmp_path):
+    """ADVICE r9: a NON-DETERMINISTIC input plan must not poison the
+    commit's bloom. The commit evaluates the plan once for the write;
+    a second evaluation (for the bloom) would yield DIFFERENT keys and
+    the bloom would false-negative-prune files that DO contain the
+    written keys. The fix builds blooms from a read-back of the
+    written files, so the probe must find every key the files carry."""
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import StringType
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    # evaluation counter on local disk: closures are re-pickled per
+    # evaluation (an in-memory counter would reset), but the file
+    # persists — each of the 4 rows appends a byte, so evaluation N
+    # renders keys "k{i}-eval{N}" and a replayed plan yields DIFFERENT
+    # keys than the ones written
+    marker = str(tmp_path / "eval_calls")
+
+    def flaky_fn(i):
+        with open(marker, "a") as fh:
+            fh.write("x")
+        with open(marker) as fh:
+            calls = len(fh.read())
+        return f"k{i}-eval{(calls - 1) // 4}"
+
+    flaky = udf(flaky_fn, StringType()).asNondeterministic()
+    df = (
+        spark.range(4)
+        .repartition(1)
+        .select(F.col("id").cast("long").alias("id"), flaky("id").alias("key"))
+    )
+    path = str(tmp_path / "nondet")
+    versioned.commit_append(df, path, bloom_keys=["key"])
+
+    written_keys = [r.key for r in versioned.read_version(spark, path).collect()]
+    assert written_keys, "sanity: commit wrote rows"
+    for k in written_keys:
+        got = versioned.read_version_for_keys(spark, path, "key", [k]).collect()
+        assert any(r.key == k for r in got), (
+            f"bloom false-negative: key {k!r} is in the files but the "
+            f"pruned probe missed it (probe returned {got})"
+        )
+
+
+def test_key_probe_ignores_null_keys(spark, tmp_path):
+    """ADVICE r9: a None among typed probe keys must not TypeError in
+    prune_files (sorted/bisect vs int zone bounds); it is dropped —
+    a NULL key can never satisfy a value predicate."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = str(tmp_path / "nullprobe")
+    versioned.commit_append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"),
+        path,
+        bloom_keys=["k"],
+    )
+    got = versioned.read_version_for_keys(spark, path, "k", [None, 2]).collect()
+    assert any(r.k == 2 for r in got)
+    # an all-None probe matches nothing: empty frame, correct schema
+    empty = versioned.read_version_for_keys(spark, path, "k", [None])
+    assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+
+def test_streaming_gates_survive_null_keys_in_batch(spark, tmp_path):
+    """ADVICE r9 end-to-end: a micro-batch row with a NULL probe key
+    (null vec_id / null text→fingerprint) must not kill the stream."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.ann_index import (
+        streaming_ivf_assign,
+    )
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], "seed_id long, seed_vec array<float>"
+    )
+    sink = str(tmp_path / "sink")
+    # batch 1 seeds history so batch 2 takes the key-probe path
+    _write_batch(landing, "b1.json", [{"vec_id": 1, "embedding": [1.0, 0.0]}])
+    q = streaming_ivf_assign(
+        spark, str(landing), cents, sink, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    _write_batch(
+        landing,
+        "b2.json",
+        [
+            {"vec_id": None, "embedding": [0.5, 0.5]},
+            {"vec_id": 2, "embedding": [0.0, 1.0]},
+        ],
+    )
+    q = streaming_ivf_assign(
+        spark, str(landing), cents, sink, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(120)
+    ids = [r.vec_id for r in versioned.read_version(spark, sink).collect()]
+    assert 1 in ids and 2 in ids  # the stream processed batch 2 despite the NULL
+
+
+def test_recluster_merges_concurrent_append_instead_of_dropping_it(spark, tmp_path):
+    """ADVICE r9: rows a streaming batch appends to the assignments
+    sink BETWEEN recluster's snapshot read and its publish must merge
+    into the post-split manifest (commit_replace_from), not vanish."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.similarity import (
+        ivf_assign_with_distance,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming import ann_index
+
+    emb_rows = (
+        [(i, [1.0, 0.0, 0.001 * i]) for i in range(6)]
+        + [(i, [0.0, 1.0, 0.001 * i]) for i in range(6, 12)]
+        + [(i, [0.0, 0.0, 1.0]) for i in range(12, 16)]
+    )
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>")
+    cents_path = str(tmp_path / "centroids")
+    sink = str(tmp_path / "assign")
+    versioned.commit_replace(
+        spark.createDataFrame(
+            [(0, [0.7, 0.7, 0.0]), (1, [0.0, 0.0, 1.0])],
+            "seed_id long, seed_vec array<float>",
+        ),
+        cents_path,
+    )
+    versioned.commit_append(
+        ivf_assign_with_distance(emb, versioned.read_version(spark, cents_path)), sink
+    )
+
+    # simulate the race: a streaming micro-batch lands AFTER recluster
+    # read its snapshot, BEFORE it publishes the rewrite
+    real = versioned.commit_replace_from
+    raced = {"done": False}
+
+    def racing_replace_from(df, path, base_version, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            versioned.commit_append(
+                spark.createDataFrame([(99, 1, 123)], "vec_id long, cell long, dist_ppm long"),
+                path,
+            )
+        return real(df, path, base_version, **kw)
+
+    import unittest.mock as mock
+
+    with mock.patch.object(
+        ann_index.versioned, "commit_replace_from", side_effect=racing_replace_from
+    ):
+        ann_index.recluster_drifted_cells(spark, sink, emb, cents_path, [0])
+
+    assert raced["done"], "sanity: the race was injected"
+    latest = {r.vec_id for r in versioned.read_version(spark, sink).collect()}
+    assert 99 in latest, "concurrent append was dropped by the recluster publish"
+    assert latest == set(range(16)) | {99}
+
+
+def test_drift_check_covers_cells_created_by_a_previous_split(spark, tmp_path):
+    """ADVICE r9: a cell first appearing AFTER the baseline version
+    (a split's child) is re-baselined at its first-appearance stats
+    version — repeated maintenance keeps drift coverage of exactly the
+    cells that were just split."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.ann_index import (
+        drifted_cells_from_stats,
+    )
+
+    stats = str(tmp_path / "stats")
+    # v0: cells 0,1 (training-time baseline)
+    versioned.commit_replace(
+        spark.createDataFrame(
+            [(0, 10, 100 * 10), (1, 10, 100 * 10)], "cell long, n long, sum_dist_ppm long"
+        ).withColumn("_through_version", F.lit(0)),
+        stats,
+    )
+    # v1: cell 0 retired into children 2,3 — their post-split means ARE
+    # their baselines (first appearance)
+    versioned.commit_replace(
+        spark.createDataFrame(
+            [(1, 10, 100 * 10), (2, 5, 100 * 5), (3, 5, 100 * 5)],
+            "cell long, n long, sum_dist_ppm long",
+        ).withColumn("_through_version", F.lit(1)),
+        stats,
+    )
+    # v2: child 2 drifts 2x past its first-appearance mean; child 3 and
+    # original cell 1 stay put
+    versioned.commit_replace(
+        spark.createDataFrame(
+            [(1, 10, 100 * 10), (2, 8, 200 * 8), (3, 8, 100 * 8)],
+            "cell long, n long, sum_dist_ppm long",
+        ).withColumn("_through_version", F.lit(2)),
+        stats,
+    )
+    drifted = drifted_cells_from_stats(spark, stats, threshold_ppm=1_500_000, min_cell_n=4)
+    assert drifted == [2], drifted
+
+
+def test_split_drifted_cells_empty_seeds_raises_clean_error(spark):
+    """ADVICE r9: an empty seeds table raises ValueError, not a
+    TypeError from None + 1."""
+    import pytest
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.similarity import (
+        split_drifted_cells,
+    )
+
+    members = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.0, 1.0], 0)],
+        "vec_id long, embedding array<float>, cell long",
+    )
+    seeds = spark.createDataFrame([], "seed_id long, seed_vec array<float>")
+    with pytest.raises(ValueError, match="seeds table is empty"):
+        split_drifted_cells(members, seeds, [0])
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r9 #1: keyed copy-on-write MERGE on the versioned sink
+# ---------------------------------------------------------------------------
+
+
+def _merge_fixture(spark, tmp_path):
+    """Sink with one commit per group so zones/blooms separate keys by
+    file: keys 0-9 (g=a), 10-19 (g=b), 20-29 (g=c)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = str(tmp_path / "merge_tbl")
+    for lo, g in ((0, "a"), (10, "b"), (20, "c")):
+        versioned.commit_append(
+            spark.createDataFrame(
+                [(i, g, i * 100) for i in range(lo, lo + 10)], "id long, g string, v long"
+            ).coalesce(1),
+            path,
+            bloom_keys=["id"],
+        )
+    return path
+
+
+def test_commit_merge_rewrites_only_affected_files(spark, tmp_path):
+    """Copy-on-write at file grain: files whose zones/blooms exclude
+    every update key carry into the merged manifest NAME-IDENTICAL;
+    only the affected file is replaced. Time travel intact."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = _merge_fixture(spark, tmp_path)
+    base = versioned.latest_version(path)
+    base_files = set(versioned._files_of(path, base))
+    pre = {r.id: (r.g, r.v) for r in versioned.read_version(spark, path).collect()}
+
+    updates = spark.createDataFrame([(12, "b", 9999), (17, "b", 8888)], "id long, g string, v long")
+    v = versioned.commit_merge(spark, path, updates, key="id", bloom_keys=["id"])
+    assert v == base + 1
+
+    new_files = set(versioned._files_of(path, v))
+    carried = base_files & new_files
+    # keys 12,17 live in ONE file (the g=b commit); the other two base
+    # files must carry name-identical (never rewritten)
+    assert len(carried) == len(base_files) - 1, (base_files, new_files)
+
+    post = {r.id: (r.g, r.v) for r in versioned.read_version(spark, path, v).collect()}
+    assert post[12] == ("b", 9999) and post[17] == ("b", 8888)
+    for i in set(range(30)) - {12, 17}:
+        assert post[i] == pre[i]
+    # time travel: pre-merge snapshot unchanged
+    assert {
+        r.id: (r.g, r.v) for r in versioned.read_version(spark, path, base).collect()
+    } == pre
+    # the rewritten+carried files stay key-probable (blooms re-anchored
+    # / re-indexed): a probe for an updated and an untouched key hits
+    assert {r.id for r in versioned.read_version_for_keys(spark, path, "id", [12]).collect()} >= {12}
+    assert {r.id for r in versioned.read_version_for_keys(spark, path, "id", [25]).collect()} >= {25}
+
+
+def test_commit_merge_cdf_and_inserts(spark, tmp_path):
+    """changes_between across a merge shows exactly update_pre/
+    update_post for touched keys and insert for unmatched keys."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = _merge_fixture(spark, tmp_path)
+    base = versioned.latest_version(path)
+    updates = spark.createDataFrame(
+        [(5, "a", 5555), (77, "z", 7777)], "id long, g string, v long"
+    )
+    v = versioned.commit_merge(spark, path, updates, key="id", insert_unmatched=True)
+    feed = versioned.changes_between(spark, path, "id", base, v).collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["_change_type"], set()).add(r.id)
+    assert by_type == {"update_pre": {5}, "update_post": {5}, "insert": {77}}, by_type
+    post = {r.id: r.v for r in versioned.read_version(spark, path, v).collect()}
+    assert post[5] == 5555 and post[77] == 7777 and len(post) == 31
+
+
+def test_commit_merge_ivm_rollup_advances_across_merge(spark, tmp_path):
+    """advance_rollup across a merge commit (non-append-only range →
+    changes_between fallback) equals the full recompute exactly."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.incremental import (
+        advance_rollup,
+    )
+
+    path = _merge_fixture(spark, tmp_path)
+    base = versioned.latest_version(path)
+    measures = {"n": F.lit(1), "sum_v": F.col("v")}
+    rollup0 = (
+        versioned.read_version(spark, path, base)
+        .groupBy("g")
+        .agg(*[F.sum(e).alias(n) for n, e in measures.items()])
+    )
+    updates = spark.createDataFrame(
+        [(3, "a", 1), (21, "c", 2), (40, "d", 3)], "id long, g string, v long"
+    )
+    v = versioned.commit_merge(spark, path, updates, key="id")
+    advanced = {
+        r.g: (r.n, r.sum_v)
+        for r in advance_rollup(
+            spark, path, "id", ["g"], measures, rollup0, base, v
+        ).collect()
+    }
+    full = {
+        r.g: (r.n, r.sum_v)
+        for r in versioned.read_version(spark, path, v)
+        .groupBy("g")
+        .agg(*[F.sum(e).alias(n) for n, e in measures.items()])
+        .collect()
+    }
+    assert advanced == full, (advanced, full)
+
+
+def test_commit_merge_concurrent_append_merges_in(spark, tmp_path):
+    """An append landing between the merge's snapshot read and its
+    publish merges into the new manifest (Delta MERGE conflict rules)."""
+    import unittest.mock as mock
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = _merge_fixture(spark, tmp_path)
+    real = versioned._publish_replace_from
+    raced = {"done": False}
+
+    def racing(publish_path, new_files, base_version, *a, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            versioned.commit_append(
+                spark.createDataFrame([(100, "x", 1)], "id long, g string, v long"), path
+            )
+        return real(publish_path, new_files, base_version, *a, **kw)
+
+    updates = spark.createDataFrame([(12, "b", 9999)], "id long, g string, v long")
+    with mock.patch.object(versioned, "_publish_replace_from", side_effect=racing):
+        v = versioned.commit_merge(spark, path, updates, key="id")
+    assert raced["done"]
+    rows = {r.id: r.v for r in versioned.read_version(spark, path, v).collect()}
+    assert rows[100] == 1 and rows[12] == 9999 and len(rows) == 31
+
+
+def test_commit_merge_concurrent_replace_aborts_and_reclaims_staging(spark, tmp_path):
+    """A replace landing mid-merge aborts with ConcurrentReplaceError
+    and the staged rewrite files are reclaimed (no orphan parquet)."""
+    import os as _os
+    import unittest.mock as mock
+
+    import pytest
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = _merge_fixture(spark, tmp_path)
+    real = versioned._publish_replace_from
+    raced = {"done": False}
+
+    def racing(publish_path, new_files, base_version, *a, **kw):
+        if not raced["done"]:
+            raced["done"] = True
+            versioned.commit_replace(
+                spark.createDataFrame([(0, "a", 0)], "id long, g string, v long"), path
+            )
+        return real(publish_path, new_files, base_version, *a, **kw)
+
+    updates = spark.createDataFrame([(12, "b", 9999)], "id long, g string, v long")
+    with mock.patch.object(versioned, "_publish_replace_from", side_effect=racing):
+        with pytest.raises(versioned.ConcurrentReplaceError):
+            versioned.commit_merge(spark, path, updates, key="id")
+    referenced = set()
+    for ver in versioned._manifests(path):
+        referenced |= set(versioned._files_of(path, ver))
+    on_disk = {f for f in _os.listdir(path) if f.endswith(".parquet")}
+    assert on_disk == referenced, on_disk - referenced
+
+
+def test_commit_merge_contract_errors_and_evolution(spark, tmp_path):
+    """Duplicate update keys raise before anything is written; an
+    update-only column evolves the schema additively (untouched rows
+    read NULL); insert_unmatched=False drops unknown keys."""
+    import pytest
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = _merge_fixture(spark, tmp_path)
+    base = versioned.latest_version(path)
+    dup = spark.createDataFrame([(5, "a", 1), (5, "a", 2)], "id long, g string, v long")
+    with pytest.raises(ValueError, match="distinct"):
+        versioned.commit_merge(spark, path, dup, key="id")
+    assert versioned.latest_version(path) == base  # nothing committed
+
+    evo = spark.createDataFrame([(5, 5555, "note5"), (99, 9, "note99")],
+                                "id long, v long, note string")
+    v = versioned.commit_merge(spark, path, evo, key="id", insert_unmatched=False)
+    rows = {r.id: (r.v, r.note) for r in versioned.read_version(spark, path, v).collect()}
+    assert 99 not in rows and len(rows) == 30
+    assert rows[5] == (5555, "note5")
+    assert rows[6][1] is None and rows[25][1] is None  # rewritten + carried files: NULL
