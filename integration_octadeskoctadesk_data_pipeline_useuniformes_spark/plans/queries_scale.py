@@ -1251,3 +1251,84 @@ def x_versioned_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tbl = _merge_fixture_sink(spark, sf_dir)
     return versioned.read_version(spark, tbl).select("event_id", "event_type", "cents")
+
+
+# ---------------------------------------------------------------------------
+# Keyed copy-on-write DELETE on the versioned sink (r10, the MERGE
+# commit's sibling): sinks/versioned.commit_delete rewrites ONLY the
+# files the prune locates (zones on the clustered key), carries the
+# rest name-identical, and the post-delete snapshot is what a reader
+# sees — Delta DELETE's physical shape. The delete predicate is a
+# contiguous key range (+ a modulus), so the {lo,hi} prune is SOUND by
+# construction (every matching row's key lies in the range) and the
+# lineage plan test pins four of the five range files out of the
+# rewrite. The oracle recomputes the surviving rows from the raw
+# table, making the driver hash the delete == recompute proof.
+#
+# Catalog-growth discipline (r10): registry grep — no query touches a
+# row-removal surface of the versioned sink (x_versioned_merge_upsert
+# is update/insert; the IVM fixtures use whole-snapshot replaces).
+# Fixture probe: the delete predicate (middle event_id fifth, %3)
+# removes 66 rows at sf0.001 and 666 at sf0.01 — selective but
+# non-degenerate at every driver SF.
+# ---------------------------------------------------------------------------
+
+#: sf_dir -> post-delete sink path (the _MERGE_SINKS convention)
+_DELETE_SINKS: dict[str, str] = {}
+
+
+def _delete_fixture_sink(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _DELETE_SINKS:
+        return _DELETE_SINKS[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sinks import versioned
+
+    base = tempfile.mkdtemp(prefix="spark_delete_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    tbl = f"{base}/events_by_id_range"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    n = ev.count()
+    bounds = [i * n // 5 for i in range(6)]
+    for lo, hi in zip(bounds, bounds[1:]):
+        versioned.commit_append(
+            ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(1),
+            tbl,
+        )
+    lo, hi = 2 * n // 5, 3 * n // 5
+    versioned.commit_delete(
+        spark,
+        tbl,
+        condition=f"event_id >= {lo} AND event_id < {hi} AND event_id % 3 = 0",
+        # sound by construction: every matching row's key is in [lo, hi)
+        prune={"event_id": {"lo": lo, "hi": hi - 1}},
+    )
+    _DELETE_SINKS[sf_dir] = tbl
+    return tbl
+
+
+@register(
+    "x_versioned_delete_where",
+    """
+WITH b AS (SELECT 2 * count(*) // 5 AS lo, 3 * count(*) // 5 AS hi FROM events)
+SELECT e.event_id, e.event_type,
+       CAST(floor(e.value * 100 + 0.5) AS BIGINT) AS cents
+FROM events e CROSS JOIN b
+WHERE NOT (e.event_id >= b.lo AND e.event_id < b.hi AND e.event_id % 3 = 0)
+""",
+)
+def x_versioned_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-DELETE snapshot of the versioned sink (``commit_delete`` —
+    copy-on-write at file grain, untouched range-files carried
+    name-identical per the lineage plan test); the oracle recomputes
+    the surviving rows from the raw table."""
+    from ..sinks import versioned
+
+    tbl = _delete_fixture_sink(spark, sf_dir)
+    return versioned.read_version(spark, tbl).select("event_id", "event_type", "cents")

@@ -1634,3 +1634,21 @@ def test_versioned_merge_upsert_carries_untouched_files_name_identical(spark):
     zone = stats[replaced]["event_id"]
     total = sum(stats[f]["__file_rows__"] for f in base_files)
     assert zone["min"] == 2 * total // 5 and zone["max"] == 3 * total // 5 - 1, zone
+
+
+def test_versioned_delete_where_carries_untouched_files_name_identical(spark):
+    """The DELETE query's copy-on-write lineage: the delete predicate
+    is range-confined to ONE of the five id-range files, so the
+    post-delete manifest carries the other four base files verbatim."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_scale import (
+        _delete_fixture_sink,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    catalog.queries()["x_versioned_delete_where"](spark, SF)
+    tbl = _delete_fixture_sink(spark, SF)
+    base_v = versioned.latest_version(tbl) - 1  # the delete is the last commit
+    base_files = set(versioned._files_of(tbl, base_v))
+    post_files = set(versioned._files_of(tbl, base_v + 1))
+    carried = base_files & post_files
+    assert len(base_files) == 5 and len(carried) == 4, (base_files, post_files)

@@ -819,11 +819,11 @@ def test_compact_abort_reclaims_staged_rewrite(spark, tmp_path, monkeypatch):
     # inject a replace between compact's snapshot and its publish
     real = versioned._publish_replace_from
 
-    def racing(path_, new_files, base, new_bloom_entries=None):
+    def racing(path_, new_files, base, new_bloom_entries=None, **kw):
         versioned.commit_replace(
             spark.createDataFrame([(1, "a")], "k long, v string"), path_
         )
-        return real(path_, new_files, base, new_bloom_entries)
+        return real(path_, new_files, base, new_bloom_entries, **kw)
 
     monkeypatch.setattr(versioned, "_publish_replace_from", racing)
     with pytest.raises(versioned.ConcurrentReplaceError):
@@ -1844,6 +1844,10 @@ def test_commit_merge_contract_errors_and_evolution(spark, tmp_path):
         versioned.commit_merge(spark, path, dup, key="id")
     assert versioned.latest_version(path) == base  # nothing committed
 
+    empty = spark.createDataFrame([], "id long, g string, v long")
+    assert versioned.commit_merge(spark, path, empty, key="id") == base  # no-op
+    assert versioned.latest_version(path) == base
+
     evo = spark.createDataFrame([(5, 5555, "note5"), (99, 9, "note99")],
                                 "id long, v long, note string")
     v = versioned.commit_merge(spark, path, evo, key="id", insert_unmatched=False)
@@ -2164,3 +2168,133 @@ def test_advance_cell_stats_idempotence_check_is_metadata_only(spark, tmp_path):
     ):
         assert advance_cell_stats(spark, sink, stats) == versioned.latest_version(sink)
     assert versioned.latest_version(stats) == v_stats
+
+
+def test_commit_merge_key_gate_falls_back_to_range_prune(spark, tmp_path):
+    """An update batch over max_merge_keys never materializes its key
+    list driver-side — affected files prune by the keys' min/max range
+    instead — and the merged state is identical."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = _merge_fixture(spark, tmp_path)
+    base_files = set(versioned._files_of(path, versioned.latest_version(path)))
+    updates = spark.createDataFrame(
+        [(11, "b", 1111), (12, "b", 2222), (13, "b", 3333)], "id long, g string, v long"
+    )
+    v = versioned.commit_merge(spark, path, updates, key="id", max_merge_keys=2)
+    post = {r.id: r.v for r in versioned.read_version(spark, path, v).collect()}
+    assert post[11] == 1111 and post[12] == 2222 and post[13] == 3333
+    assert len(post) == 30 and post[0] == 0 and post[25] == 2500
+    # range [11,13] still prunes to the one g=b file: the other two carry
+    carried = base_files & set(versioned._files_of(path, v))
+    assert len(carried) == len(base_files) - 1
+
+
+def test_commit_delete_rewrites_only_affected_files(spark, tmp_path):
+    """Keyed copy-on-write DELETE: zones locate the affected file,
+    untouched files carry name-identical, the feed is pure deletes,
+    time travel intact, IVM advances across the delete, and NULL
+    conditions keep their rows (SQL DELETE semantics)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.streaming.incremental import (
+        advance_rollup,
+    )
+
+    path = _merge_fixture(spark, tmp_path)
+    base = versioned.latest_version(path)
+    base_files = set(versioned._files_of(path, base))
+    measures = {"n": F.lit(1), "sum_v": F.col("v")}
+    rollup0 = (
+        versioned.read_version(spark, path, base)
+        .groupBy("g")
+        .agg(*[F.sum(e).alias(n) for n, e in measures.items()])
+    )
+
+    v = versioned.commit_delete(
+        spark,
+        path,
+        condition="id IN (12, 17)",
+        prune={"id": {"values": [12, 17]}},
+    )
+    assert v == base + 1
+    post = {r.id for r in versioned.read_version(spark, path, v).collect()}
+    assert post == set(range(30)) - {12, 17}
+    carried = base_files & set(versioned._files_of(path, v))
+    assert len(carried) == len(base_files) - 1  # only the g=b file rewrote
+    feed = versioned.changes_between(spark, path, "id", base, v).collect()
+    assert {(r.id, r["_change_type"]) for r in feed} == {(12, "delete"), (17, "delete")}
+    assert {
+        r.id for r in versioned.read_version(spark, path, base).collect()
+    } == set(range(30))  # time travel
+    advanced = {
+        r.g: (r.n, r.sum_v)
+        for r in advance_rollup(
+            spark, path, "id", ["g"], measures, rollup0, base, v, drop_when_zero="n"
+        ).collect()
+    }
+    full = {
+        r.g: (r.n, r.sum_v)
+        for r in versioned.read_version(spark, path, v)
+        .groupBy("g")
+        .agg(*[F.sum(e).alias(n) for n, e in measures.items()])
+        .collect()
+    }
+    assert advanced == full
+
+    # a zone-proven no-match prune is a committed-nothing no-op
+    assert versioned.commit_delete(
+        spark, path, condition="id = 999", prune={"id": {"values": [999]}}
+    ) == v
+    # NULL condition keeps the row: delete WHERE v/0... use a NULL-able
+    # comparison: NULL = anything is NULL, row survives
+    versioned.commit_append(
+        spark.createDataFrame([(50, None, 1)], "id long, g string, v long"), path
+    )
+    v2 = versioned.commit_delete(spark, path, condition="g = 'zzz'")
+    ids = {r.id for r in versioned.read_version(spark, path, v2).collect()}
+    assert 50 in ids  # g IS NULL → condition NULL → row kept
+
+
+def test_compact_small_files_packs_only_small_files(spark, tmp_path):
+    """Incremental OPTIMIZE: only files under the threshold rewrite;
+    the big file carries name-identical with its bloom entry; rows are
+    identical; re-running is a committed-nothing no-op."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = str(tmp_path / "packtbl")
+    big = spark.createDataFrame(
+        [(i, "x" * 200) for i in range(5000)], "id long, pad string"
+    ).coalesce(1)
+    versioned.commit_append(big, path, bloom_keys=["id"])
+    for i in range(3):  # three tiny commits (the micro-batch tax)
+        versioned.commit_append(
+            spark.createDataFrame([(10000 + i, "y")], "id long, pad string").coalesce(1),
+            path,
+            bloom_keys=["id"],
+        )
+    base = versioned.latest_version(path)
+    files = versioned._files_of(path, base)
+    import os as _os
+
+    sizes = {f: _os.path.getsize(_os.path.join(path, f)) for f in files}
+    threshold = max(sizes.values())  # strictly below the big file
+    pre_rows = {r.id for r in versioned.read_version(spark, path).collect()}
+
+    v = versioned.compact(spark, path, target_files=1, small_bytes=threshold)
+    assert v == base + 1
+    new_files = versioned._files_of(path, v)
+    big_file = max(sizes, key=sizes.get)
+    assert big_file in new_files, "big file was rewritten"
+    assert len(new_files) == 2  # big + one packed file
+    assert {r.id for r in versioned.read_version(spark, path, v).collect()} == pre_rows
+    # the carried big file keeps its bloom: a probe for one of its keys
+    # scans a strict file subset
+    probed = versioned.prune_files(path, v, {"id": {"values": [3]}})
+    assert big_file in probed and len(probed) <= 2
+    # no-op when nothing small remains
+    assert versioned.compact(spark, path, target_files=1, small_bytes=threshold) in (v, v + 1)
+    # stricter: with everything now >= 2 small files? the packed file
+    # may still be under the threshold, so allow one more pack, then
+    # a third call must be a no-op at the same version
+    v_final = versioned.latest_version(path)
+    assert versioned.compact(spark, path, target_files=1, small_bytes=1) == v_final
