@@ -42,6 +42,7 @@ from .. import query_scope
 __all__ = [
     "SEP",
     "bpe_merge_steps",
+    "byte_fallback_pieces_expr",
     "encode_pieces_expr",
     "munch_count_expr",
     "symbol_count_expr",
@@ -103,6 +104,43 @@ def encode_pieces_expr(
             F.lit(SEP + merged + SEP),
         )
     return F.filter(F.split(expr, SEP), lambda x: x != F.lit(""))
+
+
+def byte_fallback_pieces_expr(
+    steps: list[tuple[int, str, str, str, int]],
+    vocab: list[str],
+    word: Column,
+) -> Column:
+    """Column: BPE pieces of ``word`` under ``steps`` with the
+    SentencePiece byte-fallback convention (VERDICT r9 #7): a piece
+    outside the trained ``vocab`` — necessarily a single character the
+    trainer never saw, since merges only ever fuse trained symbols —
+    is replaced by its UTF-8 bytes as ``<0xNN>`` pieces (uppercase
+    hex, the SentencePiece rendering). Encode is therefore TOTAL on
+    arbitrary UTF-8 with a CLOSED vocabulary of |vocab| + 256 pieces —
+    no <unk>, no dropped characters.
+
+    ``vocab`` is the trained piece inventory (the training corpus's
+    character set plus every step's merged symbol) — tokenizer
+    metadata baked into the plan as a literal array, like the merge
+    list itself. The whole expression is built-in codegen (encode →
+    hex → regexp_extract_all → transform/flatten): no Python UDF, one
+    projection, zero shuffles."""
+    known = F.array(*[F.lit(s) for s in sorted(set(vocab))])
+    pieces = encode_pieces_expr(steps, word)
+    return F.flatten(
+        F.transform(
+            pieces,
+            lambda p: F.when(F.array_contains(known, p), F.array(p)).otherwise(
+                F.transform(
+                    F.regexp_extract_all(
+                        F.hex(F.encode(p, "UTF-8")), F.lit("(..)"), F.lit(1)
+                    ),
+                    lambda h: F.concat(F.lit("<0x"), h, F.lit(">")),
+                )
+            ),
+        )
+    )
 
 
 def symbol_count_expr(

@@ -1149,3 +1149,118 @@ def x_unigram_prune_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(n_pruned, vocab_size, total_tokens, total_cost_ppm)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-fallback encode (VERDICT r9 #7): the SentencePiece convention
+# that makes the trained tokenizer TOTAL on arbitrary UTF-8 — a piece
+# outside the trained inventory (necessarily a single never-seen char,
+# since merges only fuse trained symbols) expands to its UTF-8 bytes
+# as <0xNN> pieces, so the vocabulary closes at |vocab| + 256 and no
+# <unk>/dropped-char path exists. The encode stays one codegen
+# projection (encode → hex → regexp_extract_all → transform/flatten,
+# operators/bpe.byte_fallback_pieces_expr); the vocabulary — trained
+# char inventory + merged symbols — is plan metadata like the merge
+# list. The fixture slice injects out-of-vocabulary chars by suffixing
+# every document with ' café €9 中文' (the corpus inventory is 24 ASCII
+# letters, so é/€/9/中/文 are all genuinely OOV: 2+3+1+3+3 = 12 byte
+# pieces per doc), while TRAINING still reads the unmodified corpus.
+#
+# Catalog-growth discipline (r10): registry grep — no query exercises
+# encode totality / byte fallback (x_bpe_encode_docs assumes the
+# trained inventory covers the corpus, true for the fixtures; the
+# wordpiece/unigram queries likewise). Fixture probe: 500 docs at BOTH
+# driver SFs, every row carrying deterministic OOV expansions (12 byte
+# pieces each) on top of corpus-dependent known-piece counts.
+# ---------------------------------------------------------------------------
+
+_OOV_SUFFIX = " café €9 中文"
+
+
+def _bpe_byte_fallback_oracle(n_steps: int) -> str:
+    fallbacks, expr, froms = _bpe_apply_sql(n_steps)
+    merged_selects = "\nUNION ALL\n".join(
+        f"SELECT m{k}.pr AS pr FROM m{k}" for k in range(1, n_steps + 1)
+    )
+    return f"""WITH {_bpe_train_ctes(n_steps)},
+{fallbacks},
+chars AS (
+  SELECT DISTINCT unnest(list_transform(generate_series(1, length(word)),
+                                        i -> substr(word, i, 1))) AS sym
+  FROM wf
+), ms AS (
+  SELECT DISTINCT replace(pr, chr(1), '') AS sym
+  FROM ({merged_selects}) WHERE pr <> chr(1)
+), vocab AS (
+  SELECT sym FROM chars UNION SELECT sym FROM ms
+), dw AS (
+  SELECT doc_id, lower(word) AS word
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(text || ' café €9 中文'), '\\s+')) AS word
+        FROM documents)
+  WHERE word <> '' AND NOT contains(word, chr(1))
+), enc AS (
+  SELECT doc_id,
+         list_filter(string_split({expr}, chr(1)), x -> x <> '') AS syms
+  FROM dw, {froms}
+), sy AS (
+  SELECT doc_id, unnest(syms) AS sym FROM enc
+), per AS (
+  SELECT doc_id,
+         CASE WHEN sym IN (SELECT sym FROM vocab) THEN 1 ELSE strlen(sym) END AS np,
+         CASE WHEN sym IN (SELECT sym FROM vocab) THEN 0 ELSE strlen(sym) END AS nb
+  FROM sy
+), agg AS (
+  SELECT doc_id, CAST(sum(np) AS BIGINT) AS n_pieces,
+         CAST(sum(nb) AS BIGINT) AS n_byte_pieces
+  FROM per GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+       CAST(coalesce(a.n_byte_pieces, 0) AS BIGINT) AS n_byte_pieces
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+@register("x_bpe_byte_fallback_encode", _bpe_byte_fallback_oracle(_BPE_STEPS))
+def x_bpe_byte_fallback_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import SEP, bpe_merge_steps, byte_fallback_pieces_expr
+    from ..query_scope import scoped_persist
+
+    wf = scoped_persist(_bpe_word_freq(spark, sf_dir))
+    steps = bpe_merge_steps(wf, _BPE_STEPS)
+    # trained piece inventory: the corpus char set (vocab-grain scan of
+    # the persisted word-freq table) + every step's merged symbol —
+    # tokenizer metadata, collected once and baked into the plan
+    chars = [
+        r.c
+        for r in wf.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, char_length(word)), i -> substring(word, i, 1))"
+                )
+            ).alias("c")
+        )
+        .distinct()
+        .collect()
+    ]
+    vocab = sorted(set(chars) | {m for _, _, _, m, _ in steps})
+    known = F.array(*[F.lit(s) for s in vocab])
+
+    d = load_table(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.trim(F.lower(F.concat(F.col("text"), F.lit(_OOV_SUFFIX)))), r"\s+"),
+        lambda w: (w != F.lit("")) & ~w.contains(SEP),
+    )
+    all_pieces = F.flatten(
+        F.transform(words, lambda w: byte_fallback_pieces_expr(steps, vocab, w))
+    )
+    return d.select(
+        "doc_id",
+        F.size(all_pieces).cast("bigint").alias("n_pieces"),
+        # byte pieces are exactly the not-in-vocab pieces (the oracle's
+        # membership rule, mirrored — never a string-prefix heuristic)
+        F.size(
+            F.filter(all_pieces, lambda p: ~F.array_contains(known, p))
+        ).cast("bigint").alias("n_byte_pieces"),
+    )

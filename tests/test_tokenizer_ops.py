@@ -329,3 +329,41 @@ def test_unigram_prune_curve_matches_python_reference_and_em_query(spark):
     # pruning a unigram vocab can only lengthen segmentations
     toks_along_curve = [got[k][1] for k in sorted(got)]
     assert toks_along_curve == sorted(toks_along_curve)
+
+
+def test_byte_fallback_encode_is_total_on_arbitrary_utf8(spark):
+    """VERDICT r9 #7: pieces outside the trained inventory expand to
+    SentencePiece <0xNN> byte pieces (uppercase hex, one per UTF-8
+    byte); known pieces — single chars and merged symbols — pass
+    through; encode is total (no char dropped, no <unk>)."""
+    from pyspark.sql import functions as F
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.bpe import (
+        byte_fallback_pieces_expr,
+    )
+
+    steps = [(1, "t", "h", "th", 5), (2, "th", "e", "the", 3)]
+    vocab = ["a", "c", "e", "f", "h", "t", "th", "the"]
+    rows = [("the",), ("café",), ("t€h",), ("中",), ("",)]
+    df = spark.createDataFrame(rows, "word string")
+    got = {
+        r.word: r.p
+        for r in df.select(
+            "word", byte_fallback_pieces_expr(steps, vocab, F.col("word")).alias("p")
+        ).collect()
+    }
+    assert got["the"] == ["the"]                                  # merged symbol known
+    assert got["café"] == ["c", "a", "f", "<0xC3>", "<0xA9>"]     # é → 2 bytes
+    assert got["t€h"] == ["t", "<0xE2>", "<0x82>", "<0xAC>", "h"]  # merge blocked by OOV
+    assert got["中"] == ["<0xE4>", "<0xB8>", "<0xAD>"]            # 3-byte char
+    assert got[""] == []
+    # totality: round-trip — the UTF-8 bytes of the word equal the
+    # concatenation of known pieces' bytes + fallback bytes
+    for word, pieces in got.items():
+        rebuilt = b""
+        for p in pieces:
+            if p.startswith("<0x") and len(p) == 6:
+                rebuilt += bytes([int(p[3:5], 16)])
+            else:
+                rebuilt += p.encode("utf-8")
+        assert rebuilt == word.encode("utf-8"), (word, pieces)
