@@ -40,6 +40,11 @@ HEADLINE = [
     "x_bm25_search",
     "x_outlier_mad_by_source",
     "agg_funnel_view_click_purchase",
+    # r10 (VERDICT r9 #6): the versioned sink's pruned read path,
+    # perf-tracked like the query tier. Cold includes the one-time
+    # fixture-sink build (5 commits), warm is the pruned snapshot read
+    # alone — the number that matters for the 100 TB probe path.
+    "x_versioned_skipping_read",
 ]
 
 
