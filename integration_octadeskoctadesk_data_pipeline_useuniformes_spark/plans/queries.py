@@ -73,104 +73,115 @@ def register(name: str, oracle: str | None):
 #: rounds' rows persist in CORRECTNESS_r{N}.json; after round 4 every
 #: registered query has at least one green row.
 #:
-#: Round-9 window (VERDICT r8 #1): the two NEW queries lead
-#: (x_versioned_skipping_read, x_ivm_rollup_minmax — ADVICE r2
-#: standing rule), plus ONE changed-owner re-window:
-#: x_ivm_rollup_incremental — its owners changed three ways this round
-#: (sinks/versioned.py manifest refactor for data skipping,
-#: streaming/incremental.py's advance_rollup gained extreme_measures,
-#: and its own @register block's fixture build moved to a cached
-#: per-sf_dir builder, ADVICE r8). operators/similarity.py's r9 edit
-#: is append-only (split_drifted_cells; zero deletions), so no ANN
-#: re-windows — the r8 precedent. streaming/curation.py and
-#: ann_index.py changed (probe pruning) but are test-covered surfaces
-#: with no query mapping. Then the ELEVEN displaced r4-cohort members
-#: carried per the r8 handoff ledger (exact_substring / leakage_safe /
-#: word_pmi first — no in-window twin last round), then 36 of the 47
-#: queries whose newest green row is r5 (recomputed from the eight
-#: CORRECTNESS jsons this round: histogram r8:50, r7:49, r6:49, r5:47,
-#: r4:11, r1:1). 3 + 11 + 47 = 61 candidates for 50 slots: eleven
-#: r5-cohort members are displaced to r10 (rationale in the trailing
-#: comment).
+#: Round-10 window (VERDICT r9 #2): the three NEW queries lead
+#: (x_versioned_merge_upsert — the r9 #1 MERGE commit —
+#: x_versioned_delete_where — its copy-on-write DELETE sibling —
+#: and x_bpe_byte_fallback_encode, the r9 #7 encode-totality query;
+#: ADVICE r2 standing rule), plus THREE changed-owner re-windows:
+#: x_versioned_skipping_read, x_ivm_rollup_minmax and
+#: x_ivm_rollup_incremental — their owner file sinks/versioned.py
+#: changed non-append-only this round (blooms now built from written
+#: files, prune_files NULL normalization, _publish_replace_from
+#: generalized to subset rewrites — the commit/prune/publish paths
+#: all three queries ride). operators/bpe.py's edit is append-only
+#: (byte_fallback_pieces_expr; __all__ gained a name, no existing
+#: line changed semantically) so no other BPE re-windows — the r8/r9
+#: precedent; operators/similarity.py's edit replaces one line inside
+#: split_drifted_cells (a maintenance-only owner no registered query
+#: composes); streaming/curation.py and ann_index.py changed (probe
+#: size gates, cell merge, metadata-minmax consumer) but are
+#: test-covered surfaces with no query mapping. Then the ELEVEN
+#: displaced r5-cohort members carried per the r9 handoff ledger,
+#: then 33 of the 49 queries whose newest green row is r6 (recomputed
+#: from the nine CORRECTNESS jsons this round: histogram r9:50,
+#: r8:49, r7:49, r6:49, r5:11, r1:1). 6 + 11 + 49 = 66 candidates for
+#: 50 slots: sixteen r6-cohort members are displaced to r11
+#: (rationale in the trailing comment).
 DRIVER_WINDOW: list[str] = [
     # new or changed-owner this round (verify first)
+    "x_versioned_merge_upsert",
+    "x_versioned_delete_where",
+    "x_bpe_byte_fallback_encode",
     "x_versioned_skipping_read",
     "x_ivm_rollup_minmax",
     "x_ivm_rollup_incremental",
-    # the eleven carried r4-cohort members (r8 handoff ledger)
-    "x_dedup_exact_substring",
-    "x_split_leakage_safe",
-    "x_word_pmi_pairs",
-    "x_ann_pq_topk",
-    "x_bm25_search",
-    "x_bpe_encode_docs",
-    "x_bpe_pair_counts",
-    "x_bpe_vocab_usage",
-    "x_dedup_survivors",
-    "x_kmeans_semantic_clusters",
-    "x_quality_classifier_score",
-    # the r5-green-once cohort (36 of 47)
-    "a2_distinct_collection",
-    "a3_dedup_removed_count",
-    "c11_custom_fields_extract",
-    "c13_pivot_event_types",
-    "c14_json_flatten",
-    "c1_iso_format",
-    "c4_sliding_lookback",
-    "c5_regex_normalize_values",
-    "c7_try_cast_fallback",
-    "f1_range_filter_events",
-    "f2_equality_filter",
-    "f5_first_match_per_chat",
-    "j1_full_outer_integrate",
-    "j2_left_join_enrich",
-    "j3_anti_dedup",
-    "j4_zip_custom_fields",
-    "o1_sort_limit_topn",
-    "o3_point_lookup",
-    "p3_sanitize_columns",
-    "p7_null_key_fill",
-    "u1_union_by_name",
-    "x_ann_ivf_topk",
-    "x_ann_lsh_topk",
-    "x_ann_rp_topk",
-    "x_dedup_embedding_cosine",
-    "x_dedup_exact",
-    "x_dedup_lsh_band_tuning",
-    "x_dedup_ngram_jaccard",
-    "x_dedup_simhash",
-    "x_multimodal_features",
-    "x_source_overlap_jaccard",
-    "x_text_fingerprint",
-    "x_text_langid",
-    "x_text_quality",
-    "x_text_stats",
-    "x_vocab_growth_curve",
+    # the eleven carried r5-cohort members (r9 handoff ledger)
+    "c13_dynamic_pivot_flags",
+    "pipeline_integrate_full",
+    "x_ann_lsh_buckets",
+    "x_ann_lsh_multiprobe_topk",
+    "x_ann_matryoshka_recall",
+    "x_ann_matryoshka_topk",
+    "x_ccnet_perplexity_buckets",
+    "x_dedup_simhash_hamming_pairs",
+    "x_exact_quantiles_chars",
+    "x_multimodal_frames",
+    "x_quality_threshold_by_source",
+    # the r6-green-once cohort (33 of 49)
+    "agg_cohort_retention",
+    "agg_cust_order_distribution",
+    "agg_daily_active_users",
+    "agg_disjunctive_revenue",
+    "agg_dominant_suppliers",
+    "agg_forecast_revenue",
+    "agg_grouping_sets_mixed",
+    "agg_idle_rich_customers",
+    "agg_important_parts",
+    "agg_large_order_customers",
+    "agg_market_share",
+    "agg_min_price_supplier",
+    "agg_nation_volume_pairs",
+    "agg_order_priority_exists",
+    "agg_part_margin_by_nation_year",
+    "agg_promo_revenue_share",
+    "agg_returned_top_customers",
+    "agg_shipping_priority_topk",
+    "agg_small_qty_revenue",
+    "agg_top_supplier_revenue",
+    "agg_value_percentiles",
+    "c10_coalesce_chain",
+    "f4_membership_filter",
+    "fn_unpivot_measures",
+    "fn_window_rank_tiles",
+    "fn_window_running_total",
+    "p1_project_rename",
+    "p2_missing_column_backfill",
+    "pipeline_update_selection",
+    "s10_sql_entry_parameterized",
+    "w1_latest_event_per_chat",
+    "x_dedup_containment_topk",
+    "x_length_bucket_padding",
 ]
-# Slot arithmetic (r9): 2 new + 1 changed-owner re-window + 11 carried
-# r4-cohort + 36 of the 47 r5-green-once cohort = 50. Eleven r5-cohort
-# members are DISPLACED to round 10, chosen for the strongest ongoing
-# coverage elsewhere:
-# (a) six SENSITIVE members — x_exact_quantiles_chars,
-#     x_ann_matryoshka_topk, x_ann_matryoshka_recall,
-#     x_ccnet_perplexity_buckets, x_dedup_simhash_hamming_pairs,
-#     x_quality_threshold_by_source — strictly value-verified at
-#     sf0.1 by the local gate EVERY round;
-# (b) x_ann_lsh_buckets, x_ann_lsh_multiprobe_topk — the RH-LSH
-#     bucket-assignment owner chain is composed verbatim by in-window
-#     x_ann_lsh_topk (multiprobe adds only the probe-set expansion on
-#     the same chain);
-# (c) c13_dynamic_pivot_flags — the two-pass guarded pivot owner
-#     (operators/pivot.py) is composed by in-window
-#     c13_pivot_event_types (also a bench headliner);
-# (d) x_multimodal_frames — the Arrow mapInPandas fan-out shape is
-#     re-verified by in-window x_multimodal_features and by the
-#     byte-exact multimodal pytest suite;
-# (e) pipeline_integrate_full — every stage it composes (sanitize,
-#     project, integrate join, anti-dedup) is covered by in-window
-#     p3/j1/j3 plus the pipeline pytest suite.
-# All eleven stay covered by the full-catalog strict sf0.01 gate every
-# round and are FIRST in line for the r10 window.
+# Slot arithmetic (r10): 3 new + 3 changed-owner re-windows + 11
+# carried r5-cohort + 33 of the 49 r6-green-once cohort = 50. Sixteen
+# r6-cohort members are DISPLACED to round 11, chosen for the
+# strongest ongoing coverage elsewhere:
+# (a) three SENSITIVE members — x_embedding_top_component,
+#     x_kcenter_diverse_sample, x_lm_trigram_predictability —
+#     strictly value-verified at sf0.1 by the local gate EVERY round;
+# (b) x_dedup_minhash_signatures — its owner chain
+#     (operators/dedup.minhash_signature + the band fold) is composed
+#     verbatim by still-SENSITIVE x_dedup_incremental_minhash (sf0.1
+#     strict every round);
+# (c) six bench headliners — agg_pricing_summary, agg_regional_revenue,
+#     agg_funnel_view_click_purchase, x_ngram_novelty, x_pack_sequences,
+#     x_outlier_mad_by_source — timed at sf0.1 every round (a crash or
+#     row-explosion regression surfaces immediately in BENCH) on top of
+#     the full-catalog sf0.01 strict sweep;
+# (d) owner-family twins kept in-window: agg_cube_status_segment and
+#     agg_rollup_status_priority (CUBE/ROLLUP are GROUPING SETS
+#     specializations in both engines — the multi-grain grouping owner
+#     is exercised by kept agg_grouping_sets_mixed);
+#     fn_window_lag_gap (the one Window partition/order owner, kept
+#     twins fn_window_rank_tiles + fn_window_running_total cover the
+#     rank- and frame-function shapes); agg_priority_class_counts
+#     (orders-table conditional-count owner, kept twin
+#     agg_order_priority_exists); agg_supplier_cnt_by_part
+#     (count-distinct-grain family, kept twin
+#     agg_cust_order_distribution); agg_waiting_suppliers (the
+#     EXISTS-correlation family, kept twin agg_order_priority_exists).
+# All sixteen stay covered by the full-catalog strict sf0.01 gate
+# every round and are FIRST in line for the r11 window.
 # flagship_unresolved_distinct stays out as always: the driver's
 # entry() smoke verifies it every round regardless of the window.
 

@@ -28,9 +28,10 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 #: (VERDICT r3 item 6), round 4's iterative BPE, the round-5 additions,
 #: round 6's trigram LM, round 7's incremental-minhash/funnel/
 #: RRF-fusion/epoch-planner/overlap-curve/calibration and round 8's
-#: IVF-assignment/unigram-EM+prune, minus the r8+r9 demotions — 42
-#: members as of round 9 (registry-sync
-#: pinned by tests/test_units.py), against a 207-query catalog
+#: IVF-assignment/unigram-EM+prune, round 10's byte-fallback encode,
+#: minus the r8/r9/r10 demotions — 41
+#: members as of round 10 (registry-sync
+#: pinned by tests/test_units.py), against a 211-query catalog
 #: (x_dedup_containment_topk is sample-bounded by construction, like
 #: the recall-sample/band-tuning reports — not volume-sensitive;
 #: x_dedup_cross_source_matrix re-verifies through its in-SENSITIVE
@@ -90,6 +91,26 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 #: (x_versioned_skipping_read, x_ivm_rollup_minmax) are NOT added:
 #: pure integer equality/count/max arithmetic with no volume-moving
 #: boundary (the x_ivm_rollup_incremental exclusion class).
+#:
+#: Round-10 derivation (block-level diffs of the @register blocks and
+#: every composed helper — _bpe_train_ctes/_bpe_apply_sql/
+#: _bpe_encode_oracle/_bpe_word_freq and operators/bpe.{bpe_merge_steps,
+#: encode_pieces_expr,wrap_words,symbol_count_expr} — against the r7
+#: boundary e4476f1: ALL frozen since, i.e. 3 full rounds r8/r9/r10).
+#: DEMOTED two: x_bpe_encode_docs (the r9 derivation's only-2-rounds
+#: holdout, now at 3; its owners are composed verbatim by the NEW
+#: in-window x_bpe_byte_fallback_encode and by still-SENSITIVE
+#: x_bpe_fertility_by_lang / x_bpe_compression_curve) and
+#: x_bpe_merge_steps (same frozen trainer surface; the trainer chain
+#: is run per-prefix by still-SENSITIVE x_bpe_compression_curve and
+#: per-lang by x_bpe_fertility_by_lang — fresh sf0.1 volume coverage
+#: both). Both were sf0.1-strict green every round since r4 with no
+#: volume-attributed failure. ADDED one: x_bpe_byte_fallback_encode
+#: (new r10) — it rides the trained merge winners, which SHIFT with
+#: corpus volume (the exact class that put encode_docs here), plus the
+#: OOV membership boundary. x_versioned_merge_upsert is NOT added:
+#: integer key/cents arithmetic with no volume-moving boundary (the
+#: x_ivm_rollup_incremental exclusion class). 42 − 2 + 1 = 41 members.
 SENSITIVE = [
     # scale tier (sketches, prefix sums, checksums, quantiles)
     "x_table_checksum",
@@ -103,9 +124,10 @@ SENSITIVE = [
     "x_ann_recall_at_k",
     "x_dedup_exact_substring",
     "x_dedup_simhash_hamming_pairs",
+    # round-10 addition (trained merge winners + OOV membership
+    # boundary move with corpus volume)
+    "x_bpe_byte_fallback_encode",
     # round-4 additions
-    "x_bpe_merge_steps",
-    "x_bpe_encode_docs",
     "x_lm_bigram_predictability",
     "x_budget_select_topquality",
     "x_bpe_fertility_by_lang",
