@@ -1309,6 +1309,41 @@ def changes_between(
     return ins.unionByName(dele).unionByName(pre).unionByName(post)
 
 
+def restore(path: str, version: int) -> int:
+    """Delta RESTORE: republish snapshot ``version``'s complete state
+    as the NEW latest version — zero data copy, pure manifest
+    arithmetic (the new manifest points at the restored version's own
+    immutable files, carrying its schema, stats and bloom entries
+    verbatim). The rollback shape every versioned store needs after a
+    bad MERGE/DELETE/compaction: history is preserved (the bad version
+    stays readable; the restore is itself a normal commit the change
+    feed can diff against), and ``vacuum`` keeps the shared files
+    alive for as long as any retained manifest references them.
+
+    Raises when the restored version's files have already been
+    vacuumed away — nothing is published then (a snapshot that cannot
+    be read cannot be restored)."""
+    manifest = _manifest_of(path, version)
+    missing = [
+        f for f in manifest["files"] if not os.path.exists(os.path.join(path, f))
+    ]
+    if missing:
+        raise ValueError(
+            f"cannot restore {path} v{version}: {len(missing)} of its files "
+            f"were vacuumed (e.g. {missing[0]})"
+        )
+
+    def compute(prev: int) -> dict:
+        return {
+            "files": list(manifest["files"]),
+            "schema": manifest.get("schema"),
+            "file_stats": dict(manifest.get("file_stats") or {}),
+            "blooms": list(manifest.get("blooms") or []),
+        }
+
+    return _claim_slot(path, compute)
+
+
 def vacuum(path: str, retain_last: int = 1) -> list[str]:
     """Delete data files referenced ONLY by manifests older than the
     last ``retain_last`` versions, then drop those manifests — Delta

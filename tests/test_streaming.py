@@ -2298,3 +2298,52 @@ def test_compact_small_files_packs_only_small_files(spark, tmp_path):
     # a third call must be a no-op at the same version
     v_final = versioned.latest_version(path)
     assert versioned.compact(spark, path, target_files=1, small_bytes=1) == v_final
+
+
+def test_restore_republishes_old_snapshot_without_copying(spark, tmp_path):
+    """RESTORE after a bad merge: the new latest equals the restored
+    snapshot bit-for-bit, shares its FILES (zero copy), keeps the bad
+    version readable, stays key-probable, and vacuum keeps the shared
+    files alive while the restore manifest is retained."""
+    import os as _os
+
+    import pytest
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = _merge_fixture(spark, tmp_path)
+    good_v = versioned.latest_version(path)
+    good = {r.id: r.v for r in versioned.read_version(spark, path, good_v).collect()}
+    bad = spark.createDataFrame([(12, "b", -1)], "id long, g string, v long")
+    bad_v = versioned.commit_merge(spark, path, bad, key="id")
+
+    restored_v = versioned.restore(path, good_v)
+    assert restored_v == bad_v + 1
+    assert versioned._files_of(path, restored_v) == versioned._files_of(path, good_v)
+    assert {
+        r.id: r.v for r in versioned.read_version(spark, path, restored_v).collect()
+    } == good
+    # the bad version stays readable, and the feed bad->restored is the
+    # inverse of the bad merge
+    assert {
+        r.id: r.v for r in versioned.read_version(spark, path, bad_v).collect()
+    }[12] == -1
+    feed = versioned.changes_between(spark, path, "id", bad_v, restored_v)
+    assert {(r.id, r["_change_type"], r.v) for r in feed.collect()} == {
+        (12, "update_pre", -1),
+        (12, "update_post", 1200),
+    }
+    # blooms carried verbatim: a key probe still prunes to a subset
+    probed = versioned.prune_files(path, restored_v, {"id": {"values": [25]}})
+    assert probed and set(probed) < set(versioned._files_of(path, restored_v))
+    # vacuum retaining only the restore keeps its (shared) files
+    versioned.vacuum(path, retain_last=1)
+    assert {
+        r.id: r.v for r in versioned.read_version(spark, path).collect()
+    } == good
+    # a vacuumed version cannot be restored
+    with pytest.raises((ValueError, FileNotFoundError)):
+        versioned.restore(path, 0)
+    # disk holds exactly the retained manifest's files
+    on_disk = {f for f in _os.listdir(path) if f.endswith(".parquet")}
+    assert on_disk == set(versioned._files_of(path, versioned.latest_version(path)))
