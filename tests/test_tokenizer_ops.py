@@ -367,3 +367,34 @@ def test_byte_fallback_encode_is_total_on_arbitrary_utf8(spark):
             else:
                 rebuilt += p.encode("utf-8")
         assert rebuilt == word.encode("utf-8"), (word, pieces)
+
+
+def test_munch_byte_fallback_count_is_total_and_matches_expansion(spark):
+    """The maximal-munch twin of byte-fallback: OOV fallback chars cost
+    octet_length (their <0xNN> expansion), in-inventory chars and vocab
+    pieces cost 1 — the count is total on arbitrary UTF-8."""
+    from pyspark.sql import functions as F
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.bpe import (
+        munch_count_byte_fallback_expr,
+        munch_count_expr,
+    )
+
+    vocab = ["th", "the"]
+    inventory = ["a", "c", "e", "f", "h", "t"]
+    rows = [("the",), ("theca",), ("café",), ("t€h",), ("中",), ("",)]
+    df = spark.createDataFrame(rows, "word string")
+    got = {
+        r.word: (r.plain, r.fb)
+        for r in df.select(
+            "word",
+            munch_count_expr(vocab, F.col("word")).alias("plain"),
+            munch_count_byte_fallback_expr(vocab, inventory, F.col("word")).alias("fb"),
+        ).collect()
+    }
+    assert got["the"] == (1, 1)          # vocab piece
+    assert got["theca"] == (3, 3)        # the + c + a, all known
+    assert got["café"] == (4, 5)         # é: 1 fallback char -> 2 byte pieces
+    assert got["t€h"] == (3, 5)          # €: 3 byte pieces (munch blocked)
+    assert got["中"] == (1, 3)           # 3-byte char
+    assert got[""] == (0, 0)
