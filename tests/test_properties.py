@@ -3594,3 +3594,111 @@ def test_key_probe_pruning_sound_across_compaction(
     got_df = versioned.read_version_for_keys(spark, tbl, "k", probe)
     got = {(r.k, r.payload) for r in got_df.collect() if r.k in set(probe)}
     assert got == want, (got, want, commits, probe, clustered)
+
+
+@given(
+    commits=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=12),  # key
+                st.integers(min_value=-9, max_value=9),  # value
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    updates=st.dictionaries(
+        st.integers(min_value=0, max_value=15),  # keys incl. absent ones
+        st.integers(min_value=100, max_value=120),
+        min_size=0,
+        max_size=6,
+    ),
+    insert_unmatched=st.booleans(),
+)
+@_SETTINGS
+def test_commit_merge_equals_reference_merge_semantics(
+    spark, commits, updates, insert_unmatched, tmp_path_factory
+):
+    """MERGE soundness (r10): for ANY commit history (duplicate keys
+    across commits — every matching ROW updates, row identity
+    preserved) and ANY update batch, the post-merge snapshot equals
+    the reference semantics computed in plain Python: matched rows get
+    the update's value, unmatched rows pass through, unmatched update
+    keys insert iff insert_unmatched."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    tmp = tmp_path_factory.mktemp("merge_prop")
+    tbl = str(tmp / "tbl")
+    all_rows = []
+    for ci, rows in enumerate(commits):
+        tagged = [(k, v, f"c{ci}-{i}") for i, (k, v) in enumerate(rows)]
+        all_rows.extend(tagged)
+        versioned.commit_append(
+            spark.createDataFrame(tagged, "k long, v long, tag string"),
+            tbl,
+            bloom_keys=["k"],
+            bloom_m_bits=256,  # force bloom false positives — superset reads
+        )
+    upd = spark.createDataFrame(
+        [(k, v) for k, v in updates.items()], "k long, v long"
+    ) if updates else spark.createDataFrame([], "k long, v long")
+    v = versioned.commit_merge(
+        spark, tbl, upd, key="k", insert_unmatched=insert_unmatched
+    )
+
+    existing_keys = {k for k, _, _ in all_rows}
+    want = {(k, updates.get(k, v0) if k in updates else v0, tag) for k, v0, tag in all_rows}
+    if insert_unmatched:
+        want |= {(k, v0, None) for k, v0 in updates.items() if k not in existing_keys}
+    got = {(r.k, r.v, r.tag) for r in versioned.read_version(spark, tbl, v).collect()}
+    assert got == want, (got, want, commits, updates, insert_unmatched)
+
+
+@given(
+    commits=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=12),
+                st.integers(min_value=-9, max_value=9),
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    del_keys=st.sets(st.integers(min_value=0, max_value=15), min_size=0, max_size=6),
+)
+@_SETTINGS
+def test_commit_delete_equals_reference_delete_semantics(
+    spark, commits, del_keys, tmp_path_factory
+):
+    """DELETE soundness (r10): for ANY history and ANY key set, the
+    post-delete snapshot is exactly the non-matching rows — the keyed
+    prune (with bloom false positives forced) never strands a matching
+    row in an unscanned file."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    tmp = tmp_path_factory.mktemp("del_prop")
+    tbl = str(tmp / "tbl")
+    all_rows = []
+    for ci, rows in enumerate(commits):
+        tagged = [(k, v, f"c{ci}-{i}") for i, (k, v) in enumerate(rows)]
+        all_rows.extend(tagged)
+        versioned.commit_append(
+            spark.createDataFrame(tagged, "k long, v long, tag string"),
+            tbl,
+            bloom_keys=["k"],
+            bloom_m_bits=256,
+        )
+    keys = sorted(del_keys)
+    cond = "k IN (%s)" % ",".join(map(str, keys)) if keys else "FALSE"
+    v = versioned.commit_delete(
+        spark, tbl, condition=cond,
+        prune={"k": {"values": keys}} if keys else None,
+    )
+    want = {(k, v0, tag) for k, v0, tag in all_rows if k not in del_keys}
+    got = {(r.k, r.v, r.tag) for r in versioned.read_version(spark, tbl, v).collect()}
+    assert got == want, (got, want, commits, del_keys)
