@@ -21,6 +21,19 @@ of their file lists, so time travel costs nothing until read. Vacuuming
 file-set arithmetic and is left to a maintenance job, exactly as in
 Delta VACUUM.
 
+Commit cost is O(batch), not O(table): a commit is stored as an
+incremental (delta) record — add/remove file lists, the new files'
+stats and blooms, the merged schema — whenever that record provably
+resolves to the exact full state (``_encode_body`` verifies by
+reconstruction and falls back to a full checkpoint otherwise), and a
+full checkpoint every ``_CHECKPOINT_EVERY`` commits bounds every
+read's resolution chain. This is Delta's _delta_log + checkpoint
+split: without it, a small append to a 1M-file table would serialize
+every path, zone and bloom lane again — O(table) write amplification
+per commit, the kind that dominates a 100 TB table's maintenance
+cost. Readers are unaffected: ``_manifest_of`` always returns the
+resolved full view.
+
 Data skipping (VERDICT r8 #2/#3 — the last core Delta/Iceberg feature
 the sink lacked): every commit also records per-file column MIN/MAX
 stats (read from the just-written parquet footers on the driver —
@@ -66,9 +79,72 @@ def latest_version(path: str) -> int:
     return versions[-1] if versions else -1
 
 
-def _manifest_of(path: str, version: int) -> dict:
+#: A delta chain never grows past this many links before the commit
+#: protocol writes a full checkpoint manifest, so resolving any
+#: version reads at most this many JSON files (Delta's
+#: checkpointInterval, default 10 there too).
+_CHECKPOINT_EVERY = 10
+
+
+def _raw_manifest(path: str, version: int) -> dict:
+    """The manifest exactly as stored: either a full (checkpoint) body
+    or an incremental record with ``delta_of`` (see ``_encode_body``)."""
     with open(os.path.join(path, f"_v{version}.json")) as fh:
         return json.load(fh)
+
+
+def _reanchor_blooms(prev_blooms, carried: set) -> list[dict]:
+    """Bloom entries survive only while their files do: each entry is
+    re-anchored to its still-carried files; an entry whose files all
+    retired is dropped. The ONE rule both the replace publish path and
+    delta-manifest resolution apply, so they stay bit-identical."""
+    out = []
+    for e in prev_blooms or []:
+        kept = [f for f in e["files"] if f in carried]
+        if kept:
+            out.append({**e, "files": kept})
+    return out
+
+
+def _resolve_delta(prev_body: dict, raw: dict) -> dict:
+    """Materialize an incremental manifest against its (resolved)
+    predecessor. ``order`` preserves the publish paths' list layouts:
+    appends put carried files first (``carried + new``), replaces put
+    the rewrite first (``new + carried``) — same for bloom entries."""
+    removed = set(raw["remove_files"])
+    prev_files = prev_body.get("files", [])
+    carried = [f for f in prev_files if f not in removed]
+    add = raw["add_files"]
+    files = add + carried if raw["order"] == "replace" else carried + add
+    prev_stats = prev_body.get("file_stats") or {}
+    file_stats = {
+        **{f: prev_stats[f] for f in carried if f in prev_stats},
+        **raw["add_stats"],
+    }
+    re_anchored = _reanchor_blooms(prev_body.get("blooms"), set(carried))
+    blooms = (
+        raw["add_blooms"] + re_anchored
+        if raw["order"] == "replace"
+        else re_anchored + raw["add_blooms"]
+    )
+    return {
+        "files": files,
+        "schema": raw["schema"],
+        "file_stats": file_stats,
+        "blooms": blooms,
+    }
+
+
+def _manifest_of(path: str, version: int) -> dict:
+    """The RESOLVED manifest of ``version`` — every reader's view.
+    Full manifests return as stored (including legacy shapes); a delta
+    record resolves through its predecessor chain (≤ ``_CHECKPOINT_EVERY``
+    reads by construction)."""
+    raw = _raw_manifest(path, version)
+    if "delta_of" not in raw:
+        return raw
+    prev = _manifest_of(path, raw["delta_of"])
+    return {"version": raw["version"], **_resolve_delta(prev, raw)}
 
 
 def _files_of(path: str, version: int) -> list[str]:
@@ -566,6 +642,75 @@ def _publish_manifest(
     return _claim_slot(path, compute)
 
 
+def _encode_body(path: str, prev: int, body: dict) -> dict:
+    """The on-disk form of the next commit's ``body``: an incremental
+    (delta) record when the full state is EXACTLY derivable from the
+    previous manifest plus this commit's additions/removals, else the
+    full checkpoint form.
+
+    Why: every publish path computes the COMPLETE table state, so
+    writing it verbatim costs O(table files) JSON per commit — write
+    amplification that dominates at 100 TB (a 1M-file table would
+    serialize every path + zone + bloom lane on every small append).
+    The delta form stores only (add_files, remove_files, add_stats,
+    add_blooms, schema), i.e. O(batch); carried stats and re-anchored
+    blooms are re-derived at read time by ``_resolve_delta``.
+
+    SOUNDNESS: the encoding is verified, never assumed — the candidate
+    delta is resolved against the previous manifest and must reproduce
+    ``body`` EXACTLY (files in order, stats, blooms, schema); any
+    mismatch (legacy prev shapes, NaN stats, a publish path deviating
+    from the carry rules) falls back to the checkpoint form, which is
+    byte-for-byte today's format. Chains are capped at
+    ``_CHECKPOINT_EVERY`` links; a full replace (or any commit whose
+    add+remove lists rival the file list itself) also checkpoints,
+    since the delta would be no smaller."""
+    if prev < 0:
+        return body
+    try:
+        raw_prev = _raw_manifest(path, prev)
+    except (OSError, ValueError):
+        return body
+    chain = raw_prev.get("chain", 0) + 1 if "delta_of" in raw_prev else 1
+    if chain >= _CHECKPOINT_EVERY:
+        return body
+    prev_body = _manifest_of(path, prev)
+    prev_files = prev_body.get("files", [])
+    prev_set = set(prev_files)
+    files = body.get("files", [])
+    fset = set(files)
+    add = [f for f in files if f not in prev_set]
+    remove = [f for f in prev_files if f not in fset]
+    if len(add) + len(remove) >= max(1, len(files)):
+        return body
+    order = "replace" if files[: len(add)] == add else "append"
+    stats = body.get("file_stats") or {}
+    blooms = body.get("blooms") or []
+    re_anchored = _reanchor_blooms(prev_body.get("blooms"), fset & prev_set)
+    n = len(re_anchored)
+    if n == 0:
+        add_blooms = list(blooms)
+    elif order == "replace" and blooms[-n:] == re_anchored:
+        add_blooms = blooms[: len(blooms) - n]
+    elif order == "append" and blooms[:n] == re_anchored:
+        add_blooms = blooms[n:]
+    else:
+        add_blooms = []  # derivation failed; the verify below decides
+    delta = {
+        "delta_of": prev,
+        "chain": chain,
+        "add_files": add,
+        "remove_files": remove,
+        "order": order,
+        "schema": body.get("schema"),
+        "add_stats": {f: stats[f] for f in add if f in stats},
+        "add_blooms": add_blooms,
+    }
+    if _resolve_delta(prev_body, delta) == body:
+        return delta
+    return body
+
+
 def _claim_slot(path: str, compute) -> int:
     """The one commit protocol both publish paths share: loop —
     recompute the manifest body against the current latest via
@@ -577,7 +722,7 @@ def _claim_slot(path: str, compute) -> int:
     ConcurrentReplaceError) — nothing is published then."""
     while True:
         prev = latest_version(path)
-        body = compute(prev)
+        body = _encode_body(path, prev, compute(prev))
         version = prev + 1
         final = os.path.join(path, f"_v{version}.json")
         tmp = os.path.join(path, f"._v{version}-{_uuid.uuid4().hex}.tmp")
@@ -739,11 +884,9 @@ def _publish_replace_from(
         # files keep theirs); the rewritten files themselves are
         # covered by new_bloom_entries or go un-bloomed (always
         # scanned — sound) until the next keyed commit
-        blooms = list(new_bloom_entries or []) + [
-            {**e, "files": kept}
-            for e in (prev_manifest.get("blooms") or [])
-            if (kept := [f for f in e["files"] if f in set(carried)])
-        ]
+        blooms = list(new_bloom_entries or []) + _reanchor_blooms(
+            prev_manifest.get("blooms"), set(carried)
+        )
         # the appends since the base may have evolved the schema
         # additively; their manifest's schema covers every carried file
         out_schema = prev_manifest.get("schema")
@@ -1357,6 +1500,21 @@ def vacuum(path: str, retain_last: int = 1) -> list[str]:
     if len(versions) <= retain_last:
         return []
     retained, expired = versions[-retain_last:], versions[:-retain_last]
+    # A delta record resolves through its predecessor (always
+    # version-1), so only the OLDEST retained manifest can depend on an
+    # expired one. Materialize it as a full checkpoint first — an
+    # atomic in-place replace with its RESOLVED content, so every
+    # retained chain stays self-contained after the expired manifests
+    # drop. (os.replace is atomic; readers see either form, and both
+    # resolve to the same state.)
+    oldest = retained[0]
+    raw_oldest = _raw_manifest(path, oldest)
+    if "delta_of" in raw_oldest and raw_oldest["delta_of"] in set(expired):
+        full = _manifest_of(path, oldest)
+        tmp = os.path.join(path, f"._v{oldest}-{_uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(full, fh)
+        os.replace(tmp, os.path.join(path, f"_v{oldest}.json"))
     keep = set()
     for v in retained:
         keep.update(_files_of(path, v))

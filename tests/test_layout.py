@@ -573,9 +573,13 @@ def test_versioned_read_version_prune_predicate_skips_files(spark, tmp_path):
     import json
     import os
 
-    mpath = os.path.join(path, f"_v{latest_version(path)}.json")
-    with open(mpath) as fh:
-        m = json.load(fh)
+    # materialize the RESOLVED manifest (the stored form may be an
+    # incremental record) and strip its stats to the legacy shape
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import _manifest_of
+
+    v = latest_version(path)
+    m = _manifest_of(path, v)
+    mpath = os.path.join(path, f"_v{v}.json")
     m["file_stats"] = {}
     m["blooms"] = []
     with open(mpath, "w") as fh:
@@ -703,12 +707,14 @@ def test_versioned_metadata_count_answers_without_scan(spark, tmp_path):
     assert metadata_count(path, prune={"day": {"values": ["d2"]}}) == 11
     assert metadata_count(path) == read_version(spark, path).count()
 
-    # legacy manifest (stats stripped) → None, never a wrong number
-    mpath = os.path.join(path, f"_v{latest_version(path)}.json")
-    with open(mpath) as fh:
-        m = json.load(fh)
+    # legacy manifest (stats stripped) → None, never a wrong number;
+    # strip the RESOLVED form (the stored one may be incremental)
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import _manifest_of
+
+    v = latest_version(path)
+    m = _manifest_of(path, v)
     m["file_stats"] = {}
-    with open(mpath, "w") as fh:
+    with open(os.path.join(path, f"_v{v}.json"), "w") as fh:
         json.dump(m, fh)
     assert metadata_count(path) is None
 
@@ -756,3 +762,133 @@ def test_versioned_clustered_compaction_restores_skipping(spark, tmp_path):
     # rows intact
     assert read_version(spark, path, v).count() == 36
     assert latest_version(path) == v
+
+
+# ---------------------------------------------------------------------------
+# Incremental (delta) manifests: commit cost is O(batch), not O(table)
+# ---------------------------------------------------------------------------
+
+
+def test_delta_manifest_commit_is_batch_grain(spark, tmp_path):
+    """An append to an existing table stores an incremental record —
+    add-lists only, verified-by-reconstruction at commit time — so the
+    manifest JSON written per commit scales with the BATCH, never the
+    table: a 1M-file table's small append must not re-serialize every
+    path, zone and bloom lane (Delta's _delta_log + checkpoint split)."""
+    import json
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks.versioned import (
+        _manifest_of,
+        _raw_manifest,
+        commit_append,
+        read_version,
+        read_version_for_keys,
+    )
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id", "concat('k', id) AS fp"
+    ).coalesce(2)
+    commit_append(mk(0, 10), path, bloom_keys=["fp"])
+    commit_append(mk(10, 20), path, bloom_keys=["fp"])
+    commit_append(mk(20, 30), path, bloom_keys=["fp"])
+
+    raw0, raw1, raw2 = (_raw_manifest(path, v) for v in (0, 1, 2))
+    assert "delta_of" not in raw0, "first commit is the chain's checkpoint"
+    assert raw1["delta_of"] == 0 and raw2["delta_of"] == 1
+    assert "files" not in raw2 and "file_stats" not in raw2
+
+    # batch grain, literally: v2's record never mentions v0/v1's files
+    v0_files = set(_manifest_of(path, 0)["files"])
+    raw2_text = json.dumps(raw2)
+    assert not any(f in raw2_text for f in v0_files)
+    assert len(raw2["add_files"]) == 2 and raw2["remove_files"] == []
+
+    # readers see the resolved view: rows, stats and blooms all carry
+    m2 = _manifest_of(path, 2)
+    assert len(m2["files"]) == 6 and len(m2["file_stats"]) == 6
+    assert len(m2["blooms"]) == 3
+    assert read_version(spark, path, 2).count() == 30
+    assert read_version(spark, path, 0).count() == 10
+    probe = read_version_for_keys(spark, path, "fp", ["k5"])
+    assert probe.filter("fp = 'k5'").count() == 1
+    assert len(probe.inputFiles()) < 6, "zone/bloom pruning rides resolution"
+
+
+def test_delta_manifest_checkpoint_interval_bounds_chains(spark, tmp_path):
+    """Chains cap at _CHECKPOINT_EVERY links: the Nth delta in a row
+    becomes a full checkpoint, so resolving any version reads a bounded
+    number of manifests regardless of table age."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = str(tmp_path / "tbl")
+    old = versioned._CHECKPOINT_EVERY
+    versioned._CHECKPOINT_EVERY = 3
+    try:
+        for i in range(7):
+            versioned.commit_append(
+                spark.range(i * 5, i * 5 + 5).selectExpr("id").coalesce(1), path
+            )
+    finally:
+        versioned._CHECKPOINT_EVERY = old
+    shapes = [
+        versioned._raw_manifest(path, v).get("chain", "full")
+        for v in versioned._manifests(path)
+    ]
+    assert shapes == ["full", 1, 2, "full", 1, 2, "full"], shapes
+    assert versioned.read_version(spark, path, 6).count() == 35
+    assert versioned.read_version(spark, path, 2).count() == 15
+
+
+def test_delta_manifest_resolution_stable_under_materialization(spark, tmp_path):
+    """Rewriting ANY stored delta record as its resolved full form
+    changes nothing for any version — the invariant vacuum's chain-head
+    materialization rides, checked here for every position in the
+    chain and across a copy-on-write MERGE + DELETE history."""
+    import json
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id", "concat('k', id) AS fp"
+    ).coalesce(2)
+    versioned.commit_append(mk(0, 10), path, bloom_keys=["fp"])
+    versioned.commit_append(mk(10, 20), path, bloom_keys=["fp"])
+    versioned.commit_merge(
+        spark,
+        path,
+        spark.createDataFrame([(5, "K5")], "id long, fp string"),
+        key="id",
+    )
+    versioned.commit_delete(spark, path, condition="id >= 18", prune={"id": {"lo": 18}})
+
+    versions = versioned._manifests(path)
+    before = {v: versioned._manifest_of(path, v) for v in versions}
+    for v in versions:  # materialize one position at a time, oldest first
+        with open(os.path.join(path, f"_v{v}.json"), "w") as fh:
+            json.dump(before[v], fh)
+        after = {u: versioned._manifest_of(path, u) for u in versions}
+        assert after == before, f"materializing v{v} changed a resolved view"
+    assert versioned.read_version(spark, path, versions[-1]).count() == 18
+
+
+def test_vacuum_materializes_retained_chain_head(spark, tmp_path):
+    """Vacuum drops expired manifests a retained delta may resolve
+    through — the oldest retained record is checkpointed first, so
+    every retained chain stays self-contained and readable."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = str(tmp_path / "tbl")
+    for i in range(5):
+        versioned.commit_append(
+            spark.range(i * 10, i * 10 + 10).selectExpr("id").coalesce(1), path
+        )
+    assert "delta_of" in versioned._raw_manifest(path, 3)
+    versioned.vacuum(path, retain_last=2)
+    assert versioned._manifests(path) == [3, 4]
+    assert "delta_of" not in versioned._raw_manifest(path, 3), "chain head checkpointed"
+    assert versioned.read_version(spark, path, 3).count() == 40
+    assert versioned.read_version(spark, path, 4).count() == 50
+    # the still-delta newest resolves through the materialized head
+    assert "delta_of" in versioned._raw_manifest(path, 4)

@@ -1580,8 +1580,7 @@ def test_ivm_rollup_minmax_rescan_prunes_untouched_groups(spark):
 
     df = catalog.queries()["x_ivm_rollup_minmax"](spark, SF)
     tbl, _ = _ivm_minmax_fixture_sink(spark, SF)
-    with open(os.path.join(tbl, "_v1.json")) as fh:
-        m1 = json.load(fh)
+    m1 = versioned._manifest_of(tbl, 1)  # resolved: stored form may be incremental
     # precondition: v1's group-clustered layout gives disjoint zones
     click_files = {
         f
@@ -1625,11 +1624,7 @@ def test_versioned_merge_upsert_carries_untouched_files_name_identical(spark):
     carried = base_files & merged_files
     assert len(base_files) == 5 and len(carried) == 4, (base_files, merged_files)
     # and the one replaced file is the middle id-range's (zone check)
-    import json
-    import os
-
-    with open(os.path.join(tbl, f"_v{base_v}.json")) as fh:
-        stats = json.load(fh)["file_stats"]
+    stats = versioned._manifest_of(tbl, base_v)["file_stats"]
     (replaced,) = base_files - carried
     zone = stats[replaced]["event_id"]
     total = sum(stats[f]["__file_rows__"] for f in base_files)

@@ -3702,3 +3702,82 @@ def test_commit_delete_equals_reference_delete_semantics(
     want = {(k, v0, tag) for k, v0, tag in all_rows if k not in del_keys}
     got = {(r.k, r.v, r.tag) for r in versioned.read_version(spark, tbl, v).collect()}
     assert got == want, (got, want, commits, del_keys)
+
+
+@given(
+    commits=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=12),
+                st.integers(min_value=-9, max_value=9),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=4,
+    ),
+    ops=st.lists(
+        st.sampled_from(["merge", "delete", "append"]), min_size=1, max_size=3
+    ),
+)
+@_SETTINGS
+def test_delta_manifests_resolve_identically_for_any_history(
+    spark, commits, ops, tmp_path_factory
+):
+    """Incremental-manifest soundness (r10): for ANY history of
+    appends/merges/deletes, (a) every version's resolved manifest is
+    UNCHANGED when any prefix of the stored delta records is rewritten
+    as full checkpoints (the invariant vacuum's chain-head
+    materialization relies on), and (b) every version's row set reads
+    identically before and after full materialization."""
+    import json as _json
+    import os as _os
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    tmp = tmp_path_factory.mktemp("delta_manifest_prop")
+    tbl = str(tmp / "tbl")
+    for ci, rows in enumerate(commits):
+        tagged = [(k, v, f"c{ci}-{i}") for i, (k, v) in enumerate(rows)]
+        versioned.commit_append(
+            spark.createDataFrame(tagged, "k long, v long, tag string"),
+            tbl,
+            bloom_keys=["k"],
+            bloom_m_bits=256,
+        )
+    for oi, op in enumerate(ops):
+        if op == "merge":
+            versioned.commit_merge(
+                spark,
+                tbl,
+                spark.createDataFrame([(3, 100 + oi)], "k long, v long"),
+                key="k",
+            )
+        elif op == "delete":
+            versioned.commit_delete(
+                spark, tbl, condition="k = 7", prune={"k": {"values": [7]}}
+            )
+        else:
+            versioned.commit_append(
+                spark.createDataFrame([(20 + oi, oi, "x")], "k long, v long, tag string"),
+                tbl,
+            )
+
+    versions = versioned._manifests(tbl)
+    before = {v: versioned._manifest_of(tbl, v) for v in versions}
+    reads = {
+        v: {(r.k, r.v) for r in versioned.read_version(spark, tbl, v).select("k", "v").collect()}
+        for v in versions
+    }
+    for v in versions:
+        with open(_os.path.join(tbl, f"_v{v}.json"), "w") as fh:
+            _json.dump(before[v], fh)
+        after = {u: versioned._manifest_of(tbl, u) for u in versions}
+        assert after == before, f"materializing v{v} changed a resolved manifest"
+    for v in versions:
+        got = {
+            (r.k, r.v)
+            for r in versioned.read_version(spark, tbl, v).select("k", "v").collect()
+        }
+        assert got == reads[v], f"v{v} reads changed after materialization"

@@ -2127,8 +2127,7 @@ def test_metadata_minmax_answers_from_manifest_zones(spark, tmp_path):
 
     v = versioned.latest_version(path)
     mpath = _os.path.join(path, f"_v{v}.json")
-    with open(mpath) as fh:
-        m = _json.load(fh)
+    m = versioned._manifest_of(path, v)  # resolved: stored form may be incremental
     m.pop("file_stats", None)
     with open(mpath, "w") as fh:
         _json.dump(m, fh)
