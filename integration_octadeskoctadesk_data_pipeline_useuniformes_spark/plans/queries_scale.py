@@ -1332,3 +1332,87 @@ def x_versioned_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tbl = _delete_fixture_sink(spark, sf_dir)
     return versioned.read_version(spark, tbl).select("event_id", "event_type", "cents")
+
+
+# ---------------------------------------------------------------------------
+# RESTORE on the versioned sink (r10): sinks/versioned.restore
+# republishes an old snapshot's complete state as the new latest with
+# ZERO data copy — the new manifest points at the restored version's
+# own immutable files (Delta RESTORE, the rollback shape after a bad
+# MERGE/DELETE/compaction). The fixture commits the events projection
+# in range files, runs a "bad" DELETE over the middle id-range, then
+# restores the pre-delete version; the latest read must therefore
+# equal the PLAIN projection of the raw table — if restore left the
+# delete in place (or resurrected the wrong snapshot), the deleted
+# rows' absence (or any extra rows) hash-mismatches the oracle. The
+# lineage test pins the zero-copy claim: the restored manifest's file
+# set is EXACTLY the pre-delete version's, name-identical.
+#
+# Catalog-growth discipline (r10): registry grep — no registered query
+# reads a restored snapshot (restore() was pytest-only:
+# test_restore_republishes_old_snapshot_without_copying); the delete
+# fixture's sink ends on the post-delete state, never a rollback.
+# Fixture probe: the interim delete removes 66 rows at sf0.001 / 666
+# at sf0.01; the restored read returns the full 1,000 / 10,000 —
+# the restore is observable at every driver SF.
+# ---------------------------------------------------------------------------
+
+#: sf_dir -> restored sink path (the _MERGE_SINKS convention)
+_RESTORE_SINKS: dict[str, str] = {}
+
+
+def _restore_fixture_sink(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _RESTORE_SINKS:
+        return _RESTORE_SINKS[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sinks import versioned
+
+    base = tempfile.mkdtemp(prefix="spark_restore_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    tbl = f"{base}/events_restored"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    n = ev.count()
+    bounds = [i * n // 5 for i in range(6)]
+    for lo, hi in zip(bounds, bounds[1:]):
+        versioned.commit_append(
+            ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(1),
+            tbl,
+        )
+    good_v = versioned.latest_version(tbl)
+    lo, hi = 2 * n // 5, 3 * n // 5
+    versioned.commit_delete(  # the "bad" commit a rollback undoes
+        spark,
+        tbl,
+        condition=f"event_id >= {lo} AND event_id < {hi} AND event_id % 3 = 0",
+        prune={"event_id": {"lo": lo, "hi": hi - 1}},
+    )
+    versioned.restore(tbl, good_v)
+    _RESTORE_SINKS[sf_dir] = tbl
+    return tbl
+
+
+@register(
+    "x_versioned_restore_read",
+    """
+SELECT event_id, event_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+FROM events
+""",
+)
+def x_versioned_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest snapshot AFTER a rollback: a bad DELETE is undone by
+    ``versioned.restore`` (zero data copy — the republished manifest
+    points at the pre-delete version's own files, pinned name-identical
+    by the lineage test), so the read equals the plain projection of
+    the raw table."""
+    from ..sinks import versioned
+
+    tbl = _restore_fixture_sink(spark, sf_dir)
+    return versioned.read_version(spark, tbl).select("event_id", "event_type", "cents")

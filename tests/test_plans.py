@@ -1647,3 +1647,28 @@ def test_versioned_delete_where_carries_untouched_files_name_identical(spark):
     post_files = set(versioned._files_of(tbl, base_v + 1))
     carried = base_files & post_files
     assert len(base_files) == 5 and len(carried) == 4, (base_files, post_files)
+
+
+def test_versioned_restore_read_is_zero_copy(spark):
+    """The RESTORE query's rollback lineage: the restored (latest)
+    manifest's file set is EXACTLY the pre-delete version's files,
+    name-identical — restore republishes, it never rewrites data."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_scale import (
+        _restore_fixture_sink,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    catalog.queries()["x_versioned_restore_read"](spark, SF)
+    tbl = _restore_fixture_sink(spark, SF)
+    latest = versioned.latest_version(tbl)
+    # history: 5 range appends (v0..v4), the bad delete (v5), restore (v6)
+    assert latest == 6
+    restored = versioned._files_of(tbl, latest)
+    good = versioned._files_of(tbl, 4)
+    assert restored == good, "restore must point at the old version's own files"
+    deleted_state = set(versioned._files_of(tbl, 5))
+    assert set(good) - deleted_state, "the bad delete really rewrote a file"
+    # and the bad version stays readable (history preserved)
+    n_good = versioned.read_version(spark, tbl, latest).count()
+    n_bad = versioned.read_version(spark, tbl, 5).count()
+    assert n_good - n_bad == 66  # the middle-range %3 rows, back after rollback
