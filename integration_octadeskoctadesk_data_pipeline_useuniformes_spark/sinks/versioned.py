@@ -142,7 +142,10 @@ def _manifest_of(path: str, version: int) -> dict:
     reads by construction)."""
     raw = _raw_manifest(path, version)
     if "delta_of" not in raw:
-        return raw
+        # "op" is audit metadata (table_history), never table state:
+        # strip it so resolved views are identical whichever stored
+        # form (delta or checkpoint) a version happens to have
+        return {k: v for k, v in raw.items() if k != "op"}
     prev = _manifest_of(path, raw["delta_of"])
     return {"version": raw["version"], **_resolve_delta(prev, raw)}
 
@@ -587,6 +590,7 @@ def _publish_manifest(
     carry_prev: bool,
     schema: dict | None = None,
     bloom_entries: list[dict] | None = None,
+    op: dict | None = None,
 ) -> int:
     """Atomically claim the next version slot and publish its manifest.
 
@@ -639,7 +643,7 @@ def _publish_manifest(
             "blooms": blooms,
         }
 
-    return _claim_slot(path, compute)
+    return _claim_slot(path, compute, op=op)
 
 
 def _encode_body(path: str, prev: int, body: dict) -> dict:
@@ -711,7 +715,7 @@ def _encode_body(path: str, prev: int, body: dict) -> dict:
     return body
 
 
-def _claim_slot(path: str, compute) -> int:
+def _claim_slot(path: str, compute, op: dict | None = None) -> int:
     """The one commit protocol both publish paths share: loop —
     recompute the manifest body against the current latest via
     ``compute(prev)`` (a dict of files/schema/file_stats/blooms), write
@@ -719,10 +723,21 @@ def _claim_slot(path: str, compute) -> int:
     exclusive: EEXIST means another writer claimed it and the loop
     recomputes against the new state). Readers never observe a partial
     manifest. ``compute`` may raise to abort (e.g.
-    ConcurrentReplaceError) — nothing is published then."""
+    ConcurrentReplaceError) — nothing is published then.
+
+    ``op`` (operation name + parameters) is stamped on the stored
+    record with a UTC timestamp — the audit row ``table_history``
+    serves (Delta's DESCRIBE HISTORY). Metadata only: it never enters
+    the resolved state, so two tables with identical commits but
+    different clocks still resolve identically."""
     while True:
         prev = latest_version(path)
         body = _encode_body(path, prev, compute(prev))
+        if op is not None:
+            body = {
+                **body,
+                "op": {**op, "ts": _dt.datetime.now(_dt.timezone.utc).isoformat()},
+            }
         version = prev + 1
         final = os.path.join(path, f"_v{version}.json")
         tmp = os.path.join(path, f"._v{version}-{_uuid.uuid4().hex}.tmp")
@@ -761,6 +776,7 @@ def commit_append(
             new_files,
             carry_prev=True,
             schema=df.schema.jsonValue(),
+            op={"operation": "APPEND"},
             # blooms from the WRITTEN files, not a re-evaluation of the
             # input plan — a non-deterministic df would otherwise hash
             # keys the files don't carry and miss keys they do
@@ -801,6 +817,7 @@ def commit_replace(
         new_files,
         carry_prev=False,
         schema=df.schema.jsonValue(),
+        op={"operation": "OVERWRITE"},
         bloom_entries=_bloom_entries_from_written(
             df.sparkSession, path, new_files, df.schema.jsonValue(), bloom_keys, bloom_m_bits
         ),
@@ -820,6 +837,7 @@ def _publish_replace_from(
     new_bloom_entries: list[dict] | None = None,
     replaced_files: Sequence[str] | None = None,
     evolve_schema: dict | None = None,
+    op: dict | None = None,
 ) -> int:
     """Publish ``new_files`` as the rewrite of ``replaced_files``
     (default: ALL of snapshot ``base_version``'s files), MERGING any
@@ -905,7 +923,7 @@ def _publish_replace_from(
             "blooms": blooms,
         }
 
-    return _claim_slot(path, compute)
+    return _claim_slot(path, compute, op=op)
 
 
 def compact(
@@ -993,7 +1011,17 @@ def compact(
     )
     try:
         return _publish_replace_from(
-            path, rewritten, base, entries, replaced_files=replaced
+            path,
+            rewritten,
+            base,
+            entries,
+            replaced_files=replaced,
+            op={
+                "operation": "OPTIMIZE",
+                "target_files": target_files,
+                "small_bytes": small_bytes,
+                "cluster_by": list(cluster_by) if cluster_by else None,
+            },
         )
     except ConcurrentReplaceError:
         # the staged rewrite is referenced by no manifest — vacuum only
@@ -1030,7 +1058,13 @@ def commit_replace_from(
         df.sparkSession, path, new_files, df.schema.jsonValue(), bloom_keys, bloom_m_bits
     )
     try:
-        return _publish_replace_from(path, new_files, base_version, entries)
+        return _publish_replace_from(
+            path,
+            new_files,
+            base_version,
+            entries,
+            op={"operation": "OVERWRITE", "guarded_base": base_version},
+        )
     except ConcurrentReplaceError:
         for f in new_files:
             os.remove(os.path.join(path, f))
@@ -1179,6 +1213,7 @@ def commit_merge(
             entries,
             replaced_files=affected,
             evolve_schema=merged.schema.jsonValue(),
+            op={"operation": "MERGE", "key": key, "insert_unmatched": insert_unmatched},
         )
     except (ConcurrentReplaceError, ValueError):
         # abort (conflict or schema rejection) publishes nothing — the
@@ -1245,7 +1280,12 @@ def commit_delete(
     )
     try:
         return _publish_replace_from(
-            path, new_files, base, entries, replaced_files=affected
+            path,
+            new_files,
+            base,
+            entries,
+            replaced_files=affected,
+            op={"operation": "DELETE", "condition": condition},
         )
     except ConcurrentReplaceError:
         for f in new_files:
@@ -1484,7 +1524,7 @@ def restore(path: str, version: int) -> int:
             "blooms": list(manifest.get("blooms") or []),
         }
 
-    return _claim_slot(path, compute)
+    return _claim_slot(path, compute, op={"operation": "RESTORE", "restored_version": version})
 
 
 def vacuum(path: str, retain_last: int = 1) -> list[str]:
@@ -1511,6 +1551,8 @@ def vacuum(path: str, retain_last: int = 1) -> list[str]:
     raw_oldest = _raw_manifest(path, oldest)
     if "delta_of" in raw_oldest and raw_oldest["delta_of"] in set(expired):
         full = _manifest_of(path, oldest)
+        if "op" in raw_oldest:  # audit metadata rides the rewrite
+            full = {**full, "op": raw_oldest["op"]}
         tmp = os.path.join(path, f"._v{oldest}-{_uuid.uuid4().hex}.tmp")
         with open(tmp, "w") as fh:
             json.dump(full, fh)
@@ -1526,3 +1568,19 @@ def vacuum(path: str, retain_last: int = 1) -> list[str]:
     for v in expired:
         os.remove(os.path.join(path, f"_v{v}.json"))
     return sorted(dead)
+
+
+def table_history(path: str) -> list[dict]:
+    """Delta's DESCRIBE HISTORY: one audit row per retained commit,
+    newest first — {"version", "operation", <operation parameters>,
+    "ts" (UTC, stamped at commit)}. Read from the RAW records
+    (metadata never enters resolved state), O(manifests) driver-side
+    JSON with no data scan. Commits predating the audit field (or
+    materialized by an external rewrite) report operation "UNKNOWN" —
+    the history is append-only truth, never a reconstruction."""
+    out = []
+    for v in reversed(_manifests(path)):
+        raw = _raw_manifest(path, v)
+        op = raw.get("op") or {"operation": "UNKNOWN"}
+        out.append({"version": v, **op})
+    return out

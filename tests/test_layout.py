@@ -892,3 +892,49 @@ def test_vacuum_materializes_retained_chain_head(spark, tmp_path):
     assert versioned.read_version(spark, path, 4).count() == 50
     # the still-delta newest resolves through the materialized head
     assert "delta_of" in versioned._raw_manifest(path, 4)
+
+
+def test_table_history_records_every_operation(spark, tmp_path):
+    """DESCRIBE HISTORY: one audit row per commit, newest first, with
+    the operation name + parameters and a commit timestamp; audit
+    metadata never enters the resolved state (two tables with the same
+    commits resolve identically whatever their clocks say); vacuum's
+    chain-head materialization carries the audit row."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id", "concat('k', id) AS k"
+    ).coalesce(1)
+    versioned.commit_append(mk(0, 10), path)
+    versioned.commit_merge(
+        spark,
+        path,
+        spark.createDataFrame([(5, "K5")], "id long, k string"),
+        key="id",
+    )
+    versioned.commit_delete(spark, path, condition="id >= 8", prune={"id": {"lo": 8}})
+    versioned.restore(path, 0)
+
+    hist = versioned.table_history(path)
+    assert [(h["version"], h["operation"]) for h in hist] == [
+        (3, "RESTORE"),
+        (2, "DELETE"),
+        (1, "MERGE"),
+        (0, "APPEND"),
+    ]
+    assert hist[0]["restored_version"] == 0
+    assert hist[1]["condition"] == "id >= 8"
+    assert hist[2]["key"] == "id"
+    assert all("ts" in h for h in hist)
+    # audit is metadata only: the resolved manifest never carries it
+    assert all("op" not in versioned._manifest_of(path, v) for v in range(4))
+
+    # vacuum: expired rows drop, the materialized chain head keeps its row
+    versioned.commit_append(mk(20, 23), path)
+    versioned.vacuum(path, retain_last=2)
+    assert [(h["version"], h["operation"]) for h in versioned.table_history(path)] == [
+        (4, "APPEND"),
+        (3, "RESTORE"),
+    ]
+    assert versioned.read_version(spark, path).count() == 13
