@@ -182,8 +182,9 @@ DRIVER_WINDOW: list[str] = [
 #     EXISTS-correlation family, kept twin agg_order_priority_exists).
 # All sixteen stay covered by the full-catalog strict sf0.01 gate
 # every round and are FIRST in line for the r11 window, together with
-# x_versioned_restore_read (registered AFTER the r10 rotation — strict
-# sf0.01-verified this round, post-window slot, new-query priority).
+# x_versioned_restore_read and x_versioned_dv_delete (registered AFTER
+# the r10 rotation — strict sf0.01-verified this round, post-window
+# slots, new-query priority).
 # flagship_unresolved_distinct stays out as always: the driver's
 # entry() smoke verifies it every round regardless of the window.
 

@@ -1416,3 +1416,87 @@ def x_versioned_restore_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tbl = _restore_fixture_sink(spark, sf_dir)
     return versioned.read_version(spark, tbl).select("event_id", "event_type", "cents")
+
+
+# ---------------------------------------------------------------------------
+# Deletion-vector DELETE on the versioned sink (r10):
+# sinks/versioned.commit_delete(deletion_vectors=True) records the
+# matching rows' (file, row-index) identities in a small vector file
+# and touches NO data file — the row-level-delete shape that lets a
+# 100 TB table delete a handful of rows from a gigabyte file without
+# rewriting it (Delta deletion vectors). The read path hides the rows
+# with one anti-join against the (broadcast) vector table. The fixture
+# commits the events projection in range files and vector-deletes a
+# sparse modulus slice; the oracle recomputes the surviving rows from
+# the raw table, so the driver hash proves the vectors hide EXACTLY
+# the matching rows — no more (over-delete), no fewer (resurrect).
+# The lineage test pins the zero-rewrite claim: the post-delete file
+# set is IDENTICAL to the base version's.
+#
+# Catalog-growth discipline (r10): registry grep — no registered query
+# exercises the deletion-vector read or write path
+# (x_versioned_delete_where is the copy-on-write rewrite shape; this
+# is its zero-rewrite sibling, different physical plan, different
+# failure modes). Fixture probe: the predicate (id % 11 == 3) hides 91
+# rows at sf0.001 / 909 at sf0.01 — sparse (one row here and there,
+# exactly the shape rewrites waste on) but observable at every
+# driver SF.
+# ---------------------------------------------------------------------------
+
+#: sf_dir -> post-dv-delete sink path (the _MERGE_SINKS convention)
+_DV_DELETE_SINKS: dict[str, str] = {}
+
+
+def _dv_delete_fixture_sink(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir in _DV_DELETE_SINKS:
+        return _DV_DELETE_SINKS[sf_dir]
+    import atexit
+    import shutil
+    import tempfile
+
+    from ..sinks import versioned
+
+    base = tempfile.mkdtemp(prefix="spark_dv_delete_")
+    atexit.register(shutil.rmtree, base, ignore_errors=True)
+    tbl = f"{base}/events_dv"
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    n = ev.count()
+    bounds = [i * n // 5 for i in range(6)]
+    for lo, hi in zip(bounds, bounds[1:]):
+        versioned.commit_append(
+            ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(1),
+            tbl,
+        )
+    versioned.commit_delete(
+        spark,
+        tbl,
+        condition="event_id % 11 = 3",
+        deletion_vectors=True,  # zero data files rewritten — vectors only
+    )
+    _DV_DELETE_SINKS[sf_dir] = tbl
+    return tbl
+
+
+@register(
+    "x_versioned_dv_delete",
+    """
+SELECT event_id, event_type,
+       CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+FROM events
+WHERE event_id % 11 <> 3
+""",
+)
+def x_versioned_dv_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-DELETE snapshot where the delete wrote only DELETION
+    VECTORS (``commit_delete(deletion_vectors=True)`` — data files
+    byte-identical, pinned by the lineage test); the read applies the
+    vectors via one broadcast anti-join, and the oracle recomputes the
+    surviving rows from the raw table."""
+    from ..sinks import versioned
+
+    tbl = _dv_delete_fixture_sink(spark, sf_dir)
+    return versioned.read_version(spark, tbl).select("event_id", "event_type", "cents")

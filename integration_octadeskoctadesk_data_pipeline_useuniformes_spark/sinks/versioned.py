@@ -34,6 +34,18 @@ per commit, the kind that dominates a 100 TB table's maintenance
 cost. Readers are unaffected: ``_manifest_of`` always returns the
 resolved full view.
 
+Row-level deletes without rewrites: ``commit_delete(deletion_vectors=
+True)`` records the matching rows' (file, row-index) identities in a
+small vector file and touches NO data file (Delta deletion vectors) —
+at 100 TB, deleting a handful of rows from a gigabyte file must not
+rewrite it. The read path hides vectored rows with ONE anti-join
+against the (usually broadcast) vector table; vectors accumulate per
+file, are materialized by OPTIMIZE/MERGE rewrites, keep the
+metadata-only count exact (each vector records how many rows it
+hides), make MIN/MAX refuse (the extreme may be hidden), and turn the
+appended-files fast paths (read_appended, the streaming source) into
+change commits — every consumer either applies them or refuses.
+
 Data skipping (VERDICT r8 #2/#3 — the last core Delta/Iceberg feature
 the sink lacked): every commit also records per-file column MIN/MAX
 stats (read from the just-written parquet footers on the driver —
@@ -127,11 +139,27 @@ def _resolve_delta(prev_body: dict, raw: dict) -> dict:
         if raw["order"] == "replace"
         else re_anchored + raw["add_blooms"]
     )
+    carried_set = set(carried)
+    dv = {
+        f: dict(e)
+        for f, e in (prev_body.get("dv") or {}).items()
+        if f in carried_set
+    }
+    for f, add in (raw.get("add_dv") or {}).items():
+        prev_e = dv.get(f)
+        if prev_e is None:
+            dv[f] = dict(add)
+        else:  # cumulative: later vectors extend earlier ones
+            dv[f] = {
+                "files": prev_e["files"] + add["files"],
+                "rows": prev_e["rows"] + add["rows"],
+            }
     return {
         "files": files,
         "schema": raw["schema"],
         "file_stats": file_stats,
         "blooms": blooms,
+        "dv": dv,
     }
 
 
@@ -290,12 +318,15 @@ def metadata_count(
         prune_files(path, version, prune) if prune else manifest["files"]
     )
     stats = manifest.get("file_stats") or {}
+    dv = manifest.get("dv") or {}
     total = 0
     for f in files:
         rows = (stats.get(f) or {}).get("__file_rows__")
         if rows is None:
             return None
-        total += rows
+        # deletion vectors record exactly how many rows they hide, so
+        # the metadata-only count stays exact across row-level deletes
+        total += rows - (dv.get(f) or {}).get("rows", 0)
     return total
 
 
@@ -330,8 +361,13 @@ def metadata_minmax(
     manifest = _manifest_of(path, version)
     files = prune_files(path, version, prune) if prune else manifest["files"]
     stats = manifest.get("file_stats") or {}
+    dv = manifest.get("dv") or {}
     mn = mx = None
     for f in files:
+        if f in dv:
+            # a deletion vector may have removed the row holding the
+            # file's extreme — the footer zone no longer answers exactly
+            return None
         fs = stats.get(f)
         if fs is None:
             return None  # legacy/pre-stats file: cannot answer
@@ -633,14 +669,17 @@ def _publish_manifest(
         if carry_prev:
             file_stats = {**(prev_manifest.get("file_stats") or {}), **new_stats}
             blooms = (prev_manifest.get("blooms") or []) + (bloom_entries or [])
+            dv = dict(prev_manifest.get("dv") or {})
         else:
             file_stats = dict(new_stats)
             blooms = list(bloom_entries or [])
+            dv = {}
         return {
             "files": files,
             "schema": out_schema,
             "file_stats": file_stats,
             "blooms": blooms,
+            "dv": dv,
         }
 
     return _claim_slot(path, compute, op=op)
@@ -700,6 +739,19 @@ def _encode_body(path: str, prev: int, body: dict) -> dict:
         add_blooms = blooms[n:]
     else:
         add_blooms = []  # derivation failed; the verify below decides
+    prev_dv = prev_body.get("dv") or {}
+    add_dv = {}
+    for f, e in (body.get("dv") or {}).items():
+        pe = prev_dv.get(f)
+        if pe is None:
+            add_dv[f] = e
+        elif e != pe:
+            if e["files"][: len(pe["files"])] == pe["files"]:
+                add_dv[f] = {
+                    "files": e["files"][len(pe["files"]) :],
+                    "rows": e["rows"] - pe["rows"],
+                }
+            # else: underivable; the verify below falls back to a checkpoint
     delta = {
         "delta_of": prev,
         "chain": chain,
@@ -709,6 +761,7 @@ def _encode_body(path: str, prev: int, body: dict) -> dict:
         "schema": body.get("schema"),
         "add_stats": {f: stats[f] for f in add if f in stats},
         "add_blooms": add_blooms,
+        "add_dv": add_dv,
     }
     if _resolve_delta(prev_body, delta) == body:
         return delta
@@ -838,6 +891,7 @@ def _publish_replace_from(
     replaced_files: Sequence[str] | None = None,
     evolve_schema: dict | None = None,
     op: dict | None = None,
+    add_dv: dict | None = None,
 ) -> int:
     """Publish ``new_files`` as the rewrite of ``replaced_files``
     (default: ALL of snapshot ``base_version``'s files), MERGING any
@@ -913,6 +967,29 @@ def _publish_replace_from(
                 out_schema = None  # legacy manifest: stay on mergeSchema
             else:
                 out_schema = _merge_schema(out_schema, evolve_schema)
+        # deletion vectors survive only while their files do; a new
+        # vector on an already-vectored file EXTENDS it (cumulative)
+        carried_set = set(carried)
+        dv = {
+            f: dict(e)
+            for f, e in (prev_manifest.get("dv") or {}).items()
+            if f in carried_set
+        }
+        for f, e in (add_dv or {}).items():
+            if f not in carried_set:
+                raise ConcurrentReplaceError(
+                    f"{path}: deletion vector targets file {f!r} which is no "
+                    f"longer part of the table state; rerun against the new state"
+                )
+            prev_e = dv.get(f)
+            dv[f] = (
+                dict(e)
+                if prev_e is None
+                else {
+                    "files": prev_e["files"] + e["files"],
+                    "rows": prev_e["rows"] + e["rows"],
+                }
+            )
         return {
             "files": files,
             "schema": out_schema,
@@ -921,6 +998,7 @@ def _publish_replace_from(
                 **{f: prev_stats[f] for f in carried if f in prev_stats},
             },
             "blooms": blooms,
+            "dv": dv,
         }
 
     return _claim_slot(path, compute, op=op)
@@ -995,7 +1073,9 @@ def compact(
             return base  # nothing worth packing — no-op, nothing committed
         replaced: Sequence[str] | None = small
         manifest = _manifest_of(path, base)
-        snap = _read_files(spark, path, small, manifest.get("schema"))
+        snap = _read_files_dv(
+            spark, path, small, manifest.get("schema"), manifest.get("dv")
+        )
     else:
         replaced = None
         snap = read_version(spark, path, base)
@@ -1182,7 +1262,7 @@ def commit_merge(
     manifest = _manifest_of(path, base)
     schema = manifest.get("schema")
     if affected:
-        aff_df = _read_files(spark, path, affected, schema)
+        aff_df = _read_files_dv(spark, path, affected, schema, manifest.get("dv"))
     else:
         if schema is not None:
             from pyspark.sql.types import StructType
@@ -1230,6 +1310,7 @@ def commit_delete(
     prune: dict[str, dict] | None = None,
     bloom_keys: Sequence[str] = (),
     bloom_m_bits: int = 4096,
+    deletion_vectors: bool = False,
 ) -> int:
     """``DELETE FROM snapshot WHERE condition`` as a copy-on-write
     versioned commit — Delta DELETE's physical shape on the plain-
@@ -1268,8 +1349,75 @@ def commit_delete(
     if not affected:
         return base  # zones/blooms prove no row can match — no-op
     manifest = _manifest_of(path, base)
-    aff_df = _read_files(spark, path, affected, manifest.get("schema"))
     cond = F.expr(condition) if isinstance(condition, str) else condition
+    if deletion_vectors:
+        # Row-level delete, Delta deletion-vector style: record the
+        # matching rows' (file, row-index) identities in a small
+        # vector file and touch NO data file — at 100 TB, deleting a
+        # handful of rows from a gigabyte file must not rewrite it.
+        # Matching rides the same scan shape the reader applies:
+        # _metadata identity, existing vectors subtracted first (a row
+        # can never be deleted twice, keeping per-file counts exact).
+        live = _read_files(spark, path, affected, manifest.get("schema")).select(
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                "__dv_probe_file"
+            ),
+            F.col("_metadata.row_index").alias("__dv_probe_idx"),
+            "*",
+        )
+        existing = {
+            f: e
+            for f, e in (manifest.get("dv") or {}).items()
+            if f in set(affected)
+        }
+        if existing:
+            dv_paths = sorted(
+                {os.path.join(path, p) for e in existing.values() for p in e["files"]}
+            )
+            prior = (
+                spark.read.schema("file string, row_index long")
+                .parquet(*dv_paths)
+                .withColumnRenamed("file", "__dv_probe_file")
+                .withColumnRenamed("row_index", "__dv_probe_idx")
+            )
+            live = live.join(
+                F.broadcast(prior), ["__dv_probe_file", "__dv_probe_idx"], "left_anti"
+            )
+        matches = live.filter(F.coalesce(cond, F.lit(False))).select(
+            F.col("__dv_probe_file").alias("file"),
+            F.col("__dv_probe_idx").alias("row_index"),
+        )
+        per_file = {
+            r["file"]: r["cnt"]
+            for r in matches.groupBy("file").agg(F.count("*").alias("cnt")).collect()
+        }
+        if not per_file:
+            return base  # nothing matched — committed-nothing no-op
+        vec_files = _write_files(matches, path)
+        add_dv = {
+            f: {"files": list(vec_files), "rows": n} for f, n in per_file.items()
+        }
+        try:
+            return _publish_replace_from(
+                path,
+                [],
+                base,
+                None,
+                replaced_files=[],
+                add_dv=add_dv,
+                op={
+                    "operation": "DELETE",
+                    "condition": condition,
+                    "deletion_vectors": True,
+                },
+            )
+        except ConcurrentReplaceError:
+            for f in vec_files:
+                os.remove(os.path.join(path, f))
+            raise
+    aff_df = _read_files_dv(
+        spark, path, affected, manifest.get("schema"), manifest.get("dv")
+    )
     # SQL DELETE semantics: only rows where the condition is TRUE are
     # deleted — a NULL condition keeps the row (a bare ~cond would
     # drop NULL-condition rows, since NOT NULL filters out too)
@@ -1331,7 +1479,9 @@ def read_version(
                 else _read_files(spark, path, manifest["files"], None).schema
             )
             return spark.createDataFrame([], st)
-    return _read_files(spark, path, files, manifest.get("schema"))
+    return _read_files_dv(
+        spark, path, files, manifest.get("schema"), manifest.get("dv")
+    )
 
 
 def read_version_for_keys(
@@ -1366,6 +1516,56 @@ def _read_files(
     return spark.read.option("mergeSchema", "true").parquet(*paths)
 
 
+#: deletion-vector side below this many deleted rows broadcasts into
+#: the anti-join (deletion metadata is small by design — a table whose
+#: vectors outgrow this should OPTIMIZE to materialize them)
+_DV_BROADCAST_ROWS = 2_000_000
+
+
+def _read_files_dv(
+    spark: SparkSession,
+    path: str,
+    files: list[str],
+    schema: dict | None,
+    dv: dict | None,
+) -> DataFrame:
+    """``_read_files`` with the snapshot's deletion vectors applied:
+    rows whose (file, row-index) identity appears in a vector are
+    dropped by ONE left-anti join against the (small, usually
+    broadcast) vector table — the row-level-delete read path that lets
+    ``commit_delete(deletion_vectors=True)`` delete a handful of rows
+    from a gigabyte file without rewriting it. Row identity rides the
+    parquet scan's ``_metadata`` columns (file name + row index within
+    the immutable file), selected before any other operator so the
+    plan stays a single scan + anti-join."""
+    df = _read_files(spark, path, files, schema)
+    relevant = {f: e for f, e in (dv or {}).items() if f in set(files)}
+    if not relevant:
+        return df
+    cols = df.columns
+    # one vector file may serve several data files (a multi-file
+    # delete writes one) — read each exactly once
+    dv_paths = sorted(
+        {os.path.join(path, p) for e in relevant.values() for p in e["files"]}
+    )
+    vectors = (
+        spark.read.schema("file string, row_index long")
+        .parquet(*dv_paths)
+        .withColumnRenamed("file", "__dv_file")
+        .withColumnRenamed("row_index", "__dv_idx")
+    )
+    if sum(e["rows"] for e in relevant.values()) <= _DV_BROADCAST_ROWS:
+        vectors = F.broadcast(vectors)
+    tagged = df.select(
+        "*",
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+            "__dv_file"
+        ),
+        F.col("_metadata.row_index").alias("__dv_idx"),
+    )
+    return tagged.join(vectors, ["__dv_file", "__dv_idx"], "left_anti").select(*cols)
+
+
 def delta_files_between(path: str, from_version: int, to_version: int) -> list[str] | None:
     """File names added between two snapshots, or None when the commits
     in between were not purely additive.
@@ -1378,9 +1578,15 @@ def delta_files_between(path: str, from_version: int, to_version: int) -> list[s
     fall back to ``changes_between``. Pure O(files) driver-side set
     algebra, the same arithmetic vacuum uses.
     """
-    old = set(_files_of(path, from_version))
-    new = _files_of(path, to_version)
+    m_old = _manifest_of(path, from_version)
+    m_new = _manifest_of(path, to_version)
+    old = set(m_old["files"])
+    new = m_new["files"]
     if not old <= set(new):
+        return None
+    if (m_old.get("dv") or {}) != (m_new.get("dv") or {}):
+        # a deletion vector hid rows without touching the file list —
+        # the appended-files diff cannot represent it
         return None
     return [f for f in new if f not in old]
 
@@ -1507,9 +1713,10 @@ def restore(path: str, version: int) -> int:
     vacuumed away — nothing is published then (a snapshot that cannot
     be read cannot be restored)."""
     manifest = _manifest_of(path, version)
-    missing = [
-        f for f in manifest["files"] if not os.path.exists(os.path.join(path, f))
+    needed = list(manifest["files"]) + [
+        p for e in (manifest.get("dv") or {}).values() for p in e["files"]
     ]
+    missing = [f for f in needed if not os.path.exists(os.path.join(path, f))]
     if missing:
         raise ValueError(
             f"cannot restore {path} v{version}: {len(missing)} of its files "
@@ -1522,6 +1729,7 @@ def restore(path: str, version: int) -> int:
             "schema": manifest.get("schema"),
             "file_stats": dict(manifest.get("file_stats") or {}),
             "blooms": list(manifest.get("blooms") or []),
+            "dv": dict(manifest.get("dv") or {}),
         }
 
     return _claim_slot(path, compute, op={"operation": "RESTORE", "restored_version": version})
@@ -1557,12 +1765,19 @@ def vacuum(path: str, retain_last: int = 1) -> list[str]:
         with open(tmp, "w") as fh:
             json.dump(full, fh)
         os.replace(tmp, os.path.join(path, f"_v{oldest}.json"))
+    def refs(v: int) -> set:
+        m = _manifest_of(path, v)
+        out = set(m["files"])
+        for e in (m.get("dv") or {}).values():
+            out.update(e["files"])  # vectors live and die with their manifests
+        return out
+
     keep = set()
     for v in retained:
-        keep.update(_files_of(path, v))
+        keep.update(refs(v))
     dead = set()
     for v in expired:
-        dead.update(f for f in _files_of(path, v) if f not in keep)
+        dead.update(f for f in refs(v) if f not in keep)
     for f in sorted(dead):
         os.remove(os.path.join(path, f))
     for v in expired:

@@ -70,9 +70,11 @@ _PRUNABLE = (int, float, str)
 @dataclass
 class _FilePartition(InputPartition):
     """One or more manifest files of the snapshot/commit being read
-    (several when the reader bin-packs small files into one task)."""
+    (several when the reader bin-packs small files into one task).
+    Each entry pairs the data file with the deletion-vector files that
+    apply to it (empty for most files)."""
 
-    abs_paths: tuple[str, ...]
+    reads: tuple[tuple[str, tuple[str, ...]], ...]
 
 
 def _nullable(schema: StructType) -> StructType:
@@ -99,7 +101,9 @@ def _arrow_schema_of(schema: StructType):
     return to_arrow_schema(schema)
 
 
-def _read_aligned_batches(abs_path: str, schema: StructType):
+def _read_aligned_batches(
+    abs_path: str, schema: StructType, dv_paths: tuple[str, ...] = ()
+):
     """Read one parquet file executor-side and align it to the scan
     schema: columns matched by NAME, missing columns filled with typed
     nulls (files predating an additive evolution), extra columns
@@ -110,6 +114,23 @@ def _read_aligned_batches(abs_path: str, schema: StructType):
 
     target = _arrow_schema_of(schema)
     t = pq.read_table(abs_path)
+    if dv_paths:
+        # apply the file's deletion vectors: drop the row indices the
+        # vectors record for THIS file (identity = position within the
+        # immutable file — same rule the sink's anti-join read applies)
+        import numpy as np
+
+        base = os.path.basename(abs_path)
+        dead_parts = []
+        for vp in dv_paths:
+            vt = pq.read_table(vp, columns=["file", "row_index"])
+            mask = pa.compute.equal(vt.column("file"), base)
+            dead_parts.append(
+                vt.filter(mask).column("row_index").to_numpy(zero_copy_only=False)
+            )
+        dead = np.unique(np.concatenate(dead_parts)) if dead_parts else np.array([])
+        if len(dead):
+            t = t.take(np.setdiff1d(np.arange(t.num_rows), dead))
     cols = []
     for field in target:
         if field.name in t.column_names:
@@ -191,33 +212,42 @@ class VersionedReader(DataSourceReader):
         )
         if version < 0:
             return []
+        manifest = versioned._manifest_of(self.path, version)
         if self.prune:
             files = versioned.prune_files(self.path, version, self.prune)
         else:
-            files = versioned._files_of(self.path, version)
+            files = manifest["files"]
+        dv = manifest.get("dv") or {}
+
+        def entry(f):
+            vecs = tuple(
+                os.path.join(self.path, p) for p in (dv.get(f) or {}).get("files", ())
+            )
+            return (os.path.join(self.path, f), vecs)
+
         if self.max_rows <= 0:
-            return [_FilePartition((os.path.join(self.path, f),)) for f in files]
-        stats = versioned._manifest_of(self.path, version).get("file_stats") or {}
+            return [_FilePartition((entry(f),)) for f in files]
+        stats = manifest.get("file_stats") or {}
         parts: list[_FilePartition] = []
-        bin_paths: list[str] = []
+        bin_reads: list = []
         bin_rows = 0
         for f in files:
             # a file with no row stat (legacy manifest) fills a task
             rows = (stats.get(f) or {}).get("__file_rows__", self.max_rows)
-            if bin_paths and bin_rows + rows > self.max_rows:
-                parts.append(_FilePartition(tuple(bin_paths)))
-                bin_paths, bin_rows = [], 0
-            bin_paths.append(os.path.join(self.path, f))
+            if bin_reads and bin_rows + rows > self.max_rows:
+                parts.append(_FilePartition(tuple(bin_reads)))
+                bin_reads, bin_rows = [], 0
+            bin_reads.append(entry(f))
             bin_rows += rows
-        if bin_paths:
-            parts.append(_FilePartition(tuple(bin_paths)))
+        if bin_reads:
+            parts.append(_FilePartition(tuple(bin_reads)))
         return parts
 
     def read(self, partition: _FilePartition | None):
         if partition is None:  # Spark's placeholder when partitions() is empty
             return
-        for p in partition.abs_paths:
-            yield from _read_aligned_batches(p, self.schema)
+        for p, vecs in partition.reads:
+            yield from _read_aligned_batches(p, self.schema, vecs)
 
 
 class VersionedStreamReader(DataSourceStreamReader):
@@ -252,24 +282,31 @@ class VersionedStreamReader(DataSourceStreamReader):
         non-append commit per ``skipChangeCommits``."""
         from ..sinks import versioned
 
-        new = versioned._files_of(self.path, version)
+        m_new = versioned._manifest_of(self.path, version)
+        new = m_new["files"]
         if version == 0:
             return list(new)
         try:
-            old = set(versioned._files_of(self.path, version - 1))
+            m_old = versioned._manifest_of(self.path, version - 1)
         except FileNotFoundError:
             raise RuntimeError(
                 f"{self.path}: version {version - 1} was vacuumed away; the "
                 "stream has fallen behind the table's manifest retention"
             ) from None
-        if not old <= set(new):
+        old = set(m_old["files"])
+        if not old <= set(new) or (
+            # a deletion vector hid rows without touching the file
+            # list — still a change commit
+            (m_old.get("dv") or {}) != (m_new.get("dv") or {})
+        ):
             if self.skip_change:
                 return []
             raise RuntimeError(
-                f"{self.path}: commit v{version} replaced or removed files "
-                "(MERGE/DELETE/compaction); appended-files streaming cannot "
-                "represent it — handle changes via changes_between, or set "
-                "skipChangeCommits=true to ignore such commits"
+                f"{self.path}: commit v{version} replaced, removed or "
+                "vector-deleted rows (MERGE/DELETE/compaction); "
+                "appended-files streaming cannot represent it — handle "
+                "changes via changes_between, or set skipChangeCommits=true "
+                "to ignore such commits"
             )
         return [f for f in new if f not in old]
 
@@ -277,13 +314,15 @@ class VersionedStreamReader(DataSourceStreamReader):
         files: list[str] = []
         for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
             files.extend(self._appended_files(v))
-        return [_FilePartition((os.path.join(self.path, f),)) for f in files]
+        # appended files can carry no vectors: a commit that both
+        # appends and vector-deletes is flagged as a change commit
+        return [_FilePartition(((os.path.join(self.path, f), ()),)) for f in files]
 
     def read(self, partition: _FilePartition | None):
         if partition is None:  # Spark's placeholder when partitions() is empty
             return
-        for p in partition.abs_paths:
-            yield from _read_aligned_batches(p, self.schema)
+        for p, vecs in partition.reads:
+            yield from _read_aligned_batches(p, self.schema, vecs)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in the streaming checkpoint log

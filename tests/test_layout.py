@@ -938,3 +938,126 @@ def test_table_history_records_every_operation(spark, tmp_path):
         (3, "RESTORE"),
     ]
     assert versioned.read_version(spark, path).count() == 13
+
+
+# ---------------------------------------------------------------------------
+# Deletion vectors: row-level deletes without rewriting data files
+# ---------------------------------------------------------------------------
+
+
+def test_deletion_vector_delete_touches_no_data_file(spark, tmp_path):
+    """commit_delete(deletion_vectors=True) records the matching rows'
+    (file, row-index) identities in a small vector file and leaves the
+    data files byte-identical — at 100 TB, deleting a handful of rows
+    from a gigabyte file must not rewrite it. The read path hides the
+    rows; time travel, CDF and the metadata-only count stay exact."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id", "concat('k', id) AS k"
+    ).coalesce(1)
+    versioned.commit_append(mk(0, 10), path)
+    versioned.commit_append(mk(10, 20), path)
+    files_before = versioned._files_of(path, 1)
+
+    v = versioned.commit_delete(
+        spark,
+        path,
+        condition="id % 7 = 0",
+        deletion_vectors=True,
+    )
+    assert versioned._files_of(path, v) == files_before, "zero data files rewritten"
+    m = versioned._manifest_of(path, v)
+    assert sum(e["rows"] for e in m["dv"].values()) == 3  # 0, 7, 14
+
+    ids = {r.id for r in versioned.read_version(spark, path, v).collect()}
+    assert ids == set(range(20)) - {0, 7, 14}
+    assert versioned.read_version(spark, path, 1).count() == 20, "time travel intact"
+    assert versioned.metadata_count(path, v) == 17, "metadata count stays exact"
+    assert versioned.metadata_minmax(path, "id", v) is None, "extremes refuse"
+
+    feed = versioned.changes_between(spark, path, "id", 1, v)
+    assert {(r.id, r._change_type) for r in feed.collect()} == {
+        (0, "delete"),
+        (7, "delete"),
+        (14, "delete"),
+    }
+    # appended-files fast path refuses across the vector commit
+    assert versioned.read_appended(spark, path, 1, v) is None
+
+
+def test_deletion_vectors_accumulate_and_never_double_delete(spark, tmp_path):
+    """A second vector delete on the same file EXTENDS the vector
+    (cumulative), matching only still-live rows — per-file counts stay
+    exact; re-deleting an already-deleted row is a committed-nothing
+    no-op. MERGE over vectored files never resurrects hidden rows, and
+    OPTIMIZE materializes the vectors (files rewritten, vectors
+    cleared, metadata MIN/MAX answering again)."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = str(tmp_path / "tbl")
+    versioned.commit_append(
+        spark.range(0, 20).selectExpr("id", "concat('k', id) AS k").coalesce(1), path
+    )
+    versioned.commit_delete(spark, path, condition="id < 3", deletion_vectors=True)
+    v2 = versioned.commit_delete(
+        spark, path, condition="id < 5", deletion_vectors=True
+    )
+    m = versioned._manifest_of(path, v2)
+    (entry,) = m["dv"].values()
+    assert entry["rows"] == 5 and len(entry["files"]) == 2, "cumulative vectors"
+    assert versioned.metadata_count(path, v2) == 15
+
+    # already-deleted rows never match again → no-op
+    v3 = versioned.commit_delete(spark, path, condition="id < 5", deletion_vectors=True)
+    assert v3 == v2
+
+    # insert_unmatched=False: a vector-deleted key is NOT a match (the
+    # row is gone), so the update neither resurrects the old row nor
+    # inserts the new one
+    versioned.commit_merge(
+        spark,
+        path,
+        spark.createDataFrame([(7, "K7"), (2, "GHOST")], "id long, k string"),
+        key="id",
+        insert_unmatched=False,
+    )
+    snap = versioned.read_version(spark, path)
+    assert snap.filter("id = 2").count() == 0, "merge must not resurrect"
+    assert snap.filter("k = 'K7'").count() == 1
+    assert snap.count() == 15
+
+    v5 = versioned.compact(spark, path, target_files=1)
+    m5 = versioned._manifest_of(path, v5)
+    assert m5["dv"] == {}, "OPTIMIZE materializes vectors"
+    assert versioned.read_version(spark, path, v5).count() == 15
+    assert versioned.metadata_minmax(path, "id", v5) == (5, 19)
+
+
+def test_deletion_vector_files_survive_vacuum_with_their_manifests(spark, tmp_path):
+    """Vector files are referenced state: vacuum keeps them while any
+    retained manifest needs them and reclaims them with their expired
+    manifests; RESTORE refuses when a needed vector was vacuumed."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = str(tmp_path / "tbl")
+    versioned.commit_append(
+        spark.range(0, 10).selectExpr("id").coalesce(1), path
+    )
+    v1 = versioned.commit_delete(spark, path, condition="id = 4", deletion_vectors=True)
+    (vec_entry,) = versioned._manifest_of(path, v1)["dv"].values()
+    vec_file = vec_entry["files"][0]
+    versioned.commit_append(spark.range(10, 13).selectExpr("id").coalesce(1), path)
+
+    versioned.vacuum(path, retain_last=2)  # v1, v2 retained — vector still needed
+    assert os.path.exists(os.path.join(path, vec_file))
+    assert {r.id for r in versioned.read_version(spark, path).collect()} == (
+        set(range(13)) - {4}
+    )
+
+    # materialize, then expire the vectored manifests: the vector dies
+    versioned.compact(spark, path, target_files=1)
+    versioned.vacuum(path, retain_last=1)
+    assert not os.path.exists(os.path.join(path, vec_file))
+    assert versioned.read_version(spark, path).count() == 12

@@ -1672,3 +1672,22 @@ def test_versioned_restore_read_is_zero_copy(spark):
     n_good = versioned.read_version(spark, tbl, latest).count()
     n_bad = versioned.read_version(spark, tbl, 5).count()
     assert n_good - n_bad == 66  # the middle-range %3 rows, back after rollback
+
+
+def test_versioned_dv_delete_rewrites_no_data_file(spark):
+    """The deletion-vector query's physical claim: the delete commit's
+    file set is IDENTICAL to the base version's — rows are hidden by
+    vectors, never by rewriting data files."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.plans.queries_scale import (
+        _dv_delete_fixture_sink,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    catalog.queries()["x_versioned_dv_delete"](spark, SF)
+    tbl = _dv_delete_fixture_sink(spark, SF)
+    latest = versioned.latest_version(tbl)
+    assert versioned._files_of(tbl, latest) == versioned._files_of(tbl, latest - 1)
+    m = versioned._manifest_of(tbl, latest)
+    assert sum(e["rows"] for e in m["dv"].values()) == 91  # id % 11 == 3 at sf0.001
+    # and the metadata-only count stays exact across the vectors
+    assert versioned.metadata_count(tbl, latest) == 1000 - 91

@@ -3718,7 +3718,9 @@ def test_commit_delete_equals_reference_delete_semantics(
         max_size=4,
     ),
     ops=st.lists(
-        st.sampled_from(["merge", "delete", "append"]), min_size=1, max_size=3
+        st.sampled_from(["merge", "delete", "append", "dv_delete"]),
+        min_size=1,
+        max_size=3,
     ),
 )
 @_SETTINGS
@@ -3757,6 +3759,10 @@ def test_delta_manifests_resolve_identically_for_any_history(
         elif op == "delete":
             versioned.commit_delete(
                 spark, tbl, condition="k = 7", prune={"k": {"values": [7]}}
+            )
+        elif op == "dv_delete":
+            versioned.commit_delete(
+                spark, tbl, condition=f"k = {oi + 1}", deletion_vectors=True
             )
         else:
             versioned.commit_append(

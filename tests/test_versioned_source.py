@@ -193,7 +193,7 @@ def test_batch_bin_packs_small_files_into_tasks(spark, tmp_path):
     )
     r = VersionedReader(schema, {"path": path, "maxRowsPerPartition": "25"})
     parts = r.partitions()
-    assert len(parts) == 3 and all(len(p.abs_paths) == 2 for p in parts)
+    assert len(parts) == 3 and all(len(p.reads) == 2 for p in parts)
     df = (
         spark.read.format("octadesk_versioned")
         .option("path", path)
@@ -202,3 +202,46 @@ def test_batch_bin_packs_small_files_into_tasks(spark, tmp_path):
     )
     assert sorted(r.id for r in df.collect()) == list(range(60))
     assert df.filter("id >= 40").count() == 20
+
+
+def test_batch_read_applies_deletion_vectors(spark, tmp_path):
+    """The DataSource's executor-side Arrow read drops vector-deleted
+    rows by row index — same result as the sink's anti-join read;
+    composes with pushdown pruning and time travel."""
+    path = str(tmp_path / "tbl")
+    versioned.commit_append(_mk(spark, 0, 10), path, bloom_keys=["k"])
+    versioned.commit_append(_mk(spark, 10, 20), path, bloom_keys=["k"])
+    versioned.commit_delete(
+        spark, path, condition="id % 7 = 0", deletion_vectors=True
+    )
+    df = spark.read.format("octadesk_versioned").option("path", path).load()
+    assert {r.id for r in df.collect()} == set(range(20)) - {0, 7, 14}
+    # pre-delete version still serves everything
+    v1 = (
+        spark.read.format("octadesk_versioned")
+        .option("path", path)
+        .option("version", 1)
+        .load()
+    )
+    assert v1.count() == 20
+    # pushdown: pruned probe of a vector-deleted key finds nothing,
+    # of a live key finds it
+    assert df.filter("k = 'k7'").count() == 0
+    assert [r.id for r in df.filter("k = 'k8'").collect()] == [8]
+
+
+def test_stream_treats_vector_delete_as_change_commit(spark, tmp_path):
+    """A vector delete changes rows without touching the file list —
+    the stream must flag it like any MERGE/DELETE, not silently keep
+    serving."""
+    path = str(tmp_path / "tbl")
+    out, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    versioned.commit_append(_mk(spark, 0, 10), path)
+    _run_stream(spark, path, out, ck)
+    versioned.commit_delete(spark, path, condition="id = 3", deletion_vectors=True)
+    with pytest.raises(Exception, match="skipChangeCommits"):
+        _run_stream(spark, path, out, ck)
+    _run_stream(spark, path, out, ck, skipChangeCommits="true")
+    versioned.commit_append(_mk(spark, 20, 22), path)
+    _run_stream(spark, path, out, ck, skipChangeCommits="true")
+    assert sorted(_served_ids(spark, out)) == list(range(10)) + [20, 21]

@@ -31,7 +31,7 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 #: IVF-assignment/unigram-EM+prune, round 10's byte-fallback encode,
 #: minus the r8/r9/r10 demotions — 41
 #: members as of round 10 (registry-sync
-#: pinned by tests/test_units.py), against a 213-query catalog
+#: pinned by tests/test_units.py), against a 214-query catalog
 #: (x_dedup_containment_topk is sample-bounded by construction, like
 #: the recall-sample/band-tuning reports — not volume-sensitive;
 #: x_dedup_cross_source_matrix re-verifies through its in-SENSITIVE
