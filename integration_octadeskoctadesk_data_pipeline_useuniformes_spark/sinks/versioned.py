@@ -35,8 +35,10 @@ cost. Readers are unaffected: ``_manifest_of`` always returns the
 resolved full view.
 
 Row-level deletes without rewrites: ``commit_delete(deletion_vectors=
-True)`` records the matching rows' (file, row-index) identities in a
-small vector file and touches NO data file (Delta deletion vectors) —
+True)`` (and ``commit_merge(deletion_vectors=True)`` — matched rows
+vector out, updated rows append) records the affected rows' (file,
+row-index) identities in a small vector file and touches NO data file
+(Delta deletion vectors) —
 at 100 TB, deleting a handful of rows from a gigabyte file must not
 rewrite it. The read path hides vectored rows with ONE anti-join
 against the (usually broadcast) vector table; vectors accumulate per
@@ -1169,6 +1171,7 @@ def commit_merge(
     bloom_keys: Sequence[str] = (),
     bloom_m_bits: int = 4096,
     max_merge_keys: int = MAX_MERGE_KEYS,
+    deletion_vectors: bool = False,
 ) -> int:
     """Keyed copy-on-write MERGE as a versioned commit (VERDICT r9 #1):
 
@@ -1273,6 +1276,112 @@ def commit_merge(
         aff_df = spark.createDataFrame([], st)
 
     from .partitioned_sink import _apply_updates
+
+    if deletion_vectors:
+        # Delta's merge-on-deletion-vectors shape: vector out the
+        # MATCHED old rows (zero data files rewritten) and append the
+        # updated rows (+ inserts) as new files. The untouched rows of
+        # an affected file stay served by the original file — a CDC
+        # batch touching 100 rows of a gigabyte file appends ~100 rows
+        # and one small vector instead of rewriting the file.
+        if affected:
+            live = _read_files(spark, path, affected, schema).select(
+                F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias(
+                    "__dv_probe_file"
+                ),
+                F.col("_metadata.row_index").alias("__dv_probe_idx"),
+                "*",
+            )
+            existing = {
+                f: e
+                for f, e in (manifest.get("dv") or {}).items()
+                if f in set(affected)
+            }
+            if existing:
+                dv_paths = sorted(
+                    {
+                        os.path.join(path, p)
+                        for e in existing.values()
+                        for p in e["files"]
+                    }
+                )
+                prior = (
+                    spark.read.schema("file string, row_index long")
+                    .parquet(*dv_paths)
+                    .withColumnRenamed("file", "__dv_probe_file")
+                    .withColumnRenamed("row_index", "__dv_probe_idx")
+                )
+                live = live.join(
+                    F.broadcast(prior),
+                    ["__dv_probe_file", "__dv_probe_idx"],
+                    "left_anti",
+                )
+            live = scoped_persist(live)
+            matched = live.join(
+                F.broadcast(updates.select(key).distinct()), key, "semi"
+            )
+            per_file = {
+                r["__dv_probe_file"]: r["cnt"]
+                for r in matched.groupBy("__dv_probe_file")
+                .agg(F.count("*").alias("cnt"))
+                .collect()
+            }
+            matched_data = matched.drop("__dv_probe_file", "__dv_probe_idx")
+            out = _apply_updates(matched_data, updates, key)
+            existing_keys = live.select(key)
+        else:
+            per_file = {}
+            out = spark.createDataFrame([], aff_df.schema)
+            existing_keys = aff_df.select(key)
+        if insert_unmatched:
+            inserts = updates.join(existing_keys, key, "left_anti")
+            out = out.unionByName(inserts, allowMissingColumns=True)
+        elif not per_file:
+            return base  # nothing matched, nothing to insert — no-op
+        out = scoped_persist(out)
+        if out.count() == 0 and not per_file:
+            return base
+        new_files = _write_files(out, path) if out.count() else []
+        add_dv = None
+        if per_file:
+            vec = matched.select(
+                F.col("__dv_probe_file").alias("file"),
+                F.col("__dv_probe_idx").alias("row_index"),
+            )
+            vec_files = _write_files(vec, path)
+            add_dv = {
+                f: {"files": list(vec_files), "rows": n} for f, n in per_file.items()
+            }
+        entries = (
+            _bloom_entries_from_written(
+                spark, path, new_files, out.schema.jsonValue(), bloom_keys, bloom_m_bits
+            )
+            if new_files
+            else None
+        )
+        try:
+            return _publish_replace_from(
+                path,
+                new_files,
+                base,
+                entries,
+                replaced_files=[],
+                evolve_schema=out.schema.jsonValue(),
+                add_dv=add_dv,
+                op={
+                    "operation": "MERGE",
+                    "key": key,
+                    "insert_unmatched": insert_unmatched,
+                    "deletion_vectors": True,
+                },
+            )
+        except (ConcurrentReplaceError, ValueError):
+            for f in new_files + (
+                [p for e in (add_dv or {}).values() for p in e["files"]]
+            ):
+                if os.path.exists(os.path.join(path, f)):
+                    os.remove(os.path.join(path, f))
+            raise
 
     merged = _apply_updates(aff_df, updates, key)
     if insert_unmatched:

@@ -1061,3 +1061,51 @@ def test_deletion_vector_files_survive_vacuum_with_their_manifests(spark, tmp_pa
     versioned.vacuum(path, retain_last=1)
     assert not os.path.exists(os.path.join(path, vec_file))
     assert versioned.read_version(spark, path).count() == 12
+
+
+def test_deletion_vector_merge_appends_updates_without_rewrites(spark, tmp_path):
+    """commit_merge(deletion_vectors=True): matched old rows are
+    vectored out (every base file carried name-identical), updated
+    rows + inserts land in appended files — a CDC batch touching a few
+    rows of a big file costs those rows, not the file. CDF still shows
+    exact update_pre/update_post + inserts; a second vector merge
+    vectors the previously-appended file."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.sinks import versioned
+
+    path = str(tmp_path / "tbl")
+    mk = lambda lo, hi: spark.range(lo, hi).selectExpr(
+        "id", "concat('k', id) AS k"
+    ).coalesce(1)
+    versioned.commit_append(mk(0, 10), path)
+    versioned.commit_append(mk(10, 20), path)
+    base_files = versioned._files_of(path, 1)
+
+    upd = spark.createDataFrame(
+        [(5, "K5"), (15, "K15"), (99, "NEW")], "id long, k string"
+    )
+    v2 = versioned.commit_merge(spark, path, upd, key="id", deletion_vectors=True)
+    assert set(base_files) <= set(versioned._files_of(path, v2)), "base files carried"
+    m2 = versioned._manifest_of(path, v2)
+    assert sum(e["rows"] for e in m2["dv"].values()) == 2, "matched rows vectored"
+
+    rows = {r.id: r.k for r in versioned.read_version(spark, path, v2).collect()}
+    assert len(rows) == 21 and rows[5] == "K5" and rows[15] == "K15" and rows[99] == "NEW"
+    feed = versioned.changes_between(spark, path, "id", 1, v2)
+    kinds = {(r.id, r._change_type) for r in feed.collect()}
+    assert kinds == {
+        (5, "update_pre"),
+        (5, "update_post"),
+        (15, "update_pre"),
+        (15, "update_post"),
+        (99, "insert"),
+    }
+    # vector merge over a vector-merged key: the appended file vectors
+    v3 = versioned.commit_merge(
+        spark,
+        path,
+        spark.createDataFrame([(5, "Z5")], "id long, k string"),
+        key="id",
+        deletion_vectors=True,
+    )
+    rows3 = {r.id: r.k for r in versioned.read_version(spark, path, v3).collect()}
+    assert rows3[5] == "Z5" and len(rows3) == 21

@@ -3616,10 +3616,11 @@ def test_key_probe_pruning_sound_across_compaction(
         max_size=6,
     ),
     insert_unmatched=st.booleans(),
+    deletion_vectors=st.booleans(),
 )
 @_SETTINGS
 def test_commit_merge_equals_reference_merge_semantics(
-    spark, commits, updates, insert_unmatched, tmp_path_factory
+    spark, commits, updates, insert_unmatched, deletion_vectors, tmp_path_factory
 ):
     """MERGE soundness (r10): for ANY commit history (duplicate keys
     across commits — every matching ROW updates, row identity
@@ -3645,7 +3646,12 @@ def test_commit_merge_equals_reference_merge_semantics(
         [(k, v) for k, v in updates.items()], "k long, v long"
     ) if updates else spark.createDataFrame([], "k long, v long")
     v = versioned.commit_merge(
-        spark, tbl, upd, key="k", insert_unmatched=insert_unmatched
+        spark,
+        tbl,
+        upd,
+        key="k",
+        insert_unmatched=insert_unmatched,
+        deletion_vectors=deletion_vectors,  # both physical shapes, one semantics
     )
 
     existing_keys = {k for k, _, _ in all_rows}
