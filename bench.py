@@ -45,6 +45,11 @@ HEADLINE = [
     # fixture-sink build (5 commits), warm is the pruned snapshot read
     # alone — the number that matters for the 100 TB probe path.
     "x_versioned_skipping_read",
+    # r10: the deletion-vector read path (snapshot scan + broadcast
+    # anti-join against the vector table). Cold includes the one-time
+    # fixture build (5 commits + the vector delete), warm is the
+    # vector-applied read alone.
+    "x_versioned_dv_delete",
 ]
 
 

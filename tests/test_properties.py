@@ -3676,10 +3676,11 @@ def test_commit_merge_equals_reference_merge_semantics(
         max_size=3,
     ),
     del_keys=st.sets(st.integers(min_value=0, max_value=15), min_size=0, max_size=6),
+    deletion_vectors=st.booleans(),
 )
 @_SETTINGS
 def test_commit_delete_equals_reference_delete_semantics(
-    spark, commits, del_keys, tmp_path_factory
+    spark, commits, del_keys, deletion_vectors, tmp_path_factory
 ):
     """DELETE soundness (r10): for ANY history and ANY key set, the
     post-delete snapshot is exactly the non-matching rows — the keyed
@@ -3704,6 +3705,7 @@ def test_commit_delete_equals_reference_delete_semantics(
     v = versioned.commit_delete(
         spark, tbl, condition=cond,
         prune={"k": {"values": keys}} if keys else None,
+        deletion_vectors=deletion_vectors,  # both physical shapes, one semantics
     )
     want = {(k, v0, tag) for k, v0, tag in all_rows if k not in del_keys}
     got = {(r.k, r.v, r.tag) for r in versioned.read_version(spark, tbl, v).collect()}
