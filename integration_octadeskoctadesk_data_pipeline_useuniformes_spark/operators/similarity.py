@@ -279,13 +279,46 @@ def ivf_topk(
     seeds = base.filter(F.col(id_col) < n_seeds).select(
         F.col(id_col).alias("seed_id"), F.col(vec_col).alias("seed_vec")
     )
-    assign = ivf_cells(base, seeds, 1, id_col, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), "cell"
-    )
+    # Cell ranking IN-ROW against the packed broadcast seed table (r10
+    # opt, guide §2.4 — the `_assign_in_row` k-means shape): the window
+    # form (`ivf_cells`) exchanged the corpus AND the query set just to
+    # rank ≤ n_seeds candidates per row. Packing the seeds into ONE
+    # broadcast row and sorting the per-row (cs, seed_id) array removes
+    # both exchanges — the corpus never shuffles for assignment, which
+    # is the shape that survives 100 TB. The comparator mirrors the
+    # window's ORDER BY cs DESC, seed_id ASC under SQL comparison
+    # semantics (same compareDoubles, ties to the lower seed id), so
+    # cell choices are bit-identical.
+    packed = seeds.agg(F.collect_list(F.struct("seed_id", "seed_vec")).alias("__cells"))
+
+    def _cmp(l: Column, r: Column) -> Column:
+        return (
+            F.when(l["cs"] > r["cs"], -1)
+            .when(l["cs"] < r["cs"], 1)
+            .when(l["cell"] < r["cell"], -1)
+            .when(l["cell"] > r["cell"], 1)
+            .otherwise(0)
+        )
+
+    def _top_cells(src: DataFrame, n: int, out_id: str) -> DataFrame:
+        ranked = F.array_sort(
+            F.transform(
+                F.col("__cells"),
+                lambda s: F.struct(
+                    cosine(F.col(vec_col), s["seed_vec"]).alias("cs"),
+                    s["seed_id"].alias("cell"),
+                ),
+            ),
+            _cmp,
+        )
+        return src.crossJoin(F.broadcast(packed)).select(
+            F.col(id_col).alias(out_id),
+            F.explode(F.slice(ranked, 1, n)).alias("__rc"),
+        ).select(out_id, F.col("__rc.cell").alias("cell"))
+
+    assign = _top_cells(base, 1, "neighbor_id")
     queries = base.join(query_ids, id_col, "left_semi")
-    probes = ivf_cells(queries, seeds, nprobe, id_col, vec_col).select(
-        F.col(id_col).alias("query_id"), "cell"
-    )
+    probes = _top_cells(queries, nprobe, "query_id")
     # home cells are disjoint, so one neighbor never arrives twice
     cand = assign.join(F.broadcast(probes), "cell").filter(
         F.col("neighbor_id") != F.col("query_id")

@@ -96,7 +96,11 @@ def run_update(spark: SparkSession, sf_dir: str, sink_path: str) -> int:
     # CURRENT state of every ticket — a previously-unresolved ticket that
     # has since resolved must update the sink to 'Resolvido'
     # (ticket.py:151-212 re-fetches by key and writes whatever comes back)
-    t = tickets_view(spark, sf_dir)
+    t = tickets_view(
+        spark,
+        sf_dir,
+        cols=("number", "status_name", "last_status", "channel_name", "requester_email"),
+    )
     fresh = t.filter(F.col("number").isNotNull()).select(
         F.col("number").cast("string").alias("n_ticket"),
         F.col("status_name").alias("status_ticket"),

@@ -221,7 +221,10 @@ WHERE number IS NOT NULL AND status_name <> 'Resolvido'
     ),
 )
 def flagship_unresolved_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tickets_view(spark, sf_dir)
+    # r10 opt: only orders-derived columns are consumed — the pruned
+    # view skips the customer join (guide §1.2: don't compute what you
+    # throw away; Catalyst cannot eliminate the join itself)
+    t = tickets_view(spark, sf_dir, cols=("number", "status_name"))
     return (
         t.filter(F.col("number").isNotNull() & (F.col("status_name") != "Resolvido"))
         .select(F.col("number").cast("string").alias("n_ticket"))
@@ -266,7 +269,7 @@ def p1_project_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_id": "grupo_responsavel_ticket",
         "createdAt": "data_criacao",
     }
-    t = tickets_view(spark, sf_dir)
+    t = tickets_view(spark, sf_dir, cols=tuple(rename_map))
     cols = [
         (F.col(src).cast("string") if src == "number" else F.col(src)).alias(dst)
         for src, dst in rename_map.items()
@@ -296,7 +299,7 @@ FROM tickets
     ),
 )
 def c11_custom_fields_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tickets_view(spark, sf_dir)
+    t = tickets_view(spark, sf_dir, cols=("id", "customField"))
     out = kv_to_columns(
         t,
         array_col="customField",
@@ -405,8 +408,13 @@ FULL OUTER JOIN tickets t
     ),
 )
 def j1_full_outer_integrate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    chats = chats_view(spark, sf_dir)
-    tickets = tickets_view(spark, sf_dir)
+    # r10 opt: prune both views to the consumed columns — the tickets
+    # side needs NO customer-derived column, so its customer join is
+    # skipped entirely (chats keeps it for contact_email)
+    chats = chats_view(
+        spark, sf_dir, cols=("id", "number", "contact_email", "evt_ticket_ticketNumber")
+    )
+    tickets = tickets_view(spark, sf_dir, cols=("id", "number", "summary", "status_name"))
     joined = full_outer_with_suffixes(
         chats,
         tickets,
@@ -451,7 +459,9 @@ FROM (WITH {_SINK_SEED_CTE}
     ),
 )
 def j3_anti_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tickets_view(spark, sf_dir)
+    # r10 opt: no customer-derived column on either side — pruned view
+    # drops the customer broadcast join from both subtrees
+    t = tickets_view(spark, sf_dir, cols=("id", "number", "status_name"))
     sink_keys = (
         t.filter(F.col("number") % 3 == 0)
         .select(F.col("number").cast("string").alias("n_ticket"))
@@ -483,7 +493,7 @@ FROM (WITH {_SINK_SEED_CTE}
     ),
 )
 def a3_dedup_removed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tickets_view(spark, sf_dir)
+    t = tickets_view(spark, sf_dir, cols=("number",))
     sink_keys = (
         t.filter(F.col("number") % 3 == 0)
         .select(F.col("number").cast("string").alias("k"))
@@ -520,8 +530,10 @@ FROM chats
     ),
 )
 def u1_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tickets_view(spark, sf_dir).filter(F.col("status_name") == "Aberto")
-    c = chats_view(spark, sf_dir)
+    t = tickets_view(spark, sf_dir, cols=("number", "status_name")).filter(
+        F.col("status_name") == "Aberto"
+    )
+    c = chats_view(spark, sf_dir, cols=("number", "contact_email"))
     left = t.select(
         F.col("number").cast("string").alias("n_ticket"),
         F.col("status_name").alias("status_ticket"),
@@ -556,18 +568,24 @@ FROM events GROUP BY user_id
 )
 def c13_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    # static pivot over the known domain: one shuffle, map-side partial aggs.
+    # static pivot over the known domain as ONE conditional aggregation
+    # (r10 opt, guide §2.4): `.pivot()` plans TWO exchanges — a
+    # (user_id, event_type) count, then a pivotfirst re-shuffle on
+    # user_id. count(CASE WHEN type=t) per type is the same result
+    # (count over a null-when-unmatched expression is 0 for absent
+    # types, exactly the coalesce(..., 0) the pivot form needed) with
+    # one exchange, and the shuffle rows are per-user partial counts —
+    # strictly fewer bytes than the per-(user, type) grain.
     # (For unknown domains use operators.pivot.pivot_dynamic — two-pass.)
-    pivoted = (
-        e.groupBy(F.col("user_id"))
-        .pivot("event_type", list(_EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
-    )
-    out = pivoted.select(
+    return e.groupBy(F.col("user_id")).agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(f"evt_{t}")
+            for t in _EVENT_TYPES
+        ]
+    ).select(
         F.col("user_id").cast("string").alias("chat_id"),
-        *[F.coalesce(F.col(t), F.lit(0)).alias(f"evt_{t}") for t in _EVENT_TYPES],
+        *[F.col(f"evt_{t}") for t in _EVENT_TYPES],
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -624,7 +642,7 @@ FROM (
 def p7_null_key_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.project import fill_null_keys
 
-    t = tickets_view(spark, sf_dir).select(
+    t = tickets_view(spark, sf_dir, cols=("id", "number")).select(
         "id",
         F.when(F.col("number") % 11 == 0, F.lit(None).cast("string"))
         .when(F.col("number") % 13 == 0, F.lit("  "))
@@ -657,7 +675,9 @@ FROM tickets WHERE number IS NOT NULL
     ),
 )
 def p3_sanitize_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tickets_view(spark, sf_dir).filter(F.col("number").isNotNull())
+    t = tickets_view(spark, sf_dir, cols=("number", "status_name", "group_id")).filter(
+        F.col("number").isNotNull()
+    )
     ugly = t.select(
         F.col("number").cast("string").alias("n_ticket"),
         F.col("status_name").alias("Status do Ticket (BR)"),

@@ -90,7 +90,9 @@ WHERE e.type = 'purchase'
 def c14_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import chat_events_view
 
-    t = tickets_view(spark, sf_dir).select(
+    t = tickets_view(
+        spark, sf_dir, cols=("id", "number", "status_name", "channel_name")
+    ).select(
         "id",
         "number",
         # rebuild the nested struct shape the reference flattens
@@ -136,7 +138,7 @@ LIMIT 20
     ),
 )
 def o1_sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tickets_view(spark, sf_dir)
+    t = tickets_view(spark, sf_dir, cols=("number", "createdAt", "totalprice"))
     return (
         t.filter(F.col("number").isNotNull())
         .orderBy(F.col("createdAt").desc(), F.col("number").asc())
@@ -156,7 +158,7 @@ FROM chats WHERE number = 42 LIMIT 1
     ),
 )
 def o3_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = chats_view(spark, sf_dir)
+    c = chats_view(spark, sf_dir, cols=("id", "number"))
     return (
         c.filter(F.col("number") == 42)
         .limit(1)
@@ -278,12 +280,37 @@ FULL OUTER JOIN tickets t
 def pipeline_integrate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reference main.py:89-125 as one lazy Spark plan."""
     tickets = kv_to_columns(
-        tickets_view(spark, sf_dir),
+        tickets_view(
+            spark,
+            sf_dir,
+            cols=(
+                "id",
+                "number",
+                "summary",
+                "status_name",
+                "last_status",
+                "channel_name",
+                "requester_name",
+                "requester_email",
+                "group_id",
+                "customField",
+            ),
+        ),
         array_col="customField",
         keys=("n_do_pedido", "produto", "cpf"),
         prefix="ticket_",
     )
-    chats = chats_view(spark, sf_dir)
+    chats = chats_view(
+        spark,
+        sf_dir,
+        cols=(
+            "id",
+            "number",
+            "contact_email",
+            "contact_cf_n_mero_do_ticket",
+            "evt_ticket_ticketNumber",
+        ),
+    )
     joined = full_outer_with_suffixes(
         chats,
         tickets,
@@ -341,7 +368,18 @@ WHERE number IS NOT NULL AND status_name <> 'Resolvido'
     ),
 )
 def pipeline_update_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tickets_view(spark, sf_dir)
+    t = tickets_view(
+        spark,
+        sf_dir,
+        cols=(
+            "number",
+            "status_name",
+            "last_status",
+            "channel_name",
+            "requester_email",
+            "tags",
+        ),
+    )
     unresolved = (
         t.filter(F.col("number").isNotNull() & (F.col("status_name") != "Resolvido"))
         .select(F.col("number").cast("string").alias("n_ticket"))
@@ -388,9 +426,11 @@ WHERE t.number IS NOT NULL
     ),
 )
 def j2_left_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tickets_view(spark, sf_dir)
+    # r10 opt: neither side consumes a customer-derived column — both
+    # pruned views skip their customer joins
+    t = tickets_view(spark, sf_dir, cols=("number", "summary"))
     per_ticket = (
-        chats_view(spark, sf_dir)
+        chats_view(spark, sf_dir, cols=("evt_ticket_ticketNumber",))
         .filter(F.col("evt_ticket_ticketNumber").isNotNull())
         .groupBy(F.col("evt_ticket_ticketNumber").alias("tn"))
         .agg(F.count(F.lit(1)).alias("n_chats"))
@@ -428,7 +468,7 @@ FROM tickets
 )
 def j4_zip_custom_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = kv_to_columns(
-        tickets_view(spark, sf_dir),
+        tickets_view(spark, sf_dir, cols=("id", "customField")),
         array_col="customField",
         keys=("cpf", "produto"),
         prefix="ticket_",
@@ -490,7 +530,9 @@ FROM tickets
     ),
 )
 def c10_coalesce_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = tickets_view(spark, sf_dir)
+    t = tickets_view(
+        spark, sf_dir, cols=("id", "last_status", "status_name", "requester_name")
+    )
     return t.select(
         F.col("id").alias("uuid"),
         F.coalesce(F.col("last_status"), F.col("status_name")).alias("effective_status"),
@@ -518,7 +560,7 @@ FROM tickets
 def p2_missing_column_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.project import ensure_columns
 
-    t = tickets_view(spark, sf_dir).select(
+    t = tickets_view(spark, sf_dir, cols=("id", "status_name")).select(
         F.col("id").alias("uuid"), F.col("status_name").alias("status_ticket")
     )
     return ensure_columns(t, {"sla_tier": "string"})

@@ -337,7 +337,8 @@ def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     skew-split the join. The novelty ratio is one IEEE division of
     exact counts. The scan fans out to core count first (identity at
     scale) so the shingle+hash stage is not bound to one split."""
-    docs = fan_out_small_scan(load_table(spark, sf_dir, "documents"))
+    base = load_table(spark, sf_dir, "documents")
+    docs = fan_out_small_scan(base)
     # shuffle 8-byte hashes, not ~20-char shingle strings: the exploded
     # (doc, shingle) grain is the dominant exchange, so hashing before
     # the explode cuts its width ~3x (and the df-count/join-back keys
@@ -363,7 +364,11 @@ def x_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_shingles"),
         F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
     )
-    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+    # join-back LEFT side reads the raw scan, not the fanned-out frame:
+    # the doc_id-only projection does no CPU-bound work, so the fan-out
+    # repartition bought nothing there — one Exchange removed (r10 opt,
+    # guide §2.4)
+    return base.select("doc_id").join(per_doc, "doc_id", "left").select(
         "doc_id",
         F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
         F.coalesce("n_novel", F.lit(0)).alias("n_novel"),

@@ -22,7 +22,7 @@ natively as TIMESTAMP_NTZ.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .session import configure
@@ -172,7 +172,34 @@ CUSTOM_FIELD_ALLOWLIST = (
 )
 
 
-def tickets_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: tickets_view output columns whose expressions read customer.* —
+#: requesting none of them lets the view skip the customer join
+#: entirely (see tickets_view ``cols``)
+_TICKET_CUSTOMER_COLS = frozenset(
+    {"tags", "requester_name", "requester_email", "customField"}
+)
+
+#: canonical tickets_view column order (the no-``cols`` output shape)
+_TICKET_COL_ORDER = (
+    "id",
+    "number",
+    "summary",
+    "tags",
+    "createdAt",
+    "status_name",
+    "channel_name",
+    "requester_name",
+    "requester_email",
+    "group_id",
+    "last_status",
+    "customField",
+    "totalprice",
+)
+
+
+def tickets_view(
+    spark: SparkSession, sf_dir: str, cols: tuple[str, ...] | None = None
+) -> DataFrame:
     """Ticket entity mapped onto orders ⟕ customer.
 
     Mirrors the shape consumed by the reference's projection main.py:46-62
@@ -180,64 +207,122 @@ def tickets_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercise the uuid-fill path P7), status domain including 'Resolvido'
     (filter F3), and a key/value ``customField`` array that sometimes omits
     allowlisted keys and always carries a non-allowlisted one (filter F6).
+
+    ``cols`` (optimization r10, guide §1.2 step 1 "don't compute what you
+    throw away"): the caller's needed OUTPUT columns. When none of them
+    derives from customer.* the orders ⟕ customer join is skipped — Catalyst
+    prunes unused *columns* but cannot eliminate the left join itself (it
+    has no uniqueness evidence for c_custkey). The elimination is
+    semantics-preserving because c_custkey is the customer primary key
+    (unique, non-null — verified at every fixture SF): a left join on a
+    unique key never changes left-side multiplicity, so dropping it when no
+    right-side column survives yields the identical rows. Expressions are
+    the same objects as the full view's, so requested columns are
+    bit-identical; output order follows the canonical view order.
     """
     o = load_table(spark, sf_dir, "orders")
-    c = load_table(spark, sf_dir, "customer")
+    need = tuple(_TICKET_COL_ORDER) if cols is None else tuple(cols)
+    unknown = set(need) - set(_TICKET_COL_ORDER)
+    if unknown:
+        raise KeyError(f"tickets_view: unknown columns {sorted(unknown)}")
+    need = tuple(n for n in _TICKET_COL_ORDER if n in set(need))
+    need_customer = any(n in _TICKET_CUSTOMER_COLS for n in need)
     kv = F.struct  # array<struct<key,value>> entries
 
-    full_cf = F.array(
-        kv(F.lit("n_do_pedido").alias("key"), F.col("o_orderkey").cast("string").alias("value")),
-        kv(F.lit("produto").alias("key"), F.col("c_mktsegment").alias("value")),
-        kv(
-            F.lit("cpf").alias("key"),
-            F.lpad(((F.col("o_custkey") * 37) % 100000000000).cast("string"), 11, "0").alias("value"),
-        ),
-        kv(F.lit("campo_interno").alias("key"), F.col("o_orderpriority").alias("value")),
-    )
-    short_cf = F.array(
-        kv(F.lit("n_do_pedido").alias("key"), F.col("o_orderkey").cast("string").alias("value")),
-        kv(F.lit("campo_interno").alias("key"), F.col("o_orderpriority").alias("value")),
-    )
-
-    return o.join(c, o.o_custkey == c.c_custkey, "left").select(
-        F.md5(F.col("o_orderkey").cast("string")).alias("id"),
-        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None).cast("bigint"))
+    exprs: dict[str, Column] = {
+        "id": F.md5(F.col("o_orderkey").cast("string")).alias("id"),
+        "number": F.when(F.col("o_orderkey") % 97 == 0, F.lit(None).cast("bigint"))
         .otherwise(F.col("o_orderkey"))
         .alias("number"),
-        F.concat(F.lit("Pedido "), F.col("o_orderkey").cast("string")).alias("summary"),
-        F.array(
-            F.concat(F.lit("prio:"), F.split(F.col("o_orderpriority"), "-").getItem(0)),
-            F.concat(F.lit("seg:"), F.coalesce(F.col("c_mktsegment"), F.lit("NA"))),
-        ).alias("tags"),
-        F.col("o_orderdate").alias("createdAt"),
-        F.when(F.col("o_orderstatus") == "F", F.lit("Resolvido"))
+        "summary": F.concat(F.lit("Pedido "), F.col("o_orderkey").cast("string")).alias(
+            "summary"
+        ),
+        "createdAt": F.col("o_orderdate").alias("createdAt"),
+        "status_name": F.when(F.col("o_orderstatus") == "F", F.lit("Resolvido"))
         .when(F.col("o_orderstatus") == "O", F.lit("Aberto"))
         .otherwise(F.lit("Pendente"))
         .alias("status_name"),
-        F.col("o_orderpriority").alias("channel_name"),
-        F.col("c_name").alias("requester_name"),
-        F.concat(
-            F.regexp_replace(F.lower(F.col("c_name")), "[^a-z0-9]+", "."),
-            F.lit("@cliente.example"),
-        ).alias("requester_email"),
-        (F.col("o_custkey") % 10).cast("string").alias("group_id"),
-        F.when(F.col("o_orderstatus") == "F", F.lit("Resolvido"))
+        "channel_name": F.col("o_orderpriority").alias("channel_name"),
+        "group_id": (F.col("o_custkey") % 10).cast("string").alias("group_id"),
+        "last_status": F.when(F.col("o_orderstatus") == "F", F.lit("Resolvido"))
         .otherwise(F.lit(None).cast("string"))
         .alias("last_status"),
-        F.when(F.col("o_orderkey") % 5 == 0, short_cf).otherwise(full_cf).alias("customField"),
-        F.col("o_totalprice").alias("totalprice"),
-    )
+        "totalprice": F.col("o_totalprice").alias("totalprice"),
+    }
+    if need_customer:
+        full_cf = F.array(
+            kv(F.lit("n_do_pedido").alias("key"), F.col("o_orderkey").cast("string").alias("value")),
+            kv(F.lit("produto").alias("key"), F.col("c_mktsegment").alias("value")),
+            kv(
+                F.lit("cpf").alias("key"),
+                F.lpad(((F.col("o_custkey") * 37) % 100000000000).cast("string"), 11, "0").alias("value"),
+            ),
+            kv(F.lit("campo_interno").alias("key"), F.col("o_orderpriority").alias("value")),
+        )
+        short_cf = F.array(
+            kv(F.lit("n_do_pedido").alias("key"), F.col("o_orderkey").cast("string").alias("value")),
+            kv(F.lit("campo_interno").alias("key"), F.col("o_orderpriority").alias("value")),
+        )
+        exprs.update(
+            {
+                "tags": F.array(
+                    F.concat(F.lit("prio:"), F.split(F.col("o_orderpriority"), "-").getItem(0)),
+                    F.concat(F.lit("seg:"), F.coalesce(F.col("c_mktsegment"), F.lit("NA"))),
+                ).alias("tags"),
+                "requester_name": F.col("c_name").alias("requester_name"),
+                "requester_email": F.concat(
+                    F.regexp_replace(F.lower(F.col("c_name")), "[^a-z0-9]+", "."),
+                    F.lit("@cliente.example"),
+                ).alias("requester_email"),
+                "customField": F.when(F.col("o_orderkey") % 5 == 0, short_cf)
+                .otherwise(full_cf)
+                .alias("customField"),
+            }
+        )
+        c = load_table(spark, sf_dir, "customer")
+        base = o.join(c, o.o_custkey == c.c_custkey, "left")
+    else:
+        base = o
+    return base.select(*[exprs[n] for n in need])
 
 
-def chats_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: chats_view output columns whose expressions read customer.* —
+#: requesting none of them skips the customer join (same contract and
+#: uniqueness argument as tickets_view ``cols``)
+_CHAT_CUSTOMER_COLS = frozenset({"contact_name", "contact_email"})
+
+#: canonical chats_view column order (the no-``cols`` output shape)
+_CHAT_COL_ORDER = (
+    "id",
+    "number",
+    "createdAt",
+    "n_events",
+    "max_value",
+    "evt_ticket_ticketNumber",
+    "agent_name",
+    "contact_name",
+    "contact_email",
+    "contact_cf_n_mero_do_ticket",
+)
+
+
+def chats_view(
+    spark: SparkSession, sf_dir: str, cols: tuple[str, ...] | None = None
+) -> DataFrame:
     """Chat entity mapped onto events grouped per user ⟕ customer.
 
     ``evt_ticket_ticketNumber`` (the reference join key, chat.py:128-129)
     is the first 'purchase' event's props.k per user — the first-match
     semantics of chat.py:165-172 (F5) expressed as a row_number window.
+
+    ``cols`` (optimization r10): the caller's needed output columns; when
+    none reads customer.* the events-agg ⟕ customer join is skipped (valid
+    because c_custkey is unique + non-null — see tickets_view). The
+    aggregate expressions themselves need no manual pruning: Catalyst
+    removes unused aggregate functions from the groupBy when the outer
+    projection drops them.
     """
     e = load_table(spark, sf_dir, "events")
-    c = load_table(spark, sf_dir, "customer")
 
     # ONE aggregation pass: the first-purchase lookup (first-match F5,
     # chat.py:165-172) rides the same groupBy as the base stats, so
@@ -279,24 +364,34 @@ def chats_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("evt_ticket_ticketNumber"),
     )
-    return (
-        base.join(c, base.user_id == c.c_custkey, "left")
-        .select(
-            F.md5(F.concat(F.lit("chat-"), F.col("user_id").cast("string"))).alias("id"),
-            F.col("user_id").alias("number"),
-            F.col("createdAt"),
-            F.col("n_events"),
-            F.col("max_value"),
-            F.col("evt_ticket_ticketNumber"),
-            F.concat(F.lit("Agente "), (F.col("user_id") % 7).cast("string")).alias("agent_name"),
-            F.col("c_name").alias("contact_name"),
-            F.concat(
-                F.regexp_replace(F.lower(F.coalesce(F.col("c_name"), F.lit("anon"))), "[^a-z0-9]+", "."),
-                F.lit("@contato.example"),
-            ).alias("contact_email"),
-            F.col("evt_ticket_ticketNumber").cast("string").alias("contact_cf_n_mero_do_ticket"),
-        )
-    )
+    need = tuple(_CHAT_COL_ORDER) if cols is None else tuple(cols)
+    unknown = set(need) - set(_CHAT_COL_ORDER)
+    if unknown:
+        raise KeyError(f"chats_view: unknown columns {sorted(unknown)}")
+    need = tuple(n for n in _CHAT_COL_ORDER if n in set(need))
+    exprs: dict[str, Column] = {
+        "id": F.md5(F.concat(F.lit("chat-"), F.col("user_id").cast("string"))).alias("id"),
+        "number": F.col("user_id").alias("number"),
+        "createdAt": F.col("createdAt"),
+        "n_events": F.col("n_events"),
+        "max_value": F.col("max_value"),
+        "evt_ticket_ticketNumber": F.col("evt_ticket_ticketNumber"),
+        "agent_name": F.concat(F.lit("Agente "), (F.col("user_id") % 7).cast("string")).alias(
+            "agent_name"
+        ),
+        "contact_name": F.col("c_name").alias("contact_name"),
+        "contact_email": F.concat(
+            F.regexp_replace(F.lower(F.coalesce(F.col("c_name"), F.lit("anon"))), "[^a-z0-9]+", "."),
+            F.lit("@contato.example"),
+        ).alias("contact_email"),
+        "contact_cf_n_mero_do_ticket": F.col("evt_ticket_ticketNumber")
+        .cast("string")
+        .alias("contact_cf_n_mero_do_ticket"),
+    }
+    if any(n in _CHAT_CUSTOMER_COLS for n in need):
+        c = load_table(spark, sf_dir, "customer")
+        base = base.join(c, base.user_id == c.c_custkey, "left")
+    return base.select(*[exprs[n] for n in need])
 
 
 def chat_events_view(spark: SparkSession, sf_dir: str) -> DataFrame:
