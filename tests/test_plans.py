@@ -1691,3 +1691,70 @@ def test_versioned_dv_delete_rewrites_no_data_file(spark):
     assert sum(e["rows"] for e in m["dv"].values()) == 91  # id % 11 == 3 at sf0.001
     # and the metadata-only count stays exact across the vectors
     assert versioned.metadata_count(tbl, latest) == 1000 - 91
+
+
+# ---------------------------------------------------------------------------
+# optimization round 10: the shapes the r10 changes bought, pinned
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["j3_anti_dedup", "p7_null_key_fill", "p3_sanitize_columns"],
+)
+def test_pruned_tickets_view_skips_customer_join(spark, name):
+    """Queries consuming no customer-derived ticket column must not
+    scan or join customer at all (r10: needed-column views — Catalyst
+    prunes columns but cannot eliminate the unused left join itself)."""
+    plan = plan_of(spark, name)
+    assert "customer.parquet" not in plan, plan
+
+
+def test_j1_tickets_side_has_single_customer_scan(spark):
+    """j1's tickets side needs no customer column; only the chats side
+    (contact_email) may keep its customer broadcast — exactly ONE
+    customer scan in the whole plan (was two before r10)."""
+    plan = plan_of(spark, "j1_full_outer_integrate")
+    assert plan.count("customer.parquet") == 1, plan
+
+
+def test_c13_static_pivot_single_exchange(spark):
+    """The conditional-aggregation rewrite must keep the pivot at ONE
+    exchange with a partial/final HashAggregate pair (the .pivot() form
+    planned two exchanges via pivotfirst)."""
+    tree = tree_of(spark, "c13_pivot_event_types")
+    assert tree.count("Exchange") == 1, tree
+    assert tree.count("HashAggregate") == 2, tree
+
+
+def test_ivf_topk_assignment_never_shuffles_corpus(spark):
+    """r10: cell assignment and query probes rank in-row against the
+    packed broadcast seed row — the only Window (and its exchange) left
+    is the final top-k; the corpus reaches it through broadcast joins
+    and Generate, never a corpus-wide window exchange."""
+    tree = tree_of(spark, "x_ann_ivf_topk")
+    # count Window NODES ("- Window (n)"), not the WindowGroupLimit
+    # partials whose name contains the substring
+    assert tree.count("- Window (") == 1, tree
+    assert "SortMergeJoin" not in tree, tree
+    # packed seeds: one collect_list aggregate per ranking side
+    plan = plan_of(spark, "x_ann_ivf_topk")
+    assert "collect_list" in plan, plan
+
+
+def test_minhash_signatures_single_exchange_keyed_fanout(spark):
+    """r10: the small-scan fan-out repartitions BY the aggregation key,
+    so the signature aggregate reuses that exchange — exactly one
+    Exchange (hashpartitioning on the id), one-phase SortAggregate."""
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.tables import (
+        load_table,
+    )
+
+    sig = minhash_signatures(load_table(spark, SF, "documents"))
+    tree = spark._jvm.PythonSQLUtils.explainString(
+        sig._jdf.queryExecution(), "formatted"
+    ).split("\n\n", 1)[0]
+    assert tree.count("Exchange") == 1, tree
