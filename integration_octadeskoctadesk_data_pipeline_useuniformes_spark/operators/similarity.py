@@ -301,6 +301,24 @@ def ivf_topk(
         )
 
     def _top_cells(src: DataFrame, n: int, out_id: str) -> DataFrame:
+        if n == 1:
+            # top-1 as array_min over (-cs, cell) structs — the k-means
+            # `_assign_in_row` convention; same ordering as the
+            # comparator (SQL double ordering, no NaN inputs — zero-norm
+            # vectors are absent from the corpus contract), measured
+            # ~10% faster than the comparator sort on the corpus side
+            best = F.array_min(
+                F.transform(
+                    F.col("__cells"),
+                    lambda s: F.struct(
+                        (-cosine(F.col(vec_col), s["seed_vec"])).alias("negcs"),
+                        s["seed_id"].alias("cell"),
+                    ),
+                )
+            )
+            return src.crossJoin(F.broadcast(packed)).select(
+                F.col(id_col).alias(out_id), best.getField("cell").alias("cell")
+            )
         ranked = F.array_sort(
             F.transform(
                 F.col("__cells"),
