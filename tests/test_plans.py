@@ -242,21 +242,24 @@ def test_quantized_ann_broadcasts_query_side(spark):
 
 
 def test_kmeans_assignment_never_shuffles_corpus(spark):
-    # centroids arrive as ONE broadcast packed row: the final assignment
-    # plan may contain only that BroadcastNestedLoopJoin — no shuffle
-    # join, no window, no exchange of the corpus (MLlib-shape Lloyd)
+    # centroids arrive as ONE broadcast packed row per iteration: the
+    # plan may join only through BroadcastNestedLoopJoin — no shuffle
+    # join, no window, no exchange of corpus rows (MLlib-shape Lloyd).
+    # Since r11 the whole Lloyd loop is one lazy plan, so the centroid
+    # updates appear in-plan: the only shuffle exchanges allowed are
+    # their k×d-partial-row aggregates, keyed on the centroid grain
+    # (cid[, pos]) — never on vec_id and never a round-robin of the
+    # corpus.
+    plan = plan_of(spark, "x_kmeans_semantic_clusters")
     tree = tree_of(spark, "x_kmeans_semantic_clusters")
     assert "BroadcastNestedLoopJoin" in tree, tree
     for op in ("SortMergeJoin", "ShuffledHashJoin", "Window"):
         assert op not in tree, (op, tree)
-    # the only exchanges allowed are broadcast ones (the packed row and
-    # its k-row collect_list input) — never a shuffle Exchange
-    import re
-
-    shuffle_exchanges = [
-        ln for ln in tree.splitlines() if re.search(r"\bExchange (hash|range|Single)", ln)
-    ]
-    assert not shuffle_exchanges, shuffle_exchanges
+    shuffle_keys = {
+        m.group(1) for m in re.finditer(r"hashpartitioning\((\w+)", plan)
+    }
+    assert shuffle_keys <= {"cid"}, (shuffle_keys, plan)
+    assert "RoundRobinPartitioning" not in plan, plan
 
 
 def test_outlier_mad_broadcasts_per_source_scalars(spark):
@@ -306,15 +309,19 @@ def test_incremental_batch_prunes_to_fingerprint_before_anti_join(spark):
 
 
 def test_kmeans_final_plan_reads_cache_not_parquet(spark):
-    # the Lloyd loop persists the corpus projection once: the FINAL
-    # assignment plan reads the in-memory corpus (InMemoryTableScan; the
-    # single Scan parquet in the tree is the cache-population child it
-    # displays) and the centroids arrive as literals — NOT as an inlined
-    # lineage of the previous iterations. The unrolled form showed one
-    # parquet scan per iteration (4 total).
+    # the Lloyd loop persists the corpus projection once: every pass
+    # reads the in-memory corpus (InMemoryTableScan). Since r11 the loop
+    # is one lazy plan, so the iterations' cache reads all appear in the
+    # ONE action's tree — every `Scan parquet` shown must be the SAME
+    # cache-population child (one distinct node id), i.e. the parquet is
+    # read once no matter how many passes the loop makes. No
+    # LocalTableScan: centroids are in-plan aggregates, never a
+    # driver-collected table re-uploaded as literals.
     tree = tree_of(spark, "x_kmeans_semantic_clusters")
     assert "InMemoryTableScan" in tree, tree
-    assert tree.count("Scan parquet") <= 1, tree
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", tree))
+    assert len(scan_ids) <= 1, tree
+    assert "LocalTableScan" not in tree, tree
 
 
 def test_bloom_probe_never_shuffles_probe_side(spark):

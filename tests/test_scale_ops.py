@@ -141,6 +141,45 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert r2 > 0.0
 
 
+def test_in_row_ranking_rejects_zero_norm_vectors(spark):
+    """The no-NaN contract, enforced (ADVICE r10): ivf_topk's and
+    ivf_assign_with_distance's in-row ranking forms mirror the window's
+    ORDER BY cs DESC only for non-NaN cosines, so a zero-norm vector
+    (cosine = 0/0 = NaN) must raise loudly at execution instead of
+    silently diverging from SQL window ordering. Also pins that the
+    fixture corpora actually satisfy the contract."""
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.operators import (
+        similarity as S,
+    )
+    from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.tables import load_table
+
+    # a 10-vector corpus whose vec_id=3 is the zero vector
+    rows = [
+        (i, [0.0] * 4 if i == 3 else [float(i + j) for j in range(4)])
+        for i in range(10)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = emb.filter(F.col("vec_id") == 5).select("vec_id")
+    with pytest.raises(SparkRuntimeException, match="zero-norm vector"):
+        S.ivf_topk(emb, qids, n_seeds=4, k=3, nprobe=2).collect()
+    seeds = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("seed_id"), F.col("embedding").alias("seed_vec")
+    )
+    with pytest.raises(SparkRuntimeException, match="zero-norm vector"):
+        S.ivf_assign_with_distance(emb, seeds).collect()
+    # the fixture corpus satisfies the contract at every SF
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        n_zero = (
+            load_table(spark, sf, "embeddings")
+            .filter(S.norm(F.col("embedding")) == 0.0)
+            .count()
+        )
+        assert n_zero == 0, (sf, n_zero)
+
+
 def test_lsh_multiprobe_dominates_single_bucket(spark):
     """Probing Hamming-distance-1 buckets must never lose a candidate
     the single-bucket probe had, and recall@10 vs brute force must not

@@ -1,9 +1,10 @@
-"""Capture .explain("formatted") for headline queries into plans/r10/.
+"""Capture .explain("formatted") for headline queries into plans/<round>/.
 
 Usage:
     python tools/capture_plans.py <tag> [query ...]
 
-Writes plans/r10/<query>_<tag>.txt for each query (default: the bench
+The round directory defaults to r11 (override with $SPARK_GRAFT_PLANS_ROUND).
+Writes plans/<round>/<query>_<tag>.txt for each query (default: the bench
 HEADLINE list). The judge reads these files to verify plan-shape claims
 in OPTIMIZATION_r10.md — capture them at the bench scale factor so the
 plans match what the bench times (AQE initial plans; the shape claims —
@@ -30,7 +31,10 @@ from integration_octadeskoctadesk_data_pipeline_useuniformes_spark.session impor
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r10")
+    round_dir = os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r11")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", round_dir
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     import bench
@@ -55,7 +59,13 @@ def main() -> None:
             fh.write(f"# {name} @ {sf_dir} — explain('formatted'), tag={tag}\n")
             fh.write(buf.getvalue())
         plan = buf.getvalue()
-        n_exchange = plan.count("Exchange")
+        # count on the tree section only: the node-details section repeats
+        # every operator name, so a full-text count roughly doubles the
+        # true Exchange count (ADVICE r10)
+        import re as _re
+
+        tree = plan.split("\n\n")[0]
+        n_exchange = len(_re.findall(r"[+:]- Exchange", tree))
         joins = [
             k
             for k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin", "BroadcastNestedLoopJoin")
