@@ -50,6 +50,10 @@ HEADLINE = [
     # fixture build (5 commits + the vector delete), warm is the
     # vector-applied read alone.
     "x_versioned_dv_delete",
+    # r11 (VERDICT r10 #6): the catalog's most exchange-heavy plan,
+    # rewritten from 3 per-config band chains (63 Exchanges) to one
+    # tagged pass (8) — promoted into the bench so the win is timed.
+    "x_dedup_lsh_band_tuning",
 ]
 
 

@@ -73,120 +73,101 @@ def register(name: str, oracle: str | None):
 #: rounds' rows persist in CORRECTNESS_r{N}.json; after round 4 every
 #: registered query has at least one green row.
 #:
-#: Round-10 window (VERDICT r9 #2): the three NEW queries lead
-#: (x_versioned_merge_upsert — the r9 #1 MERGE commit —
-#: x_versioned_delete_where — its copy-on-write DELETE sibling —
-#: and x_bpe_byte_fallback_encode, the r9 #7 encode-totality query;
-#: ADVICE r2 standing rule), plus THREE changed-owner re-windows:
-#: x_versioned_skipping_read, x_ivm_rollup_minmax and
-#: x_ivm_rollup_incremental — their owner file sinks/versioned.py
-#: changed non-append-only this round (blooms now built from written
-#: files, prune_files NULL normalization, _publish_replace_from
-#: generalized to subset rewrites — the commit/prune/publish paths
-#: all three queries ride). operators/bpe.py's edit is append-only
-#: (byte_fallback_pieces_expr; __all__ gained a name, no existing
-#: line changed semantically) so no other BPE re-windows — the r8/r9
-#: precedent; operators/similarity.py's edit replaces one line inside
-#: split_drifted_cells (a maintenance-only owner no registered query
-#: composes); streaming/curation.py and ann_index.py changed (probe
-#: size gates, cell merge, metadata-minmax consumer) but are
-#: test-covered surfaces with no query mapping. Then the ELEVEN
-#: displaced r5-cohort members carried per the r9 handoff ledger,
-#: then 33 of the 49 queries whose newest green row is r6 (recomputed
-#: from the nine CORRECTNESS jsons this round: histogram r9:50,
-#: r8:49, r7:49, r6:49, r5:11, r1:1). 6 + 11 + 49 = 66 candidates for
-#: 50 slots: sixteen r6-cohort members are displaced to r11
-#: (rationale in the trailing comment).
+#: Round-11 window (optimization round 2; VERDICT r10 #1 is the brief:
+#: "driver-confirm the r10 semantic claims"). Composition, in order:
+#:
+#: (a) ELEVEN queries whose code changed THIS round (verify first —
+#:     ADVICE r2 standing rule): x_dedup_lsh_band_tuning (rewritten to
+#:     one tagged banding pass), x_versioned_skipping_read +
+#:     x_versioned_dv_delete (fixture sinks now batch their commits via
+#:     versioned.commit_appends), x_versioned_restore_read (registered
+#:     after the r10 rotation — new-query priority promised in the r10
+#:     trailing comment, as is dv_delete), x_kmeans_semantic_clusters +
+#:     x_semdedup_within_clusters (the Lloyd loop is one lazy plan),
+#:     x_ann_ivf_topk + x_ann_ivf_incremental_assign (factored cosine
+#:     folds + checked_norm guard in operators/similarity.py),
+#:     j1_full_outer_integrate + pipeline_integrate_full (bigint join
+#:     keys), x_dedup_minhash_lsh_pairs (keyed fan-out re-A/B'd and
+#:     kept — VERDICT #2's driver row);
+#: (b) THIRTEEN r10-touched queries the rotating window never
+#:     driver-confirmed (VERDICT #1's explicit list): c13_pivot_
+#:     event_types, j3_anti_dedup, x_ngram_novelty, and the pruned-view
+#:     consumers j2, j4, u1, o1, o3, p3, p7, c11, c14, a3 (c10/p2 from
+#:     that list got green r10 rows already; flagship stays out as
+#:     always — entry() verifies it every round);
+#: (c) the SIXTEEN r6-green-once members displaced by the r10 rotation
+#:     (promised "FIRST in line for r11" there) — x_ngram_novelty is
+#:     already in (b), so fifteen here;
+#: (d) ELEVEN of the 49 queries whose newest green row is r7 (the
+#:     oldest cohort after (c); histogram recomputed from the ten
+#:     CORRECTNESS jsons: r10:50, r9:47, r8:49, r7:49, r6:16, r1:1):
+#:     six chosen because they compose this round's touched owners
+#:     (x_dedup_incremental_minhash — minhash_signatures verbatim;
+#:     x_dedup_cross_source_matrix — the band/est owners the
+#:     band-tuning rewrite re-exercises; x_embedding_centroid,
+#:     x_embedding_drift_by_source, x_category_drift — the cosine/norm
+#:     fold owners' other consumers; x_ann_quantized_topk — the
+#:     packed-broadcast in-row ranking family), then the five
+#:     name-order-first fn batteries. The remaining 38 r7-cohort
+#:     members displace to r12, all still covered by the full-catalog
+#:     strict sf0.01 sweep every round.
+#: 11 + 13 + 15 + 11 = 50.
 DRIVER_WINDOW: list[str] = [
-    # new or changed-owner this round (verify first)
-    "x_versioned_merge_upsert",
-    "x_versioned_delete_where",
-    "x_bpe_byte_fallback_encode",
+    # (a) changed this round (verify first)
+    "x_dedup_lsh_band_tuning",
     "x_versioned_skipping_read",
-    "x_ivm_rollup_minmax",
-    "x_ivm_rollup_incremental",
-    # the eleven carried r5-cohort members (r9 handoff ledger)
-    "c13_dynamic_pivot_flags",
+    "x_versioned_dv_delete",
+    "x_versioned_restore_read",
+    "x_kmeans_semantic_clusters",
+    "x_semdedup_within_clusters",
+    "x_ann_ivf_topk",
+    "x_ann_ivf_incremental_assign",
+    "j1_full_outer_integrate",
     "pipeline_integrate_full",
-    "x_ann_lsh_buckets",
-    "x_ann_lsh_multiprobe_topk",
-    "x_ann_matryoshka_recall",
-    "x_ann_matryoshka_topk",
-    "x_ccnet_perplexity_buckets",
-    "x_dedup_simhash_hamming_pairs",
-    "x_exact_quantiles_chars",
-    "x_multimodal_frames",
-    "x_quality_threshold_by_source",
-    # the r6-green-once cohort (33 of 49)
-    "agg_cohort_retention",
-    "agg_cust_order_distribution",
-    "agg_daily_active_users",
-    "agg_disjunctive_revenue",
-    "agg_dominant_suppliers",
-    "agg_forecast_revenue",
-    "agg_grouping_sets_mixed",
-    "agg_idle_rich_customers",
-    "agg_important_parts",
-    "agg_large_order_customers",
-    "agg_market_share",
-    "agg_min_price_supplier",
-    "agg_nation_volume_pairs",
-    "agg_order_priority_exists",
-    "agg_part_margin_by_nation_year",
-    "agg_promo_revenue_share",
-    "agg_returned_top_customers",
-    "agg_shipping_priority_topk",
-    "agg_small_qty_revenue",
-    "agg_top_supplier_revenue",
-    "agg_value_percentiles",
-    "c10_coalesce_chain",
-    "f4_membership_filter",
-    "fn_unpivot_measures",
-    "fn_window_rank_tiles",
-    "fn_window_running_total",
-    "p1_project_rename",
-    "p2_missing_column_backfill",
-    "pipeline_update_selection",
-    "s10_sql_entry_parameterized",
-    "w1_latest_event_per_chat",
-    "x_dedup_containment_topk",
-    "x_length_bucket_padding",
+    "x_dedup_minhash_lsh_pairs",
+    # (b) r10-touched, never driver-confirmed (VERDICT r10 #1)
+    "c13_pivot_event_types",
+    "j3_anti_dedup",
+    "x_ngram_novelty",
+    "j2_left_join_enrich",
+    "j4_zip_custom_fields",
+    "u1_union_by_name",
+    "o1_sort_limit_topn",
+    "o3_point_lookup",
+    "p3_sanitize_columns",
+    "p7_null_key_fill",
+    "c11_custom_fields_extract",
+    "c14_json_flatten",
+    "a3_dedup_removed_count",
+    # (c) the r6-green-once members displaced by the r10 rotation
+    "x_embedding_top_component",
+    "x_kcenter_diverse_sample",
+    "x_lm_trigram_predictability",
+    "x_dedup_minhash_signatures",
+    "agg_pricing_summary",
+    "agg_regional_revenue",
+    "agg_funnel_view_click_purchase",
+    "x_pack_sequences",
+    "x_outlier_mad_by_source",
+    "agg_cube_status_segment",
+    "agg_rollup_status_priority",
+    "fn_window_lag_gap",
+    "agg_priority_class_counts",
+    "agg_supplier_cnt_by_part",
+    "agg_waiting_suppliers",
+    # (d) r7-green-newest cohort (11 of 49; rest displace to r12)
+    "x_dedup_incremental_minhash",
+    "x_dedup_cross_source_matrix",
+    "x_embedding_centroid",
+    "x_embedding_drift_by_source",
+    "x_category_drift",
+    "x_ann_quantized_topk",
+    "fn_array_battery",
+    "fn_date_battery",
+    "fn_json_battery",
+    "fn_map_battery",
+    "fn_null_battery",
 ]
-# Slot arithmetic (r10): 3 new + 3 changed-owner re-windows + 11
-# carried r5-cohort + 33 of the 49 r6-green-once cohort = 50. Sixteen
-# r6-cohort members are DISPLACED to round 11, chosen for the
-# strongest ongoing coverage elsewhere:
-# (a) three SENSITIVE members — x_embedding_top_component,
-#     x_kcenter_diverse_sample, x_lm_trigram_predictability —
-#     strictly value-verified at sf0.1 by the local gate EVERY round;
-# (b) x_dedup_minhash_signatures — its owner chain
-#     (operators/dedup.minhash_signature + the band fold) is composed
-#     verbatim by still-SENSITIVE x_dedup_incremental_minhash (sf0.1
-#     strict every round);
-# (c) six bench headliners — agg_pricing_summary, agg_regional_revenue,
-#     agg_funnel_view_click_purchase, x_ngram_novelty, x_pack_sequences,
-#     x_outlier_mad_by_source — timed at sf0.1 every round (a crash or
-#     row-explosion regression surfaces immediately in BENCH) on top of
-#     the full-catalog sf0.01 strict sweep;
-# (d) owner-family twins kept in-window: agg_cube_status_segment and
-#     agg_rollup_status_priority (CUBE/ROLLUP are GROUPING SETS
-#     specializations in both engines — the multi-grain grouping owner
-#     is exercised by kept agg_grouping_sets_mixed);
-#     fn_window_lag_gap (the one Window partition/order owner, kept
-#     twins fn_window_rank_tiles + fn_window_running_total cover the
-#     rank- and frame-function shapes); agg_priority_class_counts
-#     (orders-table conditional-count owner, kept twin
-#     agg_order_priority_exists); agg_supplier_cnt_by_part
-#     (count-distinct-grain family, kept twin
-#     agg_cust_order_distribution); agg_waiting_suppliers (the
-#     EXISTS-correlation family, kept twin agg_order_priority_exists).
-# All sixteen stay covered by the full-catalog strict sf0.01 gate
-# every round and are FIRST in line for the r11 window, together with
-# x_versioned_restore_read and x_versioned_dv_delete (registered AFTER
-# the r10 rotation — strict sf0.01-verified this round, post-window
-# slots, new-query priority).
-# flagship_unresolved_distinct stays out as always: the driver's
-# entry() smoke verifies it every round regardless of the window.
 
 
 def _ordered() -> dict[str, tuple[QueryFn, str | None]]:
@@ -415,11 +396,17 @@ def j1_full_outer_integrate(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, cols=("id", "number", "contact_email", "evt_ticket_ticketNumber")
     )
     tickets = tickets_view(spark, sf_dir, cols=("id", "number", "summary", "status_name"))
+    # r11 (guide §2.3 — narrower shuffle/sort keys): join on the raw
+    # BIGINTs. The oracle joins on CAST(..AS VARCHAR) of both, but the
+    # bigint→string render is injective and null-preserving, so the
+    # match set is identical while the exchange and the SMJ sort compare
+    # 8-byte longs instead of up-to-19-char strings (values parity-pinned;
+    # the output casts below are unchanged).
     joined = full_outer_with_suffixes(
         chats,
         tickets,
-        left_key=F.col("evt_ticket_ticketNumber").cast("string"),
-        right_key=F.col("number").cast("string"),
+        left_key=F.col("evt_ticket_ticketNumber"),
+        right_key=F.col("number"),
         suffixes=("_chat", "_ticket"),
     )
     return joined.select(

@@ -311,11 +311,13 @@ def pipeline_integrate_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             "evt_ticket_ticketNumber",
         ),
     )
+    # r11: raw BIGINT join keys (the j1 rationale — injective render, so
+    # the match set is identical; 8-byte sort keys through the exchange)
     joined = full_outer_with_suffixes(
         chats,
         tickets,
-        left_key=F.col("evt_ticket_ticketNumber").cast("string"),
-        right_key=F.col("number").cast("string"),
+        left_key=F.col("evt_ticket_ticketNumber"),
+        right_key=F.col("number"),
         suffixes=("_chat", "_ticket"),
     )
     shaped = joined.select(

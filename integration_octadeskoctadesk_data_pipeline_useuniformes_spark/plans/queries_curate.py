@@ -1448,47 +1448,97 @@ def _band_tuning_oracle() -> str:
 
 @register("x_dedup_lsh_band_tuning", _band_tuning_oracle())
 def x_dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11 (VERDICT r10 #6 — the catalog's most exchange-heavy plan, 63
+    # Exchanges / 72 SortAggregates): the three configs ran the full
+    # banding→self-join→verify chain three times and counted each stat
+    # in its own single-partition aggregate (12 agg subtrees crossJoined
+    # pairwise). All three configs band the SAME 8-hash signatures, so
+    # one signature build + ONE config-tagged banding pass feeds one
+    # (r, band, bucket) self-join, and every per-config stat is a
+    # conditional aggregate of that single pair frame grouped by r
+    # (guide §2.3 aggregate-before-shuffle / §2.4 share the work).
+    # The candidate sets are definitionally unchanged: tagging the band
+    # key with r makes the unioned self-join collide exactly the pairs
+    # each per-config join collided, and est / the >= 0.5 verify rule /
+    # the exact-truth membership are the same single-owner expressions.
+    # A 3-row literal spine left-joins the per-config counts so a config
+    # with zero candidates still emits its row (counts 0), exactly like
+    # the old always-1-row crossJoin of global aggregates.
     sample = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     exact = scoped_persist(_exact_jaccard_truth(sample))
-    out = None
-    for r in _TUNING_ROWS_PER_BAND:
-        pairs = scoped_persist(
-            D.lsh_candidate_pairs(sample, rows_per_band=r, min_jaccard_est=0.0)
+    sigs = scoped_persist(D.minhash_signatures(sample))
+    def _tagged_bands(r: int):
+        # single-param lambda only (a 2-param lambda would be taken as
+        # Spark's (value, index) variant — the word_shingles caveat)
+        return F.transform(
+            D._band_key_structs(8, r),
+            lambda bb: F.struct(
+                F.lit(r).cast("bigint").alias("r"),
+                bb["band"].alias("band"),
+                bb["bucket"].alias("bucket"),
+            ),
         )
-        ver = pairs.filter(F.col("jaccard_est") >= 0.5).select("id_a", "id_b")
-        row = (
-            pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-            .crossJoin(
-                ver.agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
-            )
-            .crossJoin(
-                exact.join(ver, ["id_a", "id_b"]).agg(
-                    F.count(F.lit(1)).cast("bigint").alias("n_found")
-                )
-            )
-            .crossJoin(
-                exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
-            )
-            .select(
-                F.lit(r).cast("bigint").alias("rows_per_band"),
-                F.lit(8 // r).cast("bigint").alias("n_bands"),
-                "n_candidates",
-                "n_verified",
-                "n_found",
-                "n_true_pairs",
-                F.expr(
-                    "CASE WHEN n_true_pairs > 0"
-                    " THEN (n_found * 100) div n_true_pairs END"
-                )
-                .cast("bigint")
-                .alias("recall_pct"),
-                F.expr(
-                    "CASE WHEN n_verified > 0"
-                    " THEN (n_found * 100) div n_verified END"
-                )
-                .cast("bigint")
-                .alias("precision_pct"),
-            )
+
+    tagged = F.concat(*[_tagged_bands(r) for r in _TUNING_ROWS_PER_BAND])
+    bands = sigs.select(F.col("doc_id"), F.explode(tagged).alias("bb")).select(
+        "doc_id",
+        F.col("bb.r").alias("r"),
+        F.col("bb.band").alias("band"),
+        F.col("bb.bucket").alias("bucket"),
+    )
+    a = bands.select("r", "band", "bucket", F.col("doc_id").alias("id_a"))
+    b = bands.select("r", "band", "bucket", F.col("doc_id").alias("id_b"))
+    cand = (
+        a.join(b, ["r", "band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("r", "id_a", "id_b")
+        .distinct()
+    )
+    pairs = cand.join(
+        sigs.select(F.col("doc_id").alias("id_a"), F.col("minhash").alias("sig_a")),
+        "id_a",
+    ).join(
+        sigs.select(F.col("doc_id").alias("id_b"), F.col("minhash").alias("sig_b")),
+        "id_b",
+    )
+    est = D._signature_match_est(F.col("sig_a"), F.col("sig_b"), 8)
+    flagged = pairs.withColumn("__ver", est >= 0.5).join(
+        F.broadcast(exact.withColumn("__true", F.lit(True))), ["id_a", "id_b"], "left"
+    )
+    agg = flagged.groupBy("r").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.sum(F.when(F.col("__ver"), 1).otherwise(0)).cast("bigint").alias("n_verified"),
+        F.sum(F.when(F.col("__ver") & F.col("__true").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_found"),
+    )
+    spine = spark.createDataFrame(
+        [(r, 8 // r) for r in _TUNING_ROWS_PER_BAND],
+        "rows_per_band bigint, n_bands bigint",
+    )
+    base = (
+        spine.join(agg, spine.rows_per_band == agg.r, "left")
+        .crossJoin(exact.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs")))
+        .select(
+            "rows_per_band",
+            "n_bands",
+            F.coalesce("n_candidates", F.lit(0)).cast("bigint").alias("n_candidates"),
+            F.coalesce("n_verified", F.lit(0)).cast("bigint").alias("n_verified"),
+            F.coalesce("n_found", F.lit(0)).cast("bigint").alias("n_found"),
+            "n_true_pairs",
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
+    return base.select(
+        "rows_per_band",
+        "n_bands",
+        "n_candidates",
+        "n_verified",
+        "n_found",
+        "n_true_pairs",
+        F.expr("CASE WHEN n_true_pairs > 0 THEN (n_found * 100) div n_true_pairs END")
+        .cast("bigint")
+        .alias("recall_pct"),
+        F.expr("CASE WHEN n_verified > 0 THEN (n_found * 100) div n_verified END")
+        .cast("bigint")
+        .alias("precision_pct"),
+    )

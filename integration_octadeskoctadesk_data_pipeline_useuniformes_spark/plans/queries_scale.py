@@ -1018,8 +1018,12 @@ def _skipping_fixture_sink(spark: SparkSession, sf_dir: str) -> str:
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
         )
     )
-    for t in _EVENT_TYPES:
-        versioned.commit_append(ev.filter(F.col("event_type") == t), tbl)
+    # one batched publish (r11, guide §2.6): the five per-type write
+    # jobs overlap instead of running serially; version order and
+    # per-commit file contents are identical to the sequential loop
+    versioned.commit_appends(
+        [ev.filter(F.col("event_type") == t) for t in _EVENT_TYPES], tbl
+    )
     _SKIP_SINKS[sf_dir] = tbl
     return tbl
 
@@ -1476,11 +1480,16 @@ def _dv_delete_fixture_sink(spark: SparkSession, sf_dir: str) -> str:
     )
     n = ev.count()
     bounds = [i * n // 5 for i in range(6)]
-    for lo, hi in zip(bounds, bounds[1:]):
-        versioned.commit_append(
-            ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(1),
-            tbl,
-        )
+    # batched publish (r11): the five single-file range commits were
+    # serial single-task write jobs; overlapping them costs nothing and
+    # preserves the version order and file contents exactly
+    versioned.commit_appends(
+        [
+            ev.filter((F.col("event_id") >= lo) & (F.col("event_id") < hi)).coalesce(1)
+            for lo, hi in zip(bounds, bounds[1:])
+        ],
+        tbl,
+    )
     versioned.commit_delete(
         spark,
         tbl,

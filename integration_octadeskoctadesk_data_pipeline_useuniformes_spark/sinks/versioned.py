@@ -857,6 +857,58 @@ def commit_append(
         raise
 
 
+def commit_appends(dfs: Sequence[DataFrame], path: str) -> list[int]:
+    """Append several DataFrames as CONSECUTIVE versions, overlapping
+    their write jobs; returns the version numbers in argument order.
+
+    Semantics are identical to calling ``commit_append(df, path)`` in a
+    loop: manifests are published strictly in argument order, so the
+    version history, per-version file sets and snapshot contents are
+    the same — only the wall-clock differs. The independent write jobs
+    are submitted from a small thread pool (guide §2.6: Spark happily
+    runs several jobs at once; each job's task tail is back-filled by
+    the next job's tasks) — N sequential write jobs, each too small to
+    fill the cluster, become ~1 job's wall-clock. Used by the bench's
+    versioned fixture sinks, whose 5 per-type/per-range commits were
+    pure serial write latency (r10 measured them as most of those
+    queries' cold time). No per-commit blooms: callers that need
+    ``bloom_keys``/``bloom_frames`` keep the sequential path, where the
+    written-file read-back is the cost that matters.
+    """
+    dfs = list(dfs)
+    os.makedirs(path, exist_ok=True)
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(dfs) > 1:
+        with ThreadPoolExecutor(max_workers=min(len(dfs), 8)) as pool:
+            staged = list(pool.map(lambda df: _write_files(df, path), dfs))
+    else:
+        staged = [_write_files(df, path) for df in dfs]
+    versions: list[int] = []
+    for i, (df, new_files) in enumerate(zip(dfs, staged)):
+        try:
+            versions.append(
+                _publish_manifest(
+                    path,
+                    new_files,
+                    carry_prev=True,
+                    schema=df.schema.jsonValue(),
+                    op={"operation": "APPEND"},
+                    bloom_entries=[],
+                )
+            )
+        except ValueError:
+            # a schema-conflict abort publishes nothing for THIS commit
+            # and the later stagings will never publish either — reclaim
+            # all of them (commit_append's leak rule, extended to the
+            # batch's unpublished remainder)
+            for files in staged[i:]:
+                for f in files:
+                    os.remove(os.path.join(path, f))
+            raise
+    return versions
+
+
 def commit_replace(
     df: DataFrame,
     path: str,

@@ -239,6 +239,10 @@ def tickets_view(
     unknown = set(need) - set(_TICKET_COL_ORDER)
     if unknown:
         raise KeyError(f"tickets_view: unknown columns {sorted(unknown)}")
+    if len(set(need)) != len(need):
+        # duplicates are silently deduped to canonical order, so a
+        # repeated name is almost certainly a caller typo (ADVICE r10)
+        raise KeyError(f"tickets_view: duplicate columns in cols={need}")
     need = tuple(n for n in _TICKET_COL_ORDER if n in set(need))
     need_customer = any(n in _TICKET_CUSTOMER_COLS for n in need)
     kv = F.struct  # array<struct<key,value>> entries
@@ -387,6 +391,8 @@ def chats_view(
     unknown = set(need) - set(_CHAT_COL_ORDER)
     if unknown:
         raise KeyError(f"chats_view: unknown columns {sorted(unknown)}")
+    if len(set(need)) != len(need):
+        raise KeyError(f"chats_view: duplicate columns in cols={need}")
     need = tuple(n for n in _CHAT_COL_ORDER if n in set(need))
     exprs: dict[str, Column] = {
         "id": F.md5(F.concat(F.lit("chat-"), F.col("user_id").cast("string"))).alias("id"),

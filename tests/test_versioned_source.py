@@ -245,3 +245,37 @@ def test_stream_treats_vector_delete_as_change_commit(spark, tmp_path):
     versioned.commit_append(_mk(spark, 20, 22), path)
     _run_stream(spark, path, out, ck, skipChangeCommits="true")
     assert sorted(_served_ids(spark, out)) == list(range(10)) + [20, 21]
+
+
+def test_commit_appends_matches_sequential_history(spark, tmp_path):
+    """commit_appends overlaps the write jobs but must publish a
+    version history byte-equivalent to the sequential loop: same
+    version numbers, same APPEND operations, same per-version snapshot
+    rows, same per-commit delta rows, and per-file zone stats that let
+    the pruned read skip exactly the same commits."""
+    seq = str(tmp_path / "seq")
+    bat = str(tmp_path / "bat")
+    parts = [_mk(spark, i * 10, i * 10 + 10) for i in range(4)]
+    for df in parts:
+        versioned.commit_append(df, seq)
+    versions = versioned.commit_appends(parts, bat)
+    assert versions == [0, 1, 2, 3]
+    assert versioned.latest_version(bat) == versioned.latest_version(seq) == 3
+    for v in range(4):
+        rows_seq = {r.id for r in versioned.read_version(spark, seq, v).collect()}
+        rows_bat = {r.id for r in versioned.read_version(spark, bat, v).collect()}
+        assert rows_bat == rows_seq, v
+    hist = versioned.table_history(bat)
+    assert [h["operation"] for h in hist] == ["APPEND"] * 4
+    # zone-pruned read sees only the matching commit's files, as with
+    # the sequential build (the skipping-fixture contract)
+    pruned = versioned.prune_files(bat, 3, {"id": {"lo": 20, "hi": 25}})
+    all_files = versioned._files_of(bat, 3)
+    assert len(pruned) < len(all_files)
+    got = {
+        r.id
+        for r in versioned.read_version(
+            spark, bat, 3, prune={"id": {"lo": 20, "hi": 25}}
+        ).collect()
+    }
+    assert got == set(range(20, 30))

@@ -2,7 +2,8 @@
 
 Builds every registered query at the given sf_dir and records plan-shape
 statistics: Exchange count, join strategies, Python-eval nodes, cartesian
-products, parquet scans whose ReadSchema is wider than 12 columns, and
+products, every parquet scan location (the CSV `scans` column — count plus
+the scanned file names, no width filtering; ADVICE r10 docstring fix), and
 SortAggregate pairs. Prints one line per query plus a summary of flagged
 anti-patterns. Read-only: nothing is executed beyond what query builds
 themselves run (pivot domains, Lloyd iterations).
